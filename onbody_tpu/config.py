@@ -1,0 +1,65 @@
+"""Typed configuration for the solver.
+
+Replaces the reference's three config tiers (hand-parsed CLI flags
+ongrav3d.cpp:484-527, in-source constants like USE_RM_KERNEL
+CoreFunc3d.hpp:11, and CMake options) with one dataclass.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverConfig:
+    """All tunables for one solve.
+
+    Defaults mirror the reference drivers (ongrav3d.cpp:474-481):
+    blockSize 128, thetas {treecode1: 2.0, pointwise: 1.05, boxwise: 1.0,
+    dtt: 1.35}, order -1 (pair-merge equivalents).
+    """
+
+    # the basic unit of direct-sum work; 128 == MXU tile dimension
+    block_size: int = 128
+
+    # barycentric Lagrange order; < 0 selects pair-merge equivalents
+    # (ref ongrav3d.cpp:543-550)
+    order: int = -1
+
+    # multipole-acceptance-criterion thetas per method
+    theta_treecode1: float = 2.0
+    theta_pointwise: float = 1.05
+    theta_boxwise: float = 1.0
+    theta_dtt: float = 1.35
+
+    # core function family: 'rm' (Rosenhead-Moore, default) or 'exp'
+    # (compact exponential) — ref CoreFunc2d.hpp:11-12, CoreFunc3d.hpp:11-12
+    core_func: str = "rm"
+
+    # storage / accumulation dtypes (ref README.md:107-110 documents the
+    # fp32-storage + fp64-accumulation accuracy upgrade)
+    storage_dtype: jnp.dtype = jnp.float32
+    accum_dtype: jnp.dtype = jnp.float32
+
+    # interaction-list construction widths (static shapes under jit).
+    # frontier_width bounds the per-target-block candidate list per level;
+    # list_width bounds the total accepted interactions per target block.
+    frontier_width: int = 512
+    list_width: int = 2048
+
+    # execution backend for the pair executor: 'pallas' or 'jnp'
+    pair_backend: str = "jnp"
+
+    # compute d2 via centered Gram matmul (MXU) or elementwise broadcast
+    d2_mode: str = "exact"
+
+    def replace(self, **kw) -> "SolverConfig":
+        return dataclasses.replace(self, **kw)
+
+    @property
+    def ncp(self) -> int:
+        """Chebyshev points per dimension (order+1)."""
+        return self.order + 1

@@ -1,0 +1,250 @@
+"""The four physics kernels, in TPU-native tile form.
+
+Each workload from the reference gets two implementations here:
+
+* ``pairwise`` — a direct broadcast transliteration of the reference's
+  scalar kernel semantics (ongrav3d.cpp:44-58, onvort2d.cpp:44-57,
+  onvort3d.cpp:44-62, onvortgrad3d.cpp:45-79). Used as the fp64-capable
+  oracle and for validating the tile form. O(T*S*OD) memory.
+
+* ``tile`` — the production form: the all-pairs interaction of a target
+  block against a source block decomposed into MXU matmuls. The key
+  identity is that every kernel's output is ``sum_j W_ij * poly(t_i, s_j)``
+  with poly multilinear in target/source coordinates, so the j-sum factors
+  into ``(T,S) @ (S,F)`` matmuls over a small per-source feature matrix,
+  followed by per-target recombination. Distances use either an exact
+  elementwise broadcast or a tile-centered Gram matmul (subtracting the
+  tile mean bounds the fp32 cancellation by the tile's spatial extent).
+
+Sign conventions follow the reference exactly:
+  grav3d:     d = s - t, u += m*(d2+sr^2)^-1.5 * d
+  vort2d:     d = t - s, u -= ss*cf*dy ; v += ss*cf*dx (cf uses sr and tr)
+  vort3d:     d = s - t, u += cf * (omega x d)
+  vortgrad3d: d = t - s, u += r3*(omega x d); 9 gradients via bbb
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable, Optional
+
+import jax.numpy as jnp
+from jax import lax
+
+from onbody_tpu.ops import core_funcs as cf
+
+
+def _dot(a, b, accum_dtype):
+    # HIGHEST keeps true-fp32 MXU passes; the TPU default would silently
+    # drop to bf16 mantissas, blowing the reference's ~6e-6 RMS floor
+    # (README.md:99-101).
+    return jnp.dot(a, b, preferred_element_type=accum_dtype,
+                   precision=lax.Precision.HIGHEST)
+
+
+def dist2(tx, sx, mode: str = "exact"):
+    """Squared distances (T,S) between target and source positions.
+
+    'exact'  — elementwise broadcast, no cancellation (VPU).
+    'center' — tile-centered Gram trick |t'|^2 - 2 t'.s' + |s'|^2 (MXU);
+               centering bounds fp32 cancellation by the tile extent.
+    """
+    if mode == "exact":
+        diff = tx[:, None, :] - sx[None, :, :]
+        return jnp.sum(diff * diff, axis=-1)
+    c = 0.5 * (jnp.mean(tx, axis=0) + jnp.mean(sx, axis=0))
+    t = tx - c
+    s = sx - c
+    t2 = jnp.sum(t * t, axis=-1)
+    s2 = jnp.sum(s * s, axis=-1)
+    g = jnp.dot(t, s.T, preferred_element_type=t.dtype,
+                precision=lax.Precision.HIGHEST)
+    d2 = t2[:, None] - 2.0 * g + s2[None, :]
+    return jnp.maximum(d2, 0.0)
+
+
+def _cross(a, b):
+    return jnp.cross(a, b)
+
+
+@dataclasses.dataclass(frozen=True)
+class Kernel:
+    """One physics workload: dims, flop model, pairwise + tile forms."""
+
+    name: str
+    pd: int
+    sd: int
+    od: int
+    uses_tr: bool
+    pairwise: Callable  # (tx,tr,sx,sr,ss,core) -> (T,S,OD)
+    tile: Callable      # (tx,tr,sx,sr,ss,core,accum_dtype,d2_mode) -> (T,OD)
+    flops_fn: Callable  # (core_name) -> flops per source-target pair
+
+
+# ------------------------------------------------------------------ grav3d
+# ongrav3d.cpp:44-58 — 19 flops, d = s - t, r3 = m/(d2+sr^2)^1.5.
+# The gravity driver hard-codes the RM denominator (no CoreFunc use).
+
+def _grav3d_pairwise(tx, tr, sx, sr, ss, core="rm"):
+    d = sx[None, :, :] - tx[:, None, :]          # (T,S,3)
+    d2 = jnp.sum(d * d, axis=-1)
+    r2 = d2 + (sr * sr)[None, :]
+    r3 = ss[None, :, 0] * lax.rsqrt(r2) ** 3
+    return r3[:, :, None] * d
+
+
+def _grav3d_tile(tx, tr, sx, sr, ss, core="rm",
+                 accum_dtype=jnp.float32, d2_mode="exact"):
+    d2 = dist2(tx, sx, d2_mode)
+    r2 = d2 + (sr * sr)[None, :]
+    rinv = lax.rsqrt(r2)
+    w = ss[None, :, 0] * rinv * rinv * rinv      # (T,S)
+    feats = jnp.concatenate(
+        [sx, jnp.ones((sx.shape[0], 1), sx.dtype)], axis=1)  # (S,4)
+    o = _dot(w, feats, accum_dtype)              # (T,4)
+    return o[:, :3] - o[:, 3:4] * tx.astype(accum_dtype)
+
+
+# ------------------------------------------------------------------ vort2d
+# onvort2d.cpp:44-57 — d = t - s; w = ss*cf(d2, sr, tr);
+# u -= w*dy ; v += w*dx.
+
+def _vort2d_pairwise(tx, tr, sx, sr, ss, core="rm"):
+    d = tx[:, None, :] - sx[None, :, :]
+    d2 = jnp.sum(d * d, axis=-1)
+    c = cf.core_2d(core)(d2, sr[None, :], tr[:, None])
+    w = ss[None, :, 0] * c
+    u = -w * d[:, :, 1]
+    v = w * d[:, :, 0]
+    return jnp.stack([u, v], axis=-1)
+
+
+def _vort2d_tile(tx, tr, sx, sr, ss, core="rm",
+                 accum_dtype=jnp.float32, d2_mode="exact"):
+    d2 = dist2(tx, sx, d2_mode)
+    c = cf.core_2d(core)(d2, sr[None, :], tr[:, None])
+    w = ss[None, :, 0] * c                       # (T,S)
+    feats = jnp.concatenate(
+        [sx, jnp.ones((sx.shape[0], 1), sx.dtype)], axis=1)  # [sx, sy, 1]
+    o = _dot(w, feats, accum_dtype)              # (T,3)
+    txa = tx.astype(accum_dtype)
+    u = o[:, 1] - o[:, 2] * txa[:, 1]
+    v = o[:, 2] * txa[:, 0] - o[:, 0]
+    return jnp.stack([u, v], axis=-1)
+
+
+# ------------------------------------------------------------------ vort3d
+# onvort3d.cpp:44-62 — d = s - t; u += cf * (omega x d).
+
+def _vort3d_pairwise(tx, tr, sx, sr, ss, core="rm"):
+    d = sx[None, :, :] - tx[:, None, :]
+    d2 = jnp.sum(d * d, axis=-1)
+    c = cf.core_3d(core)(d2, sr[None, :])
+    w = jnp.broadcast_to(ss[None, :, :], d.shape)
+    return c[:, :, None] * _cross(w, d)
+
+
+def _vort3d_tile(tx, tr, sx, sr, ss, core="rm",
+                 accum_dtype=jnp.float32, d2_mode="exact"):
+    d2 = dist2(tx, sx, d2_mode)
+    c = cf.core_3d(core)(d2, sr[None, :])        # (T,S)
+    e = _cross(ss, sx)                           # omega_j x s_j, (S,3)
+    feats = jnp.concatenate([e, ss], axis=1)     # (S,6)
+    o = _dot(c, feats, accum_dtype)              # (T,6)
+    txa = tx.astype(accum_dtype)
+    # omega x d = omega x s - omega x t  =>  u = C@e - (C@omega) x t
+    return o[:, :3] - _cross(o[:, 3:6], txa)
+
+
+# -------------------------------------------------------------- vortgrad3d
+# onvortgrad3d.cpp:45-79 — d = t - s; u += r3*(omega x d);
+# grads A_ab = sum_j bbb*(omega x d)_a d_b + r3 epsilon terms.
+# Output layout: [u,v,w, du/dx,dv/dx,dw/dx, du/dy,.., du/dz,..] i.e.
+# out[3 + 3*b + a] = A[a, b].
+
+def _vortgrad3d_pairwise(tx, tr, sx, sr, ss, core="rm"):
+    d = tx[:, None, :] - sx[None, :, :]          # (T,S,3)
+    d2 = jnp.sum(d * d, axis=-1)
+    r3, bbb = cf.core_3d_grads(core)(d2, sr[None, :])
+    w = jnp.broadcast_to(ss[None, :, :], d.shape)
+    oxd = _cross(w, d)                           # (T,S,3)
+    vel = r3[:, :, None] * oxd
+    # A[a,b] = bbb * oxd_a * d_b
+    A = bbb[:, :, None, None] * oxd[:, :, :, None] * d[:, :, None, :]
+    # epsilon terms: out[a,b] += eps_bac * r3 * omega_c   (see ref :62-75)
+    # tvx += ssz*r3 -> A[1,0]+=r3*wz ; twx -= ssy*r3 -> A[2,0]-=r3*wy
+    # tuy -= ssz*r3 ; twy += ssx*r3 ; tuz += ssy*r3 ; tvz -= ssx*r3
+    rw = r3[:, :, None] * ss[None, :, :]         # (T,S,3)
+    A = A.at[:, :, 1, 0].add(rw[:, :, 2])
+    A = A.at[:, :, 2, 0].add(-rw[:, :, 1])
+    A = A.at[:, :, 0, 1].add(-rw[:, :, 2])
+    A = A.at[:, :, 2, 1].add(rw[:, :, 0])
+    A = A.at[:, :, 0, 2].add(rw[:, :, 1])
+    A = A.at[:, :, 1, 2].add(-rw[:, :, 0])
+    T, S = d2.shape
+    grads = jnp.transpose(A, (0, 1, 3, 2)).reshape(T, S, 9)
+    return jnp.concatenate([vel, grads], axis=-1)
+
+
+def _vortgrad3d_tile(tx, tr, sx, sr, ss, core="rm",
+                     accum_dtype=jnp.float32, d2_mode="exact"):
+    d2 = dist2(tx, sx, d2_mode)
+    r3, bbb = cf.core_3d_grads(core)(d2, sr[None, :])
+    e = _cross(ss, sx)                           # (S,3)
+    # R-features: [omega, e] ; B-features: [omega, e, omega(x)s, e(x)s]
+    outer_ws = (ss[:, :, None] * sx[:, None, :]).reshape(-1, 9)
+    outer_es = (e[:, :, None] * sx[:, None, :]).reshape(-1, 9)
+    featsR = jnp.concatenate([ss, e], axis=1)            # (S,6)
+    featsB = jnp.concatenate([ss, e, outer_ws, outer_es], axis=1)  # (S,24)
+    oR = _dot(r3, featsR, accum_dtype)           # (T,6)
+    oB = _dot(bbb, featsB, accum_dtype)          # (T,24)
+    txa = tx.astype(accum_dtype)
+
+    G, He = oR[:, 0:3], oR[:, 3:6]
+    vel = _cross(G, txa) - He                    # u = (R@w) x t - R@e
+
+    P, Rv = oB[:, 0:3], oB[:, 3:6]
+    Q = oB[:, 6:15].reshape(-1, 3, 3)            # Q[i,c,b] = sum B w_c s_b
+    Sm = oB[:, 15:24].reshape(-1, 3, 3)          # Sm[i,a,b] = sum B e_a s_b
+    # T1: (P x t)_a t_b ; T2: -(Q[:,b] x t)_a ; T3: -Rv_a t_b ; T4: +Sm
+    Pt = _cross(P, txa)
+    T1 = Pt[:, :, None] * txa[:, None, :]
+    Qcols = jnp.transpose(Q, (0, 2, 1))          # (T, b, c)
+    T2 = -jnp.transpose(_cross(Qcols, txa[:, None, :]), (0, 2, 1))
+    T3 = -Rv[:, :, None] * txa[:, None, :]
+    A = T1 + T2 + T3 + Sm
+    A = A.at[:, 1, 0].add(G[:, 2])
+    A = A.at[:, 2, 0].add(-G[:, 1])
+    A = A.at[:, 0, 1].add(-G[:, 2])
+    A = A.at[:, 2, 1].add(G[:, 0])
+    A = A.at[:, 0, 2].add(G[:, 1])
+    A = A.at[:, 1, 2].add(-G[:, 0])
+    grads = jnp.transpose(A, (0, 2, 1)).reshape(-1, 9)
+    return jnp.concatenate([vel, grads], axis=-1)
+
+
+# ----------------------------------------------------------------- registry
+
+KERNELS = {
+    "grav3d": Kernel(
+        name="grav3d", pd=3, sd=1, od=3, uses_tr=False,
+        pairwise=_grav3d_pairwise, tile=_grav3d_tile,
+        flops_fn=lambda core: 19),
+    "vort2d": Kernel(
+        name="vort2d", pd=2, sd=1, od=2, uses_tr=True,
+        pairwise=_vort2d_pairwise, tile=_vort2d_tile,
+        flops_fn=lambda core: 10 + cf.FLOPS[(core, "2d_tr")]),
+    "vort3d": Kernel(
+        name="vort3d", pd=3, sd=3, od=3, uses_tr=False,
+        pairwise=_vort3d_pairwise, tile=_vort3d_tile,
+        flops_fn=lambda core: 23 + cf.FLOPS[(core, "3d")]),
+    "vortgrad3d": Kernel(
+        name="vortgrad3d", pd=3, sd=3, od=12, uses_tr=False,
+        pairwise=_vortgrad3d_pairwise, tile=_vortgrad3d_tile,
+        flops_fn=lambda core: 56 + cf.FLOPS[(core, "3d_grads")]),
+}
+
+
+def get_kernel(name: str) -> Kernel:
+    return KERNELS[name]

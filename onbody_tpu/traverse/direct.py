@@ -1,0 +1,108 @@
+"""Direct O(N^2) summation.
+
+Equivalent of the reference's `nbody_naive` (barneshut.hpp:47-53) and the
+`external_vel_direct_*` C-ABI twins (interface2dvort.cpp:324-374). Two
+forms:
+
+* ``direct_oracle`` — fp64 pairwise broadcast, chunked over targets; the
+  accuracy oracle every fast method is validated against (the reference's
+  de-facto test suite, SURVEY.md §4).
+* ``direct`` — tiled tile-form evaluation in storage/accum precision,
+  streaming source chunks through a lax.scan so memory stays bounded and
+  XLA can overlap; this is the production direct path (a Pallas variant
+  lives in ops/pallas_direct.py).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from onbody_tpu.ops.kernels import Kernel
+from onbody_tpu.parts import Parts
+
+
+def _target_radii(kernel: Kernel, targs: Parts, dtype):
+    if kernel.uses_tr:
+        return targs.r.astype(dtype)
+    return jnp.zeros_like(targs.r, dtype=dtype)
+
+
+def direct_oracle(kernel: Kernel, srcs: Parts, targs: Parts,
+                  core: str = "rm", tskip: int = 1,
+                  chunk: int = 256) -> jax.Array:
+    """fp64 direct sum over every tskip-th target. Returns (ceil(M/tskip), OD).
+
+    Mirrors the ntskip subsampling of the reference drivers
+    (ongrav3d.cpp:556-568) so validation work stays bounded.
+    """
+    tx = targs.x[::tskip].astype(jnp.float64)
+    tr = _target_radii(kernel, targs, jnp.float64)[::tskip]
+    sx = srcs.x.astype(jnp.float64)
+    sr = srcs.r.astype(jnp.float64)
+    ss = srcs.s.astype(jnp.float64)
+
+    m = tx.shape[0]
+    npad = -m % chunk
+    txp = jnp.pad(tx, ((0, npad), (0, 0)))
+    trp = jnp.pad(tr, (0, npad))
+
+    def one_chunk(args):
+        cx, cr = args
+        return jnp.sum(kernel.pairwise(cx, cr, sx, sr, ss, core), axis=1)
+
+    out = jax.lax.map(one_chunk,
+                      (txp.reshape(-1, chunk, tx.shape[1]),
+                       trp.reshape(-1, chunk)))
+    return out.reshape(-1, kernel.od)[:m]
+
+
+@partial(jax.jit, static_argnames=("kernel", "core", "accum_dtype",
+                                   "d2_mode", "tile_t", "tile_s"))
+def _direct_impl(kernel: Kernel, tx, tr, sx, sr, ss, core, accum_dtype,
+                 d2_mode, tile_t, tile_s):
+    nt = tx.shape[0]
+    ns = sx.shape[0]
+    tpad = -nt % tile_t
+    spad = -ns % tile_s
+    # pad sources with zero strength (inert), targets with clones
+    sxp = jnp.pad(sx, ((0, spad), (0, 0)))
+    srp = jnp.pad(sr, (0, spad), constant_values=1.0)
+    ssp = jnp.pad(ss, ((0, spad), (0, 0)))
+    txp = jnp.pad(tx, ((0, tpad), (0, 0)))
+    trp = jnp.pad(tr, (0, tpad))
+
+    s_chunks = (sxp.reshape(-1, tile_s, sx.shape[1]),
+                srp.reshape(-1, tile_s),
+                ssp.reshape(-1, tile_s, ss.shape[1]))
+
+    def per_target_tile(args):
+        ctx, ctr = args
+
+        def add_chunk(acc, sch):
+            cx, cr, cs = sch
+            out = kernel.tile(ctx, ctr, cx, cr, cs, core,
+                              accum_dtype, d2_mode)
+            return acc + out, None
+
+        init = jnp.zeros((tile_t, kernel.od), dtype=accum_dtype)
+        acc, _ = jax.lax.scan(add_chunk, init, s_chunks)
+        return acc
+
+    out = jax.lax.map(per_target_tile,
+                      (txp.reshape(-1, tile_t, tx.shape[1]),
+                       trp.reshape(-1, tile_t)))
+    return out.reshape(-1, kernel.od)[:nt]
+
+
+def direct(kernel: Kernel, srcs: Parts, targs: Parts,
+           core: str = "rm", accum_dtype=jnp.float32,
+           d2_mode: str = "exact",
+           tile_t: int = 1024, tile_s: int = 1024) -> jax.Array:
+    """Tiled direct sum in production precision. Returns (M, OD)."""
+    tr = _target_radii(kernel, targs, targs.x.dtype)
+    return _direct_impl(kernel, targs.x, tr, srcs.x, srcs.r, srcs.s,
+                        core, accum_dtype, d2_mode, tile_t, tile_s)

@@ -1,0 +1,97 @@
+"""O(N) dual-tree traversal ("fastsumm") solver.
+
+TPU-native equivalent of nbody_fastsumm (ongrav3d.cpp:207-452,
+onvort2d.cpp:194-439, onvort3d.cpp:220-465): the work-list recursion
+becomes the level-synchronous dual traversal of lists.build_dtt_pairs, the
+four interaction types collapse into the unified pair executor (far
+contributions accumulate directly into target leaf rows or target
+equivalent rows of the same out array), and the prolongation becomes a
+top-down per-level barycentric interpolation einsum
+(calcBarycentricDownward, BarycentricLagrange.hpp:63-166) or the order<0
+parent-copy (ongrav3d.cpp:241-251).
+
+The reference's known stats race (README.md:200) has no analogue here —
+everything is a deterministic pure-functional reduction.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from onbody_tpu.config import SolverConfig
+from onbody_tpu.ops.kernels import Kernel
+from onbody_tpu.tree import equivalents as eq
+from onbody_tpu.traverse import exec as pexec
+from onbody_tpu.traverse import lists
+from onbody_tpu.traverse.treecode import Plan, _cap, _leaf_outputs
+
+
+@partial(jax.jit, static_argnames=("order", "levels", "block_size"))
+def _downward(out, tree_nc, tree_ns, tgt_pos, order: int, levels: int,
+              block_size: int):
+    """Prolong accumulated equivalent-target outputs down the tree.
+
+    out: (NN, B, OD). For each level top-down, children's points (proxies
+    or leaf particles) receive the parent's equivalent outputs through
+    barycentric interpolation on the parent grid.
+    """
+    pd = tree_nc.shape[-1]
+    ncp = order + 1
+    M = ncp ** pd
+    for l in range(1, levels + 1):
+        np_l = 1 << (l - 1)                    # parents at level l-1
+        par = slice(np_l, 2 * np_l)
+        chl = slice(2 * np_l, 4 * np_l)
+        pts = tgt_pos[chl]                     # (2*np_l, B, pd)
+        width = block_size if l == levels else M
+        pts = pts[:, :width]
+        parent_nc = jnp.repeat(tree_nc[par], 2, axis=0)
+        parent_ns = jnp.repeat(tree_ns[par], 2, axis=0)
+        w = eq.bary_weights(pts, parent_nc, parent_ns, order)  # (2np,P,M)
+        parent_u = jnp.repeat(out[par, :M], 2, axis=0)         # (2np,M,OD)
+        add = jnp.einsum("npm,nmo->npo", w, parent_u)
+        out = out.at[chl, :width].add(add)
+    return out
+
+
+@partial(jax.jit, static_argnames=("levels", "block_size"))
+def _downward_copy(out, levels: int, block_size: int):
+    """order<0 prolongation: child point i inherits parent equivalent
+    i//2, with left/right children reading the parent halves that were
+    merged from them (ongrav3d.cpp:241-251 + calcEquivalents layout
+    barneshut.hpp:974-976)."""
+    bs = block_size
+    h = bs // 2
+    for l in range(1, levels + 1):
+        np_l = 1 << (l - 1)
+        par = slice(np_l, 2 * np_l)
+        chl = slice(2 * np_l, 4 * np_l)
+        pu = out[par, :bs]                     # (np_l, bs, OD)
+        left = jnp.repeat(pu[:, :h], 2, axis=1)    # (np_l, bs, OD)
+        right = jnp.repeat(pu[:, h:], 2, axis=1)
+        add = jnp.stack([left, right], axis=1).reshape(
+            2 * np_l, bs, -1)
+        out = out.at[chl, :bs].add(add)
+    return out
+
+
+def solve_dtt(kernel: Kernel, cfg: SolverConfig, plan: Plan,
+              theta: Optional[float] = None) -> Tuple[jax.Array,
+                                                      lists.PairList]:
+    theta = cfg.theta_dtt if theta is None else theta
+    pl = lists.build_dtt_pairs(plan.stree, plan.ttree, theta,
+                               cfg.frontier_width, cfg.list_width)
+    pl = lists.compact_pairs(pl, _cap(pl, cfg))
+    out = pexec.exec_pairs_jnp(kernel, plan.tgt_blocks, plan.src_blocks, pl,
+                               cfg.core_func, cfg.accum_dtype, cfg.d2_mode)
+    if cfg.order >= 0:
+        out = _downward(out, plan.ttree.nc, plan.ttree.ns,
+                        plan.tgt_blocks.pos, cfg.order, plan.ttree.levels,
+                        plan.ttree.block_size)
+    else:
+        out = _downward_copy(out, plan.ttree.levels, plan.ttree.block_size)
+    return _leaf_outputs(out, plan, kernel, plan.tgt_sorted.n_real), pl

@@ -1,0 +1,68 @@
+"""Pair-list executor: the single compute primitive behind every fast
+method.
+
+Executes a padded (tgt_row, src_row) interaction list over the unified
+Blocks arrays: each pair is one dense (block x block) all-pairs tile
+evaluated with the workload's matmul-decomposed kernel and scatter-added
+into the target row's accumulator. This one primitive subsumes the
+reference's ppinter block-block calls in treecode3 (barneshut.hpp:244-287)
+and all four DTT interaction types (ongrav3d.cpp:326-365).
+
+Two backends:
+* jnp — gather + vmap + scatter-add, chunked with lax.scan (memory-bound
+  but simple; XLA fuses the tile pipeline).
+* pallas — ops/pallas_pairs.py, scalar-prefetched block indices with
+  output revisiting (sorted pair runs stay resident in VMEM).
+
+Padding contract: pair (t, 0) contributes zero to row t (src row 0 has
+zero strengths); pair (0, 0) only touches row 0, which is never read.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from onbody_tpu.ops.kernels import Kernel
+from onbody_tpu.tree.equivalents import Blocks
+from onbody_tpu.traverse.lists import PairList
+
+
+@partial(jax.jit, static_argnames=("kernel", "core", "accum_dtype",
+                                   "d2_mode", "chunk"))
+def exec_pairs_jnp(kernel: Kernel, tgt_blocks: Blocks, src_blocks: Blocks,
+                   pairs: PairList, core: str = "rm",
+                   accum_dtype=jnp.float32, d2_mode: str = "exact",
+                   chunk: int = 512) -> jax.Array:
+    """Returns out (NN_t, B_t, OD) accumulated over all pairs."""
+    nn_t, b_t = tgt_blocks.pos.shape[:2]
+    out = jnp.zeros((nn_t, b_t, kernel.od), accum_dtype)
+
+    p = pairs.tgt.shape[0]
+    pad = -p % chunk
+    tgt = jnp.pad(pairs.tgt, (0, pad))
+    src = jnp.pad(pairs.src, (0, pad))
+
+    use_tr = kernel.uses_tr
+
+    def tile_fn(tx, trad, sx, srad, sst):
+        return kernel.tile(tx, trad, sx, srad, sst, core, accum_dtype,
+                           d2_mode)
+
+    def step(acc, chunk_pairs):
+        t, s = chunk_pairs
+        tx = tgt_blocks.pos[t]
+        trad = tgt_blocks.rad[t] if use_tr else jnp.zeros(
+            (chunk, b_t), tgt_blocks.pos.dtype)
+        sx = src_blocks.pos[s]
+        srad = src_blocks.rad[s]
+        sst = src_blocks.s[s]
+        tiles = jax.vmap(tile_fn)(tx, trad, sx, srad, sst)
+        return acc.at[t].add(tiles), None
+
+    out, _ = jax.lax.scan(step, out,
+                          (tgt.reshape(-1, chunk), src.reshape(-1, chunk)))
+    return out

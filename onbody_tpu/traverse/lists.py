@@ -1,0 +1,342 @@
+"""Interaction-list construction: MAC-driven tree traversals as dense,
+fixed-shape frontier expansions.
+
+The reference walks trees with per-target recursion (barneshut.hpp:66-102,
+:138-184, :229-294) and a per-node work-list for the dual-tree traversal
+(ongrav3d.cpp:307-402). On TPU, recursion and data-dependent lists become
+level-synchronous frontier expansion over padded arrays:
+
+  every target block keeps a candidate list of source nodes; each round,
+  the MAC classifies all (target, candidate) pairs at once into
+  accept / keep-for-near / expand-children / defer-to-target-children,
+  lists are compacted with argsort-by-validity, and accepted pairs are
+  appended to fixed-width output lists.
+
+All shapes are static; overflow of any fixed width is *detected* and
+reported so callers can re-run with wider lists (two-phase count/fill,
+SURVEY.md §7 hard part (a)).
+
+Node id conventions match tree/build.py: root 1, children 2i/2i+1, leaves
+[nleaf, 2*nleaf). Source node id == row in the unified Blocks array, which
+is what lets one pair kernel serve every interaction type. Invalid slots
+are id 0, whose block row is all-zero strength (inert).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from onbody_tpu.tree.build import Tree
+
+INVALID = jnp.int32(0)
+
+
+class PairList(NamedTuple):
+    """Padded (tgt_row, src_row) interactions, sorted by tgt_row.
+
+    Invalid padding entries are (tgt_row, 0) or (0, 0); both are inert in
+    the executor. overflow > 0 means a fixed width was exceeded and the
+    result is incomplete — rebuild with larger widths.
+    """
+    tgt: jax.Array      # (P,) int32
+    src: jax.Array      # (P,) int32
+    n_valid: jax.Array  # () int32
+    overflow: jax.Array  # () int32
+
+
+def _compact_rows(vals: jax.Array, width: int) -> Tuple[jax.Array, jax.Array]:
+    """Move valid (!=0) entries of each row to the front; truncate/pad to
+    `width` columns. Returns (compacted, overflow_count)."""
+    order = jnp.argsort(vals == 0, axis=1, stable=True)
+    sorted_vals = jnp.take_along_axis(vals, order, axis=1)
+    counts = jnp.sum(vals != 0, axis=1, dtype=jnp.int32)
+    overflow = jnp.sum(jnp.maximum(counts - width, 0), dtype=jnp.int32)
+    if sorted_vals.shape[1] > width:
+        sorted_vals = sorted_vals[:, :width]
+    elif sorted_vals.shape[1] < width:
+        sorted_vals = jnp.pad(sorted_vals,
+                              ((0, 0), (0, width - sorted_vals.shape[1])))
+    return sorted_vals, overflow
+
+
+def _append_rows(out, out_cnt, vals):
+    """Append each row's valid entries of `vals` to `out` at out_cnt.
+
+    out: (L, K+1) with a dump column at K; out_cnt: (L,).
+    """
+    K = out.shape[1] - 1
+    valid = vals != 0
+    pos_in_row = jnp.cumsum(valid.astype(jnp.int32), axis=1) - 1
+    pos = out_cnt[:, None] + pos_in_row
+    pos = jnp.where(valid & (pos < K), pos, K)
+    out = _put_along_axis(out, pos, jnp.where(valid, vals, 0))
+    new_cnt = out_cnt + jnp.sum(valid, axis=1, dtype=jnp.int32)
+    overflow = jnp.sum(jnp.maximum(new_cnt - K, 0), dtype=jnp.int32)
+    return out, jnp.minimum(new_cnt, K), overflow
+
+
+def _put_along_axis(out, pos, vals):
+    """Row-wise scatter: out[i, pos[i, j]] = vals[i, j] (vals==0 are inert
+    because they land in the dump column or write 0 over 0)."""
+    L = out.shape[0]
+    rows = jnp.broadcast_to(jnp.arange(L, dtype=jnp.int32)[:, None],
+                            pos.shape)
+    return out.at[rows.reshape(-1), pos.reshape(-1)].set(
+        vals.reshape(-1), mode="drop")
+
+
+# ------------------------------------------------------------------- MACs
+
+def _gather_geom(tree: Tree, ids):
+    return (tree.nc[ids], tree.nr[ids], tree.x[ids])
+
+
+def mac_boxwise(stree: Tree, ttree: Tree, snode, tleaf_node, theta):
+    """treecode3 MAC (barneshut.hpp:250-283): geometric-center distance vs
+    2*(max(snr,tnr)+0.25*min(snr,tnr))."""
+    snc = stree.nc[snode]
+    tnc = ttree.nc[tleaf_node]
+    dist = jnp.sqrt(jnp.sum((snc - tnc) ** 2, axis=-1))
+    snr = stree.nr[snode]
+    tnr = ttree.nr[tleaf_node]
+    testrad = jnp.maximum(snr, tnr) + 0.25 * jnp.minimum(snr, tnr)
+    return dist / (2.0 * testrad) > theta
+
+
+def mac_pointwise_conservative(stree: Tree, ttree: Tree, snode, tleaf_node,
+                               theta):
+    """Leaf-conservative version of the treecode2 pointwise MAC
+    (barneshut.hpp:160-175: |nc_s - x_t| / (2 snr) > theta). Using the
+    minimum possible distance from any point in the target leaf box
+    (center distance minus target node radius) guarantees acceptance is
+    valid for every point in the block — accuracy is >= the reference's
+    per-point criterion at slightly more work. This is the TPU-native
+    mapping of a per-point recursion onto block-parallel hardware."""
+    snc = stree.nc[snode]
+    tnc = ttree.nc[tleaf_node]
+    dist = jnp.sqrt(jnp.sum((snc - tnc) ** 2, axis=-1))
+    dist = jnp.maximum(dist - ttree.nr[tleaf_node], 0.0)
+    return dist / (2.0 * stree.nr[snode]) > theta
+
+
+def mac_treecode1_conservative(stree: Tree, ttree: Tree, snode, tleaf_node,
+                               theta):
+    """Leaf-conservative version of the treecode1 surface-distance MAC
+    (barneshut.hpp:85-93): per-axis distance from the source box surface
+    (box centered on the CM) to the nearest possible target point."""
+    scm = stree.x[snode]
+    sns = stree.ns[snode]
+    tnc = ttree.nc[tleaf_node]
+    tns = ttree.ns[tleaf_node]
+    d = jnp.maximum(jnp.abs(scm - tnc) - 0.5 * sns - 0.5 * tns, 0.0)
+    dist = jnp.sqrt(jnp.sum(d * d, axis=-1))
+    return dist / (2.0 * stree.nr[snode]) > theta
+
+
+_MACS = {
+    "boxwise": mac_boxwise,
+    "pointwise": mac_pointwise_conservative,
+    "treecode1": mac_treecode1_conservative,
+}
+
+
+# ------------------------------------------------- single-tree traversal
+
+@partial(jax.jit, static_argnames=("mac", "levels_s", "frontier_width",
+                                   "list_width", "leaves_only"))
+def _treecode_lists(stree: Tree, ttree: Tree, theta, mac: str,
+                    levels_s: int, frontier_width: int, list_width: int,
+                    leaves_only: bool = True):
+    """Per-target-leaf accepted interaction rows.
+
+    Returns (out (L, K+1), counts (L,), overflow). Accepted rows are far
+    nodes (MAC pass: proxies/monopoles) and near source-leaf rows (direct);
+    both live in the same list because the unified Blocks array makes them
+    the same kind of source.
+    """
+    nleaf_s = 1 << levels_s
+    nleaf_t = ttree.nleaf
+    L = nleaf_t
+    tleaf_ids = jnp.arange(nleaf_t, 2 * nleaf_t, dtype=jnp.int32)
+
+    W = frontier_width
+    K = list_width
+    mac_fn = _MACS[mac]
+
+    cand = jnp.zeros((L, W), jnp.int32).at[:, 0].set(1)
+    out = jnp.zeros((L, K + 1), jnp.int32)
+    out_cnt = jnp.zeros((L,), jnp.int32)
+    overflow = jnp.int32(0)
+
+    for _ in range(levels_s + 1):
+        valid = cand != 0
+        passes = mac_fn(stree, ttree, cand, tleaf_ids[:, None], theta)
+        is_leaf = cand >= nleaf_s
+        accept = valid & (passes | is_leaf)
+        expand = valid & ~passes & ~is_leaf
+
+        out, out_cnt, ov1 = _append_rows(out, out_cnt,
+                                         jnp.where(accept, cand, 0))
+        kids = jnp.concatenate(
+            [jnp.where(expand, 2 * cand, 0),
+             jnp.where(expand, 2 * cand + 1, 0)], axis=1)
+        cand, ov2 = _compact_rows(kids, W)
+        overflow = overflow + ov1 + ov2
+    # anything still in cand after the last level is a bug (leaves always
+    # terminate); count it as overflow
+    overflow = overflow + jnp.sum(cand != 0, dtype=jnp.int32)
+    return out[:, :K], out_cnt, overflow
+
+
+def build_treecode_pairs(stree: Tree, ttree: Tree, theta, mac: str,
+                         frontier_width: int = 256,
+                         list_width: int = 1024) -> PairList:
+    """Build the (tgt_leaf_row, src_row) pair list for a treecode sweep."""
+    out, cnt, ov = _treecode_lists(stree, ttree, jnp.float32(theta), mac,
+                                   stree.levels, frontier_width, list_width)
+    L, K = out.shape
+    nleaf_t = ttree.nleaf
+    tgt_rows = jnp.broadcast_to(
+        jnp.arange(nleaf_t, 2 * nleaf_t, dtype=jnp.int32)[:, None],
+        (L, K)).reshape(-1)
+    src_rows = out.reshape(-1)
+    return PairList(tgt=tgt_rows, src=src_rows,
+                    n_valid=jnp.sum(cnt, dtype=jnp.int32), overflow=ov)
+
+
+# --------------------------------------------------- dual-tree traversal
+
+@partial(jax.jit, static_argnames=("levels_s", "levels_t", "frontier_width",
+                                   "list_width"))
+def _dtt_lists(stree: Tree, ttree: Tree, theta,
+               levels_s: int, levels_t: int,
+               frontier_width: int, list_width: int):
+    """Dual-tree traversal (ongrav3d.cpp:307-402) as a level-synchronous
+    sweep over target levels with an inner source-refinement loop.
+
+    Returns per-target-node accepted source rows for every target level,
+    flattened into one padded (tgt_row, src_row) list.
+    """
+    nleaf_s = 1 << levels_s
+    W = frontier_width
+    K = list_width
+    theta = jnp.asarray(theta, stree.nc.dtype)
+
+    all_tgt = []
+    all_src = []
+    total_valid = jnp.int32(0)
+    overflow = jnp.int32(0)
+
+    cand = jnp.zeros((1, W), jnp.int32).at[0, 0].set(1)  # root's work list
+
+    for l in range(levels_t + 1):
+        nt = 1 << l
+        tgt_ids = jnp.arange(nt, 2 * nt, dtype=jnp.int32)
+        t_is_leaf = (l == levels_t)
+        tnr = ttree.nr[tgt_ids]                      # (nt,)
+        tcm = ttree.x[tgt_ids]
+
+        out = jnp.zeros((nt, K + 1), jnp.int32)
+        out_cnt = jnp.zeros((nt,), jnp.int32)
+
+        def classify(cand):
+            valid = cand != 0
+            s_is_leaf = cand >= nleaf_s
+            scm = stree.x[cand]                      # (nt, W, PD)
+            snr = stree.nr[cand]
+            dist = jnp.sqrt(jnp.sum((scm - tcm[:, None, :]) ** 2, axis=-1))
+            sep = dist / (snr + tnr[:, None]) > theta
+            both_leaf = s_is_leaf & t_is_leaf
+            accept = valid & (both_leaf | sep)
+            tgt_bigger = tnr[:, None] > snr
+            if t_is_leaf:
+                # target cannot refine: expand non-separated interior srcs
+                expand = valid & ~accept & ~s_is_leaf
+                defer = jnp.zeros_like(valid)
+            else:
+                expand = valid & ~accept & ~s_is_leaf & ~tgt_bigger
+                defer = valid & ~accept & (s_is_leaf | tgt_bigger)
+            return accept, expand, defer
+
+        def _append_rows_pair(defer_acc, vals):
+            merged = jnp.concatenate([defer_acc, vals], axis=1)
+            return _compact_rows(merged, W)
+
+        # inner refinement: expand sources until none left to expand
+        def cond(state):
+            cand, out, out_cnt, defer_acc, ov, it = state
+            _, expand, _ = classify(cand)
+            return jnp.any(expand) & (it < levels_s + 2)
+
+        def body(state):
+            cand, out, out_cnt, defer_acc, ov, it = state
+            accept, expand, defer = classify(cand)
+            out, out_cnt, ov1 = _append_rows(out, out_cnt,
+                                             jnp.where(accept, cand, 0))
+            defer_acc, ov2 = _append_rows_pair(defer_acc,
+                                               jnp.where(defer, cand, 0))
+            kids = jnp.concatenate(
+                [jnp.where(expand, 2 * cand, 0),
+                 jnp.where(expand, 2 * cand + 1, 0)], axis=1)
+            cand, ov3 = _compact_rows(kids, W)
+            return cand, out, out_cnt, defer_acc, ov + ov1 + ov2 + ov3, it + 1
+
+        defer_acc = jnp.zeros((nt, W), jnp.int32)
+        state = (cand, out, out_cnt, defer_acc, overflow, jnp.int32(0))
+        state = jax.lax.while_loop(cond, body, state)
+        cand, out, out_cnt, defer_acc, overflow, _ = state
+        # flush the final round (no expands left: accepts + defers remain)
+        accept, expand, defer = classify(cand)
+        out, out_cnt, ov1 = _append_rows(out, out_cnt,
+                                         jnp.where(accept, cand, 0))
+        defer_acc, ov2 = _compact_rows(
+            jnp.concatenate([defer_acc, jnp.where(defer, cand, 0)], axis=1),
+            W)
+        overflow = overflow + ov1 + ov2
+
+        all_tgt.append(jnp.broadcast_to(tgt_ids[:, None], (nt, K)).reshape(-1))
+        all_src.append(out[:, :K].reshape(-1))
+        total_valid = total_valid + jnp.sum(out_cnt, dtype=jnp.int32)
+
+        if l < levels_t:
+            # children inherit the deferred list (ongrav3d.cpp:418-422)
+            cand = jnp.repeat(defer_acc, 2, axis=0)
+
+    tgt = jnp.concatenate(all_tgt)
+    src = jnp.concatenate(all_src)
+    return tgt, src, total_valid, overflow
+
+
+def build_dtt_pairs(stree: Tree, ttree: Tree, theta,
+                    frontier_width: int = 256,
+                    list_width: int = 256) -> PairList:
+    tgt, src, nv, ov = _dtt_lists(stree, ttree, theta, stree.levels,
+                                  ttree.levels, frontier_width, list_width)
+    return PairList(tgt=tgt, src=src, n_valid=nv, overflow=ov)
+
+
+def compact_pairs(pl: PairList, cap: int) -> PairList:
+    """Sort valid pairs first (by tgt row), truncate to a static cap.
+
+    Keeps executor cost proportional to real work instead of padded
+    widths. cap overflow is detected.
+    """
+    valid = pl.src != 0
+    big = jnp.int32(2 ** 30)
+    key = jnp.where(valid, pl.tgt, big)
+    order = jnp.argsort(key, stable=True)
+    tgt = jnp.where(valid[order], pl.tgt[order], 0)
+    src = jnp.where(valid[order], pl.src[order], 0)
+    n = tgt.shape[0]
+    ov = pl.overflow
+    if n > cap:
+        ov = ov + jnp.maximum(pl.n_valid - cap, 0)
+        tgt, src = tgt[:cap], src[:cap]
+    elif n < cap:
+        tgt = jnp.pad(tgt, (0, cap - n))
+        src = jnp.pad(src, (0, cap - n))
+    return PairList(tgt=tgt, src=src, n_valid=pl.n_valid, overflow=ov)

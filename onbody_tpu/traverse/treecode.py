@@ -1,0 +1,166 @@
+"""The three O(N log N) treecode solvers.
+
+TPU-native equivalents of nbody_treecode1/2/3 (barneshut.hpp:108-132,
+:190-222, :300-337): MAC list construction (traverse/lists.py) followed by
+dense pair execution (traverse/exec.py). treecode1 evaluates accepted far
+nodes as single pseudo-particles at the node CM with summed strength and
+mean particle radius (tpinter, ongrav3d.cpp:174-181) via gathered
+per-leaf monopole sets; treecode2/3 evaluate far nodes as equivalent
+proxy blocks through the unified pair executor.
+
+Per-point recursion becomes per-leaf-block conservative MAC (see
+lists.mac_pointwise_conservative) — accuracy is >= the reference's
+pointwise criterion.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from onbody_tpu.config import SolverConfig
+from onbody_tpu.ops.kernels import Kernel, get_kernel
+from onbody_tpu.parts import Parts
+from onbody_tpu.tree import build as tree_build
+from onbody_tpu.tree import equivalents as eq
+from onbody_tpu.traverse import exec as pexec
+from onbody_tpu.traverse import lists
+
+
+class Plan(NamedTuple):
+    """Everything data-independent of theta: trees, sorted parts, blocks."""
+    stree: tree_build.Tree
+    ttree: tree_build.Tree
+    src_sorted: Parts
+    tgt_sorted: Parts
+    src_blocks: eq.Blocks
+    tgt_blocks: eq.Blocks
+    src_gidx: jax.Array
+    tgt_gidx: jax.Array
+
+
+def prepare(kernel: Kernel, cfg: SolverConfig, srcs: Parts,
+            targs: Parts) -> Plan:
+    """Build both trees and the unified block arrays (the setup phase the
+    reference times as 'build tree' + 'calc equivalents',
+    ongrav3d.cpp:600-725)."""
+    refine = cfg.order < 0
+    stree, ss, sg = tree_build.build_tree(srcs, cfg.block_size,
+                                          refine=refine)
+    ttree, ts, tg = tree_build.build_tree(targs, cfg.block_size,
+                                          refine=refine)
+    if cfg.order >= 0:
+        sblocks = eq.barycentric_blocks(stree, ss, cfg.order)
+        tblocks = eq.target_blocks(ttree, ts, cfg.order)
+    else:
+        sblocks = eq.pairmerge_blocks(stree, ss)
+        tblocks = eq.target_blocks(ttree, ts, cfg.order)
+    return Plan(stree=stree, ttree=ttree, src_sorted=ss, tgt_sorted=ts,
+                src_blocks=sblocks, tgt_blocks=tblocks,
+                src_gidx=sg, tgt_gidx=tg)
+
+
+def _unscramble(u_sorted: jax.Array, gidx: jax.Array, n_real: int):
+    """Scatter sorted-order outputs back to original target order,
+    dropping padded slots (the gidx un-permute of the C-ABI layer,
+    interface2dvort.cpp:301-304)."""
+    out = jnp.zeros((n_real,) + u_sorted.shape[1:], u_sorted.dtype)
+    return out.at[gidx].set(u_sorted, mode="drop")
+
+
+def _leaf_outputs(out_blocks: jax.Array, plan: Plan, kernel: Kernel,
+                  n_real: int):
+    nleaf = plan.ttree.nleaf
+    bs = plan.ttree.block_size
+    leaf = out_blocks[nleaf:, :bs, :].reshape(-1, kernel.od)
+    return _unscramble(leaf, plan.tgt_gidx, n_real)
+
+
+def solve_treecode2(kernel: Kernel, cfg: SolverConfig, plan: Plan,
+                    theta: Optional[float] = None) -> jax.Array:
+    """Equivalent-particle treecode, pointwise-conservative MAC."""
+    theta = cfg.theta_pointwise if theta is None else theta
+    pl = lists.build_treecode_pairs(plan.stree, plan.ttree, theta,
+                                    "pointwise", cfg.frontier_width,
+                                    cfg.list_width)
+    pl = lists.compact_pairs(pl, _cap(pl, cfg))
+    out = pexec.exec_pairs_jnp(kernel, plan.tgt_blocks, plan.src_blocks, pl,
+                               cfg.core_func, cfg.accum_dtype, cfg.d2_mode)
+    return _leaf_outputs(out, plan, kernel, plan.tgt_sorted.n_real), pl
+
+
+def solve_treecode3(kernel: Kernel, cfg: SolverConfig, plan: Plan,
+                    theta: Optional[float] = None) -> jax.Array:
+    """Boxwise treecode — the production path of the C-ABI layer
+    (interface2dvort.cpp:289-293)."""
+    theta = cfg.theta_boxwise if theta is None else theta
+    pl = lists.build_treecode_pairs(plan.stree, plan.ttree, theta,
+                                    "boxwise", cfg.frontier_width,
+                                    cfg.list_width)
+    pl = lists.compact_pairs(pl, _cap(pl, cfg))
+    out = pexec.exec_pairs_jnp(kernel, plan.tgt_blocks, plan.src_blocks, pl,
+                               cfg.core_func, cfg.accum_dtype, cfg.d2_mode)
+    return _leaf_outputs(out, plan, kernel, plan.tgt_sorted.n_real), pl
+
+
+def _cap(pl: lists.PairList, cfg: SolverConfig) -> int:
+    """Static pair cap: padded size rounded to limit executor waste while
+    keeping recompiles bounded (power-of-two buckets)."""
+    n = int(pl.n_valid) + 2 * 1024
+    cap = 1 << (n - 1).bit_length()
+    return min(cap, pl.tgt.shape[0])
+
+
+@partial(jax.jit, static_argnames=("kernel", "core", "accum_dtype", "maxm"))
+def _monopole_eval(kernel: Kernel, tgt_pos, tgt_rad, mono_pos, mono_rad,
+                   mono_str, core, accum_dtype, maxm):
+    """Evaluate gathered per-leaf monopole sets: (L, bs, OD)."""
+    def per_leaf(tx, trad, mx, mr, ms):
+        return kernel.tile(tx, trad, mx, mr, ms, core, accum_dtype, "exact")
+    return jax.vmap(per_leaf)(tgt_pos, tgt_rad, mono_pos, mono_rad, mono_str)
+
+
+def solve_treecode1(kernel: Kernel, cfg: SolverConfig, plan: Plan,
+                    theta: Optional[float] = None) -> jax.Array:
+    """Monopole treecode: far nodes as single CM pseudo-particles."""
+    theta = cfg.theta_treecode1 if theta is None else theta
+    pl_rows, cnt, ov = lists._treecode_lists(
+        plan.stree, plan.ttree, jnp.float32(theta), "treecode1",
+        plan.stree.levels, cfg.frontier_width, cfg.list_width)
+    nleaf_s = plan.stree.nleaf
+    nleaf_t = plan.ttree.nleaf
+    bs = plan.ttree.block_size
+
+    # split accepted rows: interior -> monopoles, leaves -> direct pairs
+    is_interior = (pl_rows > 0) & (pl_rows < nleaf_s)
+    mono_ids, _ = lists._compact_rows(jnp.where(is_interior, pl_rows, 0),
+                                      cfg.list_width)
+    maxm = int(jnp.max(jnp.sum(mono_ids != 0, axis=1)))
+    maxm = max(128, 1 << (maxm - 1).bit_length()) if maxm else 128
+    mono_ids = mono_ids[:, :maxm]
+
+    mono_pos = plan.stree.x[mono_ids]                 # (L, M, PD)
+    mono_rad = plan.stree.pr[mono_ids]
+    mono_str = plan.stree.s[mono_ids]
+    # node 0 has zero strength sums -> inert padding
+    tgt_pos = plan.tgt_sorted.x.reshape(nleaf_t, bs, -1)
+    tgt_rad = plan.tgt_sorted.r.reshape(nleaf_t, bs)
+    far = _monopole_eval(kernel, tgt_pos, tgt_rad, mono_pos, mono_rad,
+                         mono_str, cfg.core_func, cfg.accum_dtype, maxm)
+
+    # near: leaf-leaf direct via the standard pair executor
+    leaf_rows = jnp.where(pl_rows >= nleaf_s, pl_rows, 0)
+    tgt_ids = jnp.broadcast_to(
+        jnp.arange(nleaf_t, 2 * nleaf_t, dtype=jnp.int32)[:, None],
+        leaf_rows.shape)
+    pl = lists.PairList(tgt=tgt_ids.reshape(-1), src=leaf_rows.reshape(-1),
+                        n_valid=jnp.sum(leaf_rows != 0, dtype=jnp.int32), overflow=ov)
+    pl = lists.compact_pairs(pl, _cap(pl, cfg))
+    out = pexec.exec_pairs_jnp(kernel, plan.tgt_blocks, plan.src_blocks, pl,
+                               cfg.core_func, cfg.accum_dtype, cfg.d2_mode)
+    out = out.at[nleaf_t:, :bs].add(far)
+    return _leaf_outputs(out, plan, kernel, plan.tgt_sorted.n_real), pl

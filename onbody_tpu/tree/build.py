@@ -1,0 +1,198 @@
+"""Level-synchronous k-d tree construction.
+
+TPU-native replacement for the reference's recursive VAMsplit build
+(barneshut.hpp:595-712 splitNode, :718-807 finishTree, :815-854 makeTree).
+
+Design: particles are padded so the leaf count is a power of two and every
+leaf holds exactly `block_size` particles (the VAMsplit guarantee of
+uniformly full blocks, README.md:117-138, taken to its fixed-shape
+conclusion). The tree is then a complete implicit binary tree — node i's
+children are 2i/2i+1, level l spans indices [2^l, 2^(l+1)) (Tree.hpp:36-41)
+— and construction is a static Python loop over levels where each level is
+one batched reshape + argsort:
+
+    for level l: segments of m = n_pad/2^l particles
+      box = per-segment min/max            (reshape + reduce)
+      axis = argmax(box size)              (per-segment)
+      order = argsort along that axis      (batched sort, one per level)
+      apply permutation to all SoA arrays  (take_along_axis)
+
+Exact median splits on padded power-of-two segments reproduce VAMsplit
+semantics (left subtree = full power-of-two blocks, barneshut.hpp:663).
+`refine` continues the same loop below the leaf level, giving the
+hierarchical intra-leaf ordering of refineTree/refineLeaf
+(barneshut.hpp:861-936) needed by pair-merge equivalents.
+
+There is no `num`/`ioffset` bookkeeping: node i at level l implicitly owns
+the contiguous slot range [k*m, (k+1)*m) with k = i - 2^l. Padding clones
+real particles with zero strength, so no node is ever empty and counts
+never appear in device code.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from onbody_tpu.parts import Parts, pad_to
+
+
+def next_pow2(x: int) -> int:
+    return 1 if x <= 1 else 1 << (int(x - 1).bit_length())
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class Tree:
+    """Implicit complete binary tree over a padded particle set.
+
+    All per-node arrays have shape (2*nleaf, ...); index 0 is unused,
+    root is 1, leaves are [nleaf, 2*nleaf). Matches the logical content of
+    the reference Tree (Tree.hpp:44-76): nc/ns/nr geometry, x center of
+    "mass", s strength sums, pr mean particle radius.
+    """
+
+    nc: jax.Array   # (NN, PD) geometric centers
+    ns: jax.Array   # (NN, PD) box sizes
+    nr: jax.Array   # (NN,)    node radius = 0.5*|ns|
+    x: jax.Array    # (NN, PD) center of |strength|-weighted mass
+    s: jax.Array    # (NN, SD) summed strengths
+    pr: jax.Array   # (NN,)    mean particle radius
+    levels: int = dataclasses.field(metadata=dict(static=True))
+    block_size: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def nleaf(self) -> int:
+        return 1 << self.levels
+
+    @property
+    def nnodes(self) -> int:
+        return 2 * self.nleaf
+
+    def level_slice(self, l: int) -> slice:
+        return slice(1 << l, 1 << (l + 1))
+
+
+def plan(n: int, block_size: int) -> Tuple[int, int]:
+    """Return (levels, n_pad) for a particle count: power-of-two leaves of
+    exactly block_size particles each."""
+    nleaf = next_pow2(max(1, -(-n // block_size)))
+    return int(np.log2(nleaf)), nleaf * block_size
+
+
+def _apply_perm(arrs, order):
+    """Permute flat (n_pad, ...) arrays by a (nseg, m) within-segment order."""
+    out = []
+    nseg, m = order.shape
+    for a in arrs:
+        if a is None:
+            out.append(None)
+            continue
+        shaped = a.reshape((nseg, m) + a.shape[1:])
+        idx = order.reshape((nseg, m) + (1,) * (a.ndim - 1))
+        out.append(jnp.take_along_axis(shaped, idx, axis=1).reshape(a.shape))
+    return out
+
+
+@partial(jax.jit, static_argnames=("levels", "block_size", "refine",
+                                   "are_targets"))
+def _build(x, r, s, gidx, levels: int, block_size: int, refine: bool,
+           are_targets: bool):
+    n_pad = x.shape[0]
+    pd = x.shape[1]
+    sd = 0 if s is None else s.shape[1]
+    dtype = x.dtype
+    nleaf = 1 << levels
+    nn = 2 * nleaf
+
+    nc_all = jnp.zeros((nn, pd), dtype)
+    ns_all = jnp.zeros((nn, pd), dtype)
+
+    # -------- downward: split level by level (boxes computed pre-split,
+    # matching splitNode's ordering, barneshut.hpp:620-639)
+    sort_levels = levels if not refine else int(np.log2(n_pad))
+    for l in range(sort_levels + 1):
+        nseg = 1 << l
+        m = n_pad >> l
+        xs = x.reshape(nseg, m, pd)
+        lo = jnp.min(xs, axis=1)
+        hi = jnp.max(xs, axis=1)
+        if l <= levels:
+            sl = slice(nseg, 2 * nseg)
+            nc_all = nc_all.at[sl].set(0.5 * (lo + hi))
+            ns_all = ns_all.at[sl].set(hi - lo)
+        if l == sort_levels or m < 2:
+            break
+        axis = jnp.argmax(hi - lo, axis=1)                      # (nseg,)
+        keys = jnp.take_along_axis(xs, axis[:, None, None], axis=2)[..., 0]
+        order = jnp.argsort(keys, axis=1)
+        x, r, s, gidx = _apply_perm([x, r, s, gidx], order)
+        x = x.reshape(n_pad, pd)
+
+    nr_all = 0.5 * jnp.sqrt(jnp.sum(ns_all * ns_all, axis=1))
+
+    # -------- upward: centers of "mass", strength sums, mean radii
+    # (finishTree, barneshut.hpp:718-807)
+    cm_all = jnp.zeros((nn, pd), dtype)
+    s_all = jnp.zeros((nn, max(sd, 1)), dtype)
+    pr_all = jnp.zeros((nn,), dtype)
+
+    # leaves: abs-strength-weighted CM (targets weight 1.0, :780-783)
+    xs = x.reshape(nleaf, block_size, pd)
+    if s is not None and not are_targets:
+        ss = s.reshape(nleaf, block_size, sd)
+        if sd == 1:
+            w = jnp.abs(ss[..., 0])
+        else:
+            w = jnp.sqrt(jnp.sum(ss * ss, axis=-1))
+    else:
+        w = jnp.ones((nleaf, block_size), dtype)
+    wsum = 1e-20 + jnp.sum(w, axis=1)
+    leaf_cm = jnp.einsum("lbp,lb->lp", xs, w) / wsum[:, None]
+    leaf_s = (jnp.sum(s.reshape(nleaf, block_size, sd), axis=1)
+              if s is not None else jnp.zeros((nleaf, 1), dtype))
+    leaf_pr = jnp.mean(r.reshape(nleaf, block_size), axis=1)
+
+    cm_all = cm_all.at[nleaf:].set(leaf_cm)
+    s_all = s_all.at[nleaf:].set(leaf_s)
+    pr_all = pr_all.at[nleaf:].set(leaf_pr)
+
+    # interiors: count-weighted merge — equal counts here, so plain means
+    # (barneshut.hpp:733-746)
+    cm_l, s_l, pr_l = leaf_cm, leaf_s, leaf_pr
+    for l in range(levels - 1, -1, -1):
+        nseg = 1 << l
+        cm_l = 0.5 * (cm_l[0::2] + cm_l[1::2])
+        s_l = s_l[0::2] + s_l[1::2]
+        pr_l = 0.5 * (pr_l[0::2] + pr_l[1::2])
+        sl = slice(nseg, 2 * nseg)
+        cm_all = cm_all.at[sl].set(cm_l)
+        s_all = s_all.at[sl].set(s_l)
+        pr_all = pr_all.at[sl].set(pr_l)
+
+    tree = Tree(nc=nc_all, ns=ns_all, nr=nr_all, x=cm_all, s=s_all,
+                pr=pr_all, levels=levels, block_size=block_size)
+    return tree, x, r, s, gidx
+
+
+def build_tree(p: Parts, block_size: int = 128, refine: bool = False
+               ) -> Tuple[Tree, Parts, jax.Array]:
+    """Build the tree; returns (tree, reordered+padded parts, gidx).
+
+    gidx[i] = original index of the particle now in slot i (the
+    un-scrambling permutation the C-ABI layer needs,
+    interface2dvort.cpp:301-304). Padded slots have gidx >= n_real.
+    """
+    levels, n_pad = plan(p.n_real, block_size)
+    pp = pad_to(p, n_pad)
+    gidx = jnp.arange(n_pad, dtype=jnp.int32)
+    tree, x, r, s, gidx = _build(pp.x, pp.r, pp.s, gidx, levels,
+                                 block_size, refine,
+                                 are_targets=not p.are_sources)
+    sorted_parts = Parts(x=x, r=r, s=s, n_real=p.n_real)
+    return tree, sorted_parts, gidx

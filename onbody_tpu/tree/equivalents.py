@@ -1,0 +1,276 @@
+"""Far-field proxy construction: equivalent particles.
+
+Two families, as in the reference:
+
+* Barycentric Lagrange proxies (order >= 0) — Chebyshev-2nd-kind tensor
+  grids per interior node (BarycentricLagrange.hpp:256-417, after
+  Wang-Tlupova-Krasny 2020). The recursive anterpolation becomes one
+  batched weight-build + einsum per tree level: leaves' particles are
+  anterpolated onto their parents' grids, then proxies onto grandparents'
+  grids, and so on. The singularity capture (CLOSE_THRESH branch,
+  BarycentricLagrange.hpp:118-131) is a `where` with one-hot rows.
+
+* Pair-merge equivalents (order < 0) — strength-weighted pairwise merging
+  of children's particles/proxies (barneshut.hpp:947-1061), requiring the
+  hierarchically-refined intra-leaf ordering (build_tree(refine=True)).
+  Level-synchronous: each level merges adjacent pairs with one reshape.
+
+Output is a `Blocks` structure — the unified source/target block array:
+row i holds node i's proxies if i is interior, or its particles if i is a
+leaf. This collapses the reference's four DTT interaction types
+(sltl/sltb/sbtl/sbtb, ongrav3d.cpp:326-365) and both treecode far/near
+cases into a single (target_row, source_row) pair kernel.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from onbody_tpu.parts import Parts
+from onbody_tpu.tree.build import Tree
+
+CLOSE_THRESH = 1e-10
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class Blocks:
+    """Unified per-node interaction blocks.
+
+    pos: (NN, B, PD); rad: (NN, B); s: (NN, B, SD) or None.
+    Row 0 is all-zero (strength-inert) — pair lists padded with row 0
+    contribute nothing. Leaf rows [nleaf, 2*nleaf) hold real particles;
+    interior rows hold proxies (unused slots parked at the node center
+    with zero strength, ref BarycentricLagrange.hpp:335-347).
+    """
+
+    pos: jax.Array
+    rad: jax.Array
+    s: Optional[jax.Array]
+
+    @property
+    def width(self) -> int:
+        return self.pos.shape[1]
+
+
+# ------------------------------------------------------------- Chebyshev
+
+def chebyshev_sk_wk(order: int, dtype=jnp.float32):
+    """Chebyshev-2nd-kind nodes on [-1,1] and barycentric weights
+    (BarycentricLagrange.hpp:29-48)."""
+    k = np.arange(order + 1)
+    sk = -np.cos(k * np.pi / order)
+    wk = np.where(k % 2 == 0, 1.0, -1.0)
+    wk[0] *= 0.5
+    wk[-1] *= 0.5
+    return jnp.asarray(sk, dtype), jnp.asarray(wk, dtype)
+
+
+def bary_weights(pts, nc, ns, order: int):
+    """Barycentric interpolation weights of `pts` on a node's Chebyshev grid.
+
+    pts: (..., P, PD); nc/ns: (..., PD). Returns (..., P, M), M=(order+1)^PD,
+    multi-index flattened with dimension 0 fastest (kidx convention,
+    BarycentricLagrange.hpp:311-319).
+    """
+    dtype = pts.dtype
+    sk, wk = chebyshev_sk_wk(order, dtype)
+    ncp = order + 1
+    # grid coords per dim: (..., PD, ncp)
+    lsk = nc[..., :, None] + 0.5 * sk * ns[..., :, None]
+    # dist: (..., P, PD, ncp)
+    dist = pts[..., :, :, None] - lsk[..., None, :, :]
+    sing = jnp.abs(dist) < CLOSE_THRESH
+    has_sing = jnp.any(sing, axis=-1, keepdims=True)
+    safe = jnp.where(sing, 1.0, dist)
+    amat = wk / safe
+    onehot = sing.astype(dtype)
+    amat = jnp.where(has_sing, onehot, amat)
+    rowsum = jnp.sum(amat, axis=-1)                      # (..., P, PD)
+    denom = 1.0 / jnp.prod(rowsum, axis=-1)              # (..., P)
+
+    pd = pts.shape[-1]
+    w = amat[..., 0, :]                                  # (..., P, ncp)
+    for d in range(1, pd):
+        w = (amat[..., d, :][..., :, None] * w[..., None, :]).reshape(
+            w.shape[:-1] + (ncp ** (d + 1),))
+    return w * denom[..., None]
+
+
+def _grid_positions(nc, ns, order: int):
+    """Tensor Chebyshev grid points for nodes: nc,ns (N, PD) -> (N, M, PD)."""
+    ncp = order + 1
+    pd = nc.shape[-1]
+    sk = -np.cos(np.arange(ncp) * np.pi / order)
+    # kidx[i, d] = (i // ncp^d) % ncp  — dim 0 fastest
+    idx = np.arange(ncp ** pd)
+    kidx = np.stack([(idx // ncp ** d) % ncp for d in range(pd)], axis=1)
+    skg = jnp.asarray(sk[kidx], nc.dtype)                 # (M, PD)
+    return nc[:, None, :] + 0.5 * skg * ns[:, None, :]
+
+
+# ------------------------------------------------- barycentric (order>=0)
+
+@partial(jax.jit, static_argnames=("order", "width", "levels", "block_size"))
+def _bary_impl(tree: Tree, x, r, s, order: int, width: int,
+               levels: int, block_size: int):
+    pd = x.shape[1]
+    sd = s.shape[1]
+    dtype = x.dtype
+    ncp = order + 1
+    M = ncp ** pd
+    nleaf = 1 << levels
+    nn = 2 * nleaf
+    n_pad = x.shape[0]
+
+    pos = jnp.zeros((nn, width, pd), dtype)
+    rad = jnp.zeros((nn, width), dtype)
+    st = jnp.zeros((nn, width, sd), dtype)
+
+    # leaf rows: the particles themselves
+    pos = pos.at[nleaf:, :block_size].set(x.reshape(nleaf, block_size, pd))
+    rad = rad.at[nleaf:, :block_size].set(r.reshape(nleaf, block_size))
+    st = st.at[nleaf:, :block_size].set(s.reshape(nleaf, block_size, sd))
+
+    # interior rows, bottom-up
+    child_pos = None  # (n_nodes_below, P, pd) proxy positions of level l+1
+    child_str = None
+    for l in range(levels - 1, -1, -1):
+        nseg = 1 << l
+        sl = tree.level_slice(l)
+        nc_l = tree.nc[sl]
+        ns_l = tree.ns[sl]
+        grid = _grid_positions(nc_l, ns_l, order)        # (nseg, M, pd)
+        if l == levels - 1:
+            m = n_pad >> l
+            src_pos = x.reshape(nseg, m, pd)
+            src_str = s.reshape(nseg, m, sd)
+        else:
+            src_pos = child_pos.reshape(nseg, 2 * M, pd)
+            src_str = child_str.reshape(nseg, 2 * M, sd)
+        w = bary_weights(src_pos, nc_l, ns_l, order)     # (nseg, P, M)
+        eq_s = jnp.einsum("npm,nps->nms", w, src_str)
+        pos = pos.at[sl, :M].set(grid)
+        # park unused slots at node center (ref :335-337)
+        if M < width:
+            pos = pos.at[sl, M:].set(
+                jnp.broadcast_to(nc_l[:, None, :], (nseg, width - M, pd)))
+        st = st.at[sl, :M].set(eq_s)
+        # proxy radius: first particle of the node (ref :349-354)
+        m_node = n_pad >> l
+        r_first = r.reshape(nseg, m_node)[:, 0]
+        rad = rad.at[sl].set(jnp.broadcast_to(r_first[:, None],
+                                              (nseg, width)))
+        child_pos, child_str = grid, eq_s
+    return pos, rad, st
+
+
+def barycentric_blocks(tree: Tree, sorted_parts: Parts, order: int,
+                       width: Optional[int] = None) -> Blocks:
+    """Build the unified Blocks with barycentric-Lagrange interior proxies."""
+    pd = sorted_parts.pd
+    M = (order + 1) ** pd
+    if width is None:
+        width = max(tree.block_size, M)
+    assert M <= width
+    pos, rad, st = _bary_impl(tree, sorted_parts.x, sorted_parts.r,
+                              sorted_parts.s, order, width,
+                              tree.levels, tree.block_size)
+    return Blocks(pos=pos, rad=rad, s=st)
+
+
+# ------------------------------------------------- pair-merge (order<0)
+
+def _merge_pairs(pos, rad, st):
+    """Strength-weighted merge of adjacent pairs (barneshut.hpp:986-1000).
+
+    pos: (N, 2k, PD) -> (N, k, PD) etc.
+    """
+    n, twok, pd = pos.shape
+    k = twok // 2
+    p2 = pos.reshape(n, k, 2, pd)
+    r2 = rad.reshape(n, k, 2)
+    s2 = st.reshape(n, k, 2, st.shape[-1])
+    if st.shape[-1] == 1:
+        w = jnp.abs(s2[..., 0])
+    else:
+        w = jnp.sqrt(jnp.sum(s2 * s2, axis=-1))
+    w = jnp.maximum(w, 1e-20)
+    wsum = jnp.sum(w, axis=-1, keepdims=True)            # (n, k, 1)
+    mpos = jnp.sum(p2 * w[..., None], axis=2) / wsum
+    mrad = jnp.sqrt(jnp.sum(r2 * r2 * w, axis=2) / wsum[..., 0])
+    mstr = jnp.sum(s2, axis=2)
+    return mpos, mrad, mstr
+
+
+@partial(jax.jit, static_argnames=("levels", "block_size"))
+def _pairmerge_impl(x, r, s, levels: int, block_size: int):
+    pd = x.shape[1]
+    sd = s.shape[1]
+    dtype = x.dtype
+    nleaf = 1 << levels
+    nn = 2 * nleaf
+
+    pos = jnp.zeros((nn, block_size, pd), dtype)
+    rad = jnp.zeros((nn, block_size), dtype)
+    st = jnp.zeros((nn, block_size, sd), dtype)
+
+    pos = pos.at[nleaf:].set(x.reshape(nleaf, block_size, pd))
+    rad = rad.at[nleaf:].set(r.reshape(nleaf, block_size))
+    st = st.at[nleaf:].set(s.reshape(nleaf, block_size, sd))
+
+    # bottom-up: node at level l merges its children's 2*bs entries to bs
+    cp = x.reshape(nleaf // 2, 2 * block_size, pd)
+    cr = r.reshape(nleaf // 2, 2 * block_size)
+    cs = s.reshape(nleaf // 2, 2 * block_size, sd)
+    for l in range(levels - 1, -1, -1):
+        nseg = 1 << l
+        mp, mr, ms = _merge_pairs(cp, cr, cs)
+        sl = slice(nseg, 2 * nseg)
+        pos = pos.at[sl].set(mp)
+        rad = rad.at[sl].set(mr)
+        st = st.at[sl].set(ms)
+        if l > 0:
+            cp = mp.reshape(nseg // 2, 2 * block_size, pd)
+            cr = mr.reshape(nseg // 2, 2 * block_size)
+            cs = ms.reshape(nseg // 2, 2 * block_size, sd)
+    return pos, rad, st
+
+
+def pairmerge_blocks(tree: Tree, sorted_parts: Parts) -> Blocks:
+    """Pair-merge equivalents (order<0 mode). Requires refine=True ordering."""
+    pos, rad, st = _pairmerge_impl(sorted_parts.x, sorted_parts.r,
+                                   sorted_parts.s, tree.levels,
+                                   tree.block_size)
+    return Blocks(pos=pos, rad=rad, s=st)
+
+
+# ----------------------------------------------------- target-side blocks
+
+def target_blocks(tree: Tree, sorted_targs: Parts, order: int,
+                  width: Optional[int] = None) -> Blocks:
+    """Target-side unified blocks: leaf rows = target particles, interior
+    rows = equivalent target points (the DTT accumulates far-field there,
+    then prolongs downward). Strengths are not needed."""
+    pd = sorted_targs.pd
+    bs = tree.block_size
+    if order >= 0:
+        M = (order + 1) ** pd
+        if width is None:
+            width = max(bs, M)
+        # positions only: reuse the bary machinery with dummy strengths
+        dummy_s = jnp.zeros((sorted_targs.n, 1), sorted_targs.x.dtype)
+        pos, rad, _ = _bary_impl(tree, sorted_targs.x, sorted_targs.r,
+                                 dummy_s, order, width, tree.levels, bs)
+        return Blocks(pos=pos, rad=rad, s=None)
+    # pair-merge targets: positions merged with unit weights
+    dummy_s = jnp.ones((sorted_targs.n, 1), sorted_targs.x.dtype)
+    pos, rad, _ = _pairmerge_impl(sorted_targs.x, sorted_targs.r, dummy_s,
+                                  tree.levels, bs)
+    return Blocks(pos=pos, rad=rad, s=None)

@@ -1,0 +1,17 @@
+"""Test configuration: run on a virtual 8-device CPU mesh.
+
+Multi-chip sharding paths are exercised on host via XLA's device-count
+override; real-TPU benchmarking happens in bench.py, not here.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", True)

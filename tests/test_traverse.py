@@ -1,0 +1,118 @@
+"""End-to-end accuracy of the fast methods vs the fp64 direct oracle.
+
+Mirrors the reference's self-validation strategy: every method's outputs
+are compared to direct summation as relative RMS error
+(ongrav3d.cpp:781-790), with thresholds from the published accuracy
+envelope (README.md:99-110, interface2dvort.cpp:189-192).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from onbody_tpu import parts as P
+from onbody_tpu.config import SolverConfig
+from onbody_tpu.ops.kernels import KERNELS
+from onbody_tpu.traverse import direct, dtt, treecode
+
+
+def rel_rms(out, ref):
+    out = np.asarray(out, np.float64)
+    ref = np.asarray(ref, np.float64)
+    return np.linalg.norm(out - ref) / np.linalg.norm(ref)
+
+
+def _problem(kernel, n=2048, seed=0):
+    ks, kt = jax.random.split(jax.random.PRNGKey(seed))
+    srcs = P.random_in_cube(ks, n, kernel.pd, kernel.sd, True)
+    targs = P.random_in_cube(kt, n, kernel.pd, 0, False)
+    return srcs, targs
+
+
+CFG = SolverConfig(block_size=64, order=4, frontier_width=256,
+                   list_width=512)
+
+
+@pytest.mark.parametrize("name", ["grav3d", "vort2d", "vort3d",
+                                  "vortgrad3d"])
+def test_treecode3_accuracy(name):
+    kernel = KERNELS[name]
+    srcs, targs = _problem(kernel)
+    ref = direct.direct_oracle(kernel, srcs, targs)
+    plan = treecode.prepare(kernel, CFG, srcs, targs)
+    out, pl = treecode.solve_treecode3(kernel, CFG, plan)
+    assert int(pl.overflow) == 0
+    assert rel_rms(out, ref) < 3e-3, rel_rms(out, ref)
+
+
+def test_treecode2_accuracy():
+    kernel = KERNELS["grav3d"]
+    srcs, targs = _problem(kernel)
+    ref = direct.direct_oracle(kernel, srcs, targs)
+    plan = treecode.prepare(kernel, CFG, srcs, targs)
+    out, pl = treecode.solve_treecode2(kernel, CFG, plan)
+    assert int(pl.overflow) == 0
+    assert rel_rms(out, ref) < 3e-3, rel_rms(out, ref)
+
+
+def test_treecode1_accuracy():
+    kernel = KERNELS["grav3d"]
+    srcs, targs = _problem(kernel)
+    ref = direct.direct_oracle(kernel, srcs, targs)
+    plan = treecode.prepare(kernel, CFG, srcs, targs)
+    out, pl = treecode.solve_treecode1(kernel, CFG, plan)
+    assert int(pl.overflow) == 0
+    # monopole approximation at theta=2.0: coarse but bounded
+    assert rel_rms(out, ref) < 5e-2, rel_rms(out, ref)
+
+
+@pytest.mark.parametrize("name", ["grav3d", "vort3d"])
+def test_dtt_accuracy(name):
+    kernel = KERNELS[name]
+    srcs, targs = _problem(kernel)
+    ref = direct.direct_oracle(kernel, srcs, targs)
+    plan = treecode.prepare(kernel, CFG, srcs, targs)
+    out, pl = dtt.solve_dtt(kernel, CFG, plan)
+    assert int(pl.overflow) == 0
+    assert rel_rms(out, ref) < 3e-3, rel_rms(out, ref)
+
+
+def test_pairmerge_treecode_and_dtt():
+    """order<0 path: pair-merge equivalents + copy prolongation."""
+    kernel = KERNELS["grav3d"]
+    cfg = CFG.replace(order=-1)
+    srcs, targs = _problem(kernel)
+    ref = direct.direct_oracle(kernel, srcs, targs)
+    plan = treecode.prepare(kernel, cfg, srcs, targs)
+    out2, _ = treecode.solve_treecode2(kernel, cfg, plan)
+    assert rel_rms(out2, ref) < 3e-2, rel_rms(out2, ref)
+    outd, _ = dtt.solve_dtt(kernel, cfg, plan)
+    assert rel_rms(outd, ref) < 5e-2, rel_rms(outd, ref)
+
+
+def test_theta_tightens_error():
+    kernel = KERNELS["grav3d"]
+    srcs, targs = _problem(kernel)
+    ref = direct.direct_oracle(kernel, srcs, targs)
+    plan = treecode.prepare(kernel, CFG, srcs, targs)
+    e = []
+    for theta in [0.7, 1.4]:
+        out, _ = treecode.solve_treecode3(kernel, CFG, plan, theta=theta)
+        e.append(rel_rms(out, ref))
+    assert e[1] < e[0] * 2  # larger theta = stricter MAC = lower error
+
+
+def test_unsorted_targets_roundtrip():
+    """Outputs come back in the caller's original target order."""
+    kernel = KERNELS["grav3d"]
+    srcs, targs = _problem(kernel, n=999)
+    ref = direct.direct_oracle(kernel, srcs, targs)
+    plan = treecode.prepare(kernel, CFG, srcs, targs)
+    out, _ = treecode.solve_treecode3(kernel, CFG, plan)
+    assert out.shape == (999, 3)
+    # correlation per-target (not just global): sort-order bugs would
+    # scramble rows
+    err = np.abs(np.asarray(out) - np.asarray(ref)).max(axis=1)
+    scale = np.abs(np.asarray(ref)).max()
+    assert (err < 0.05 * scale).mean() > 0.99

@@ -1,0 +1,140 @@
+"""Tree construction invariants and equivalent-particle conservation."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from onbody_tpu import parts as P
+from onbody_tpu.tree import build, equivalents as eq
+
+
+def _srcs(n=1000, pd=3, sd=1, seed=0):
+    return P.random_in_cube(jax.random.PRNGKey(seed), n, pd, sd, True,
+                            dtype=jnp.float32)
+
+
+def test_plan_sizes():
+    assert build.plan(1000, 128) == (3, 1024)      # 8 leaves
+    assert build.plan(1024, 128) == (3, 1024)
+    assert build.plan(1025, 128) == (4, 2048)
+    assert build.plan(1, 128) == (0, 128)
+
+
+def test_tree_boxes_contain_particles():
+    p = _srcs(1000)
+    tree, sp, gidx = build.build_tree(p, block_size=128)
+    x = np.asarray(sp.x)
+    nleaf = tree.nleaf
+    n_pad = x.shape[0]
+    for node in range(1, 2 * nleaf):
+        l = int(np.log2(node))
+        k = node - (1 << l)
+        m = n_pad >> l
+        seg = x[k * m:(k + 1) * m]
+        nc = np.asarray(tree.nc[node])
+        ns = np.asarray(tree.ns[node])
+        assert np.all(seg >= nc - ns / 2 - 1e-6)
+        assert np.all(seg <= nc + ns / 2 + 1e-6)
+    # node radius = half-diagonal (barneshut.hpp:637-639)
+    nr = np.asarray(tree.nr[1:])
+    ns = np.asarray(tree.ns[1:])
+    np.testing.assert_allclose(nr, 0.5 * np.sqrt((ns ** 2).sum(1)),
+                               rtol=1e-5)
+
+
+def test_tree_strength_sums_conserved():
+    p = _srcs(777, sd=3)
+    tree, sp, gidx = build.build_tree(p, block_size=64)
+    total = np.asarray(jnp.sum(p.s, axis=0))
+    # every level conserves total strength (padding is zero-strength)
+    for l in range(tree.levels + 1):
+        sl = tree.level_slice(l)
+        lvl = np.asarray(tree.s[sl]).sum(axis=0)
+        np.testing.assert_allclose(lvl, total, rtol=1e-4, atol=1e-8)
+
+
+def test_gidx_is_permutation():
+    p = _srcs(500)
+    tree, sp, gidx = build.build_tree(p, block_size=128)
+    g = np.asarray(gidx)
+    assert sorted(g.tolist()) == list(range(len(g)))
+    # positions really are permuted originals
+    orig = np.asarray(P.pad_to(p, len(g)).x)
+    np.testing.assert_array_equal(np.asarray(sp.x), orig[g])
+
+
+def test_median_split_balance():
+    """Each split is an exact median along the chosen axis: the two
+    children's particle sets are separated by a plane."""
+    p = _srcs(512, pd=2, sd=1)
+    tree, sp, _ = build.build_tree(p, block_size=128)
+    x = np.asarray(sp.x)
+    # root split: whichever axis was longest, left max <= right min on it
+    ns = np.asarray(tree.ns[1])
+    ax = int(np.argmax(ns))
+    half = x.shape[0] // 2
+    assert x[:half, ax].max() <= x[half:, ax].min() + 1e-7
+
+
+def test_bary_blocks_conserve_strength():
+    p = _srcs(1000, sd=1)
+    tree, sp, _ = build.build_tree(p, block_size=128)
+    blocks = eq.barycentric_blocks(tree, sp, order=4)
+    # barycentric weights form a partition of unity -> each node's proxy
+    # strengths sum to its subtree strength
+    for node in [1, 2, 3, 4, 7]:
+        got = float(jnp.sum(blocks.s[node]))
+        want = float(tree.s[node, 0])
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-9)
+
+
+def test_bary_weights_partition_of_unity():
+    key = jax.random.PRNGKey(1)
+    pts = jax.random.uniform(key, (1, 50, 3), jnp.float64, -0.5, 0.5)
+    nc = jnp.zeros((1, 3), jnp.float64)
+    ns = jnp.ones((1, 3), jnp.float64)
+    w = eq.bary_weights(pts, nc, ns, order=4)
+    np.testing.assert_allclose(np.asarray(jnp.sum(w, axis=-1)), 1.0,
+                               rtol=1e-10)
+
+
+def test_bary_weights_singularity_capture():
+    """A point exactly on a grid node gets a one-hot weight row."""
+    sk, _ = eq.chebyshev_sk_wk(4, jnp.float64)
+    pts = jnp.array([[[float(sk[2]), float(sk[0]), float(sk[4])]]],
+                    jnp.float64)
+    nc = jnp.zeros((1, 3), jnp.float64)
+    ns = jnp.full((1, 3), 2.0, jnp.float64)
+    w = eq.bary_weights(pts, nc, ns, order=4)
+    # multi-index (2,0,4), dim0 fastest: i = 2 + 0*5 + 4*25 = 102
+    want = np.zeros(125)
+    want[102] = 1.0
+    np.testing.assert_allclose(np.asarray(w[0, 0]), want, atol=1e-12)
+
+
+def test_pairmerge_blocks_conserve_strength():
+    p = _srcs(1024, sd=3)
+    tree, sp, _ = build.build_tree(p, block_size=128, refine=True)
+    blocks = eq.pairmerge_blocks(tree, sp)
+    for node in [1, 2, 5]:
+        got = np.asarray(jnp.sum(blocks.s[node], axis=0))
+        want = np.asarray(tree.s[node])
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-8)
+
+
+def test_bary_proxies_approximate_far_field():
+    """Proxy blocks must reproduce the node's far-field influence: compare
+    potential-style sum at a distant point."""
+    from onbody_tpu.ops.kernels import KERNELS
+    kernel = KERNELS["grav3d"]
+    p = _srcs(512, sd=1)
+    tree, sp, _ = build.build_tree(p, block_size=128)
+    blocks = eq.barycentric_blocks(tree, sp, order=4)
+    # far target
+    tx = jnp.array([[5.0, 5.0, 5.0]], jnp.float32)
+    tr = jnp.zeros((1,), jnp.float32)
+    ref = jnp.sum(kernel.pairwise(tx, tr, sp.x, sp.r, sp.s, "rm"), axis=1)
+    out = jnp.sum(kernel.pairwise(tx, tr, blocks.pos[1], blocks.rad[1],
+                                  blocks.s[1], "rm"), axis=1)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4)
