@@ -1,0 +1,189 @@
+"""Shared benchmark-driver harness.
+
+Mirrors the reference drivers' structure and report format
+(ongrav3d.cpp:465-912): flag parsing (-n= -t= -t1..4= -o= -b= -h), the
+five-stage toggle vector, per-phase timing with tree-time attribution,
+best-of-k method timing, GFlop/s from kernel flop counts, sample-output
+echo, and rel-RMS + max error against the direct sum.
+
+Flags accept both '-t=1.4' and '-t 1.4'; the reference's -t1..-t4
+off-by-one parse bug (ongrav3d.cpp:490-505 reads past the '=') is fixed
+here, not reproduced.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from typing import List, Optional
+
+import jax
+import numpy as np
+
+from onbody_tpu import parts as P
+from onbody_tpu.config import SolverConfig
+from onbody_tpu.ops.kernels import get_kernel
+from onbody_tpu.traverse import direct, dtt, treecode
+from onbody_tpu.utils.timing import PhaseTimer, pair_flops
+
+
+def _parse_flags(argv: List[str], progname: str, defaults: dict) -> dict:
+    vals = dict(defaults)
+
+    def usage():
+        print(f"Usage: {progname} [-h] [-n=<nparticles>] [-t=<theta>] "
+              f"[-t1..4=<theta>] [-o=<order>] [-b=<blocksize>] "
+              f"[-i=<iterations>]", file=sys.stderr)
+        raise SystemExit(1)
+
+    for a in argv:
+        if a.startswith("-n="):
+            vals["n"] = int(float(a[3:]))
+        elif a.startswith("-t1="):
+            vals["theta1"] = float(a[4:])
+        elif a.startswith("-t2="):
+            vals["theta2"] = float(a[4:])
+        elif a.startswith("-t3="):
+            vals["theta3"] = float(a[4:])
+        elif a.startswith("-t4="):
+            vals["theta4"] = float(a[4:])
+        elif a.startswith("-t="):
+            th = float(a[3:])
+            for k in ("theta1", "theta2", "theta3", "theta4"):
+                vals[k] = th
+        elif a.startswith("-o="):
+            vals["order"] = int(a[3:])
+        elif a.startswith("-b="):
+            vals["block_size"] = int(a[3:])
+        elif a.startswith("-i="):
+            vals["iters"] = int(a[3:])
+        elif a.startswith("-h") or a.startswith("--h"):
+            usage()
+        else:
+            usage()
+    return vals
+
+
+def run_driver(kernel_name: str, progname: str, argv: List[str],
+               test_iterations=(1, 1, 1, 1, 1), use_charges: bool = True,
+               defaults: Optional[dict] = None) -> None:
+    base = dict(n=10000, order=-1, block_size=128, iters=1,
+                theta1=2.0, theta2=1.05, theta3=1.0, theta4=1.35)
+    if defaults:
+        base.update(defaults)
+    vals = _parse_flags(argv, progname, base)
+
+    kernel = get_kernel(kernel_name)
+    n = vals["n"]
+    cfg = SolverConfig(block_size=vals["block_size"], order=vals["order"],
+                       theta_treecode1=vals["theta1"],
+                       theta_pointwise=vals["theta2"],
+                       theta_boxwise=vals["theta3"],
+                       theta_dtt=vals["theta4"])
+
+    echonum = 1
+    withwhat = ("equivalent particles" if cfg.order < 0
+                else "a barycentric grid")
+    print(f"Running {progname} with {n} sources and {n} targets")
+    print(f"  source block sizes {cfg.block_size}, target block size "
+          f"{cfg.block_size}\n")
+
+    # subsample the oracle so validation work stays bounded
+    # (ntskip heuristic, ongrav3d.cpp:556-568)
+    ntskip = max(1, int(float(n) * float(n) / 2e10))
+
+    print("Allocate and initialize")
+    timer = PhaseTimer()
+    ks, kt = jax.random.split(jax.random.PRNGKey(12345))
+    with timer.phase("init parts time"):
+        srcs = P.random_in_cube(ks, n, kernel.pd, kernel.sd, True)
+        if kernel_name == "grav3d" and not use_charges:
+            import dataclasses
+            import jax.numpy as jnp
+            srcs = dataclasses.replace(srcs, s=jnp.abs(srcs.s))
+        targs = P.random_in_cube(kt, n, kernel.pd, 0, False)
+        jax.block_until_ready((srcs.x, targs.x))
+    timer.report()
+    if kernel_name == "grav3d":
+        kind = ("electrostatics simulation with random charges"
+                if use_charges else "gravitational simulation")
+        print(f"  {kind}")
+
+    print("\nBuilding trees and equivalent particles")
+    plan = timer.time("build trees+equivs", treecode.prepare,
+                      kernel, cfg, srcs, targs)
+    print(f"  source tree: {plan.stree.levels} levels, "
+          f"{plan.stree.nleaf} leaves")
+    timer.report()
+    treetime = timer.total("build trees+equivs")
+
+    results = {}
+    kflops = kernel.flops_fn(cfg.core_func)
+    naive_ref = None
+
+    if test_iterations[0]:
+        print(f"\nRun the naive O(N^2) method (every {ntskip} particles)")
+        t0 = time.perf_counter()
+        naive_ref = np.asarray(direct.direct_oracle(
+            kernel, srcs, targs, tskip=ntskip))
+        dt = time.perf_counter() - t0
+        print(f"[{progname} naive]:\t\t[{dt * ntskip:.4f}] seconds "
+              f"(extrapolated)")
+        gf = (n / ntskip) * n * kflops * 1e-9
+        print(f"  GFlop: {gf * ntskip:.2f} and GFlop/s: {gf / dt:.3f}")
+        for i in range(echonum):
+            print(f"  particle {i * ntskip} vel "
+                  + " ".join(f"{v:g}" for v in naive_ref[i]))
+
+    methods = []
+    if test_iterations[1]:
+        methods.append(("treecode", treecode.solve_treecode1,
+                        vals["theta1"]))
+    if test_iterations[2]:
+        methods.append(("treecode2", treecode.solve_treecode2,
+                        vals["theta2"]))
+    if test_iterations[3]:
+        methods.append(("treecode3", treecode.solve_treecode3,
+                        vals["theta3"]))
+    if test_iterations[4]:
+        methods.append(("fast", dtt.solve_dtt, vals["theta4"]))
+
+    for name, fn, theta in methods:
+        label = {"treecode": "O(NlogN)", "treecode2": "O(NlogN)",
+                 "treecode3": "O(NlogN) boxwise", "fast": "fast O(N)"}[name]
+        print(f"\nRun the {name} {label} with {withwhat} and theta {theta}")
+        best = 1e30
+        out = pl = None
+        for _ in range(max(1, vals["iters"])):
+            t0 = time.perf_counter()
+            out, pl = fn(kernel, cfg, plan, theta=theta)
+            out = jax.block_until_ready(out)
+            dt = time.perf_counter() - t0
+            print(f"  this run time:\t\t[{dt:.4f}] seconds")
+            best = min(best, dt)
+        flops = pair_flops(int(pl.n_valid), cfg.block_size, kflops)
+        print(f"[{progname} {name}]:\t\t[{best:.4f}] seconds")
+        print(f"  GFlop: {flops * 1e-9:.3f} and GFlop/s: "
+              f"{flops * 1e-9 / best:.3f}")
+        print(f"[{name} total]:\t\t[{treetime + best:.4f}] seconds")
+        outv = np.asarray(out)
+        for i in range(echonum):
+            print(f"  particle {i * ntskip} vel "
+                  + " ".join(f"{v:g}" for v in outv[i * ntskip]))
+        if int(pl.overflow) > 0:
+            print(f"  WARNING: interaction list overflow "
+                  f"({int(pl.overflow)}) — increase list widths")
+        results[name] = outv
+
+        if naive_ref is not None:
+            sub = outv[::ntskip][:naive_ref.shape[0]]
+            err = sub - naive_ref
+            errsum = float((err ** 2).sum())
+            errcnt = float((naive_ref ** 2).sum())
+            maxerr = float((err ** 2).max())
+            ntg = naive_ref.shape[0]
+            print(f"error in {name} (max/rms):\t"
+                  f"{np.sqrt(maxerr / (errcnt / ntg)):g} / "
+                  f"{np.sqrt(errsum / errcnt):g}")
+
+    print("\nDone.")

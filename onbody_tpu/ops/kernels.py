@@ -224,6 +224,146 @@ def _vortgrad3d_tile(tx, tr, sx, sr, ss, core="rm",
     return jnp.concatenate([vel, grads], axis=-1)
 
 
+# ---------------------------------------------------- feature-major forms
+#
+# Pallas-friendly layout: source blocks are stored feature-major (C, B) so
+# per-dim coordinate rows broadcast along lanes with no transposes and no
+# (B, B, PD) 3D intermediates in VMEM. Feature rows (omega x s, outer
+# products) are precomputed once per block by `featurize`, moving that
+# work out of the per-pair hot loop.
+
+FM_ROWS = {  # rows of the feature-major source block, per kernel
+    "grav3d": 5,        # x, y, z, r, m
+    "vort2d": 4,        # x, y, r, ss
+    "vort3d": 10,       # x, y, z, r, w(3), e(3)
+    "vortgrad3d": 28,   # x(3), r, w(3), e(3), w(x)s(9), e(x)s(9)
+}
+
+
+def featurize(name: str, pos, rad, s):
+    """Build the (C, B) feature-major block from point-major arrays.
+
+    pos (B, PD), rad (B,), s (B, SD) -> (C, B). Works batched over leading
+    dims via vmap at the call site.
+    """
+    if name == "grav3d":
+        return jnp.concatenate([pos.T, rad[None, :], s.T], axis=0)
+    if name == "vort2d":
+        return jnp.concatenate([pos.T, rad[None, :], s.T], axis=0)
+    if name == "vort3d":
+        e = _cross(s, pos)
+        return jnp.concatenate([pos.T, rad[None, :], s.T, e.T], axis=0)
+    if name == "vortgrad3d":
+        e = _cross(s, pos)
+        ws = (s[:, :, None] * pos[:, None, :]).reshape(-1, 9)
+        es = (e[:, :, None] * pos[:, None, :]).reshape(-1, 9)
+        return jnp.concatenate([pos.T, rad[None, :], s.T, e.T, ws.T, es.T],
+                               axis=0)
+    raise KeyError(name)
+
+
+def _d2_fm(tpos, srcT, pd):
+    """(B_t, B_s) squared distances: per-dim lane/sublane broadcast."""
+    d2 = None
+    for d in range(pd):
+        diff = tpos[:, d:d + 1] - srcT[d:d + 1, :]
+        d2 = diff * diff if d2 is None else d2 + diff * diff
+    return d2
+
+
+def _dotg_fm(w, rows, accum_dtype):
+    """(B_t, B_s) x (F, B_s) -> (B_t, F), contracting the source axis."""
+    return lax.dot_general(
+        w, rows, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=accum_dtype,
+        precision=lax.Precision.HIGHEST)
+
+
+def _rowsum(w, accum_dtype):
+    return jnp.sum(w.astype(accum_dtype), axis=1, keepdims=True)
+
+
+def _grav3d_tile_fm(tpos, trad, srcT, core="rm",
+                    accum_dtype=jnp.float32):
+    d2 = _d2_fm(tpos, srcT, 3)
+    sr = srcT[3:4, :]
+    m = srcT[4:5, :]
+    rinv = lax.rsqrt(d2 + sr * sr)
+    w = m * rinv * rinv * rinv
+    o = _dotg_fm(w, srcT[0:3, :], accum_dtype)       # (B, 3)
+    o1 = _rowsum(w, accum_dtype)
+    return o - o1 * tpos.astype(accum_dtype)
+
+
+def _vort2d_tile_fm(tpos, trad, srcT, core="rm",
+                    accum_dtype=jnp.float32):
+    d2 = _d2_fm(tpos, srcT, 2)
+    sr = srcT[2:3, :]
+    ss = srcT[3:4, :]
+    c = cf.core_2d(core)(d2, sr, trad[:, None])
+    w = ss * c
+    o = _dotg_fm(w, srcT[0:2, :], accum_dtype)       # (B, 2): W@sx, W@sy
+    o1 = _rowsum(w, accum_dtype)[:, 0]
+    txa = tpos.astype(accum_dtype)
+    u = o[:, 1] - o1 * txa[:, 1]
+    v = o1 * txa[:, 0] - o[:, 0]
+    return jnp.stack([u, v], axis=-1)
+
+
+def _vort3d_tile_fm(tpos, trad, srcT, core="rm",
+                    accum_dtype=jnp.float32):
+    d2 = _d2_fm(tpos, srcT, 3)
+    sr = srcT[3:4, :]
+    c = cf.core_3d(core)(d2, sr)
+    o = _dotg_fm(c, srcT[4:10, :], accum_dtype)      # (B, 6): C@w, C@e
+    txa = tpos.astype(accum_dtype)
+    return o[:, 3:6] - _cross(o[:, 0:3], txa)
+
+
+def _vortgrad_combine(oR, oB, txa):
+    """Per-target recombination shared by both vortgrad tile forms.
+
+    oR (B, 6): [R@w, R@e]; oB (B, 24): [B@w, B@e, B@(w(x)s), B@(e(x)s)].
+    """
+    G, He = oR[:, 0:3], oR[:, 3:6]
+    vel = _cross(G, txa) - He
+    P, Rv = oB[:, 0:3], oB[:, 3:6]
+    Q = oB[:, 6:15].reshape(-1, 3, 3)
+    Sm = oB[:, 15:24].reshape(-1, 3, 3)
+    Pt = _cross(P, txa)
+    T1 = Pt[:, :, None] * txa[:, None, :]
+    Qcols = jnp.transpose(Q, (0, 2, 1))
+    T2 = -jnp.transpose(_cross(Qcols, txa[:, None, :]), (0, 2, 1))
+    T3 = -Rv[:, :, None] * txa[:, None, :]
+    A = T1 + T2 + T3 + Sm
+    A = A.at[:, 1, 0].add(G[:, 2])
+    A = A.at[:, 2, 0].add(-G[:, 1])
+    A = A.at[:, 0, 1].add(-G[:, 2])
+    A = A.at[:, 2, 1].add(G[:, 0])
+    A = A.at[:, 0, 2].add(G[:, 1])
+    A = A.at[:, 1, 2].add(-G[:, 0])
+    grads = jnp.transpose(A, (0, 2, 1)).reshape(-1, 9)
+    return jnp.concatenate([vel, grads], axis=-1)
+
+
+def _vortgrad3d_tile_fm(tpos, trad, srcT, core="rm",
+                        accum_dtype=jnp.float32):
+    d2 = _d2_fm(tpos, srcT, 3)
+    sr = srcT[3:4, :]
+    r3, bbb = cf.core_3d_grads(core)(d2, sr)
+    oR = _dotg_fm(r3, srcT[4:10, :], accum_dtype)
+    oB = _dotg_fm(bbb, srcT[4:28, :], accum_dtype)
+    return _vortgrad_combine(oR, oB, tpos.astype(accum_dtype))
+
+
+TILE_FM = {
+    "grav3d": _grav3d_tile_fm,
+    "vort2d": _vort2d_tile_fm,
+    "vort3d": _vort3d_tile_fm,
+    "vortgrad3d": _vortgrad3d_tile_fm,
+}
+
+
 # ----------------------------------------------------------------- registry
 
 KERNELS = {

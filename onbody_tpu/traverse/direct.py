@@ -39,11 +39,13 @@ def direct_oracle(kernel: Kernel, srcs: Parts, targs: Parts,
     Mirrors the ntskip subsampling of the reference drivers
     (ongrav3d.cpp:556-568) so validation work stays bounded.
     """
-    tx = targs.x[::tskip].astype(jnp.float64)
-    tr = _target_radii(kernel, targs, jnp.float64)[::tskip]
-    sx = srcs.x.astype(jnp.float64)
-    sr = srcs.r.astype(jnp.float64)
-    ss = srcs.s.astype(jnp.float64)
+    f64 = jax.config.jax_enable_x64
+    dt = jnp.float64 if f64 else jnp.float32
+    tx = targs.x[::tskip].astype(dt)
+    tr = _target_radii(kernel, targs, dt)[::tskip]
+    sx = srcs.x.astype(dt)
+    sr = srcs.r.astype(dt)
+    ss = srcs.s.astype(dt)
 
     m = tx.shape[0]
     npad = -m % chunk

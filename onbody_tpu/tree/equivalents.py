@@ -130,7 +130,9 @@ def _bary_impl(tree: Tree, x, r, s, order: int, width: int,
     n_pad = x.shape[0]
 
     pos = jnp.zeros((nn, width, pd), dtype)
-    rad = jnp.zeros((nn, width), dtype)
+    # radius defaults to 1.0: inert (zero-strength) slots must never hit
+    # rsqrt(0) even if a target coincides with their parked position
+    rad = jnp.ones((nn, width), dtype)
     st = jnp.zeros((nn, width, sd), dtype)
 
     # leaf rows: the particles themselves
@@ -218,7 +220,7 @@ def _pairmerge_impl(x, r, s, levels: int, block_size: int):
     nn = 2 * nleaf
 
     pos = jnp.zeros((nn, block_size, pd), dtype)
-    rad = jnp.zeros((nn, block_size), dtype)
+    rad = jnp.ones((nn, block_size), dtype)
     st = jnp.zeros((nn, block_size, sd), dtype)
 
     pos = pos.at[nleaf:].set(x.reshape(nleaf, block_size, pd))

@@ -1,17 +1,15 @@
 """Test configuration: run on a virtual 8-device CPU mesh.
 
-Multi-chip sharding paths are exercised on host via XLA's device-count
+Multi-chip sharding paths are exercised on host via the CPU device-count
 override; real-TPU benchmarking happens in bench.py, not here.
+
+Note: the axon TPU-tunnel sitecustomize imports jax at interpreter start,
+freezing JAX_PLATFORMS=axon into jax.config — so env vars set here are
+too late. jax.config.update is the only reliable switch.
 """
 
-import os
+import jax
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
-
-import jax  # noqa: E402
-
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_enable_x64", True)
