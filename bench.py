@@ -38,8 +38,9 @@ BASELINES = {  # reference DTT incl setup, seconds (BASELINE.md / README.md:82-9
 
 def main():
     kernel = get_kernel("grav3d")
-    cfg = SolverConfig(block_size=128, order=4, theta_dtt=1.35,
-                       frontier_width=256, list_width=512)
+    cfg = SolverConfig(block_size=128, order=4, theta_dtt=1.4,
+                       frontier_width=256, list_width=512,
+                       pair_backend="pallas")
     ks, kt = jax.random.split(jax.random.PRNGKey(12345))
     srcs = P.random_in_cube(ks, N, 3, 1, True)
     targs = P.random_in_cube(kt, N, 3, 0, False)

@@ -53,6 +53,14 @@ class SolverConfig:
     # execution backend for the pair executor: 'pallas' or 'jnp'
     pair_backend: str = "jnp"
 
+    # static interaction-list capacity, in 8-wide source groups per
+    # emitted target row (keeps the solve path free of host syncs; the
+    # pallas kernel skips padding-tail steps nearly for free, and
+    # overflow is still detected). DTT emits ~8-10 groups/row at
+    # theta=1.4; boxwise treecodes ~25-35 groups/leaf at theta=1.0.
+    cap_groups_dtt: int = 16
+    cap_groups_treecode: int = 48
+
     # compute d2 via centered Gram matmul (MXU) or elementwise broadcast
     d2_mode: str = "exact"
 

@@ -103,10 +103,19 @@ def exp_3d_grads(d2, sr):
     return r3, bbb
 
 
+def v2_3d(d2, sr):
+    """Vatistas n=2: (d^4 + sr^4)^-0.75 — CoreFunc3d.hpp:185-198
+    (off by default in the reference as well)."""
+    s2 = sr * sr
+    denom = d2 * d2 + s2 * s2
+    rsqd = lax.rsqrt(jnp.maximum(denom, _TINY))
+    return rsqd * jnp.sqrt(rsqd)
+
+
 # ----------------------------------------------------------------- registry
 
 _CORES_2D = {"rm": rm_2d, "exp": exp_2d}
-_CORES_3D = {"rm": rm_3d, "exp": exp_3d}
+_CORES_3D = {"rm": rm_3d, "exp": exp_3d, "v2": v2_3d}
 _CORES_3D_GRADS = {"rm": rm_3d_grads, "exp": exp_3d_grads}
 
 FLOPS = {
@@ -114,6 +123,7 @@ FLOPS = {
     ("rm", "3d"): 5, ("rm", "3d_grads"): 8,
     ("exp", "2d"): 9, ("exp", "2d_tr"): 11,
     ("exp", "3d"): 9, ("exp", "3d_grads"): 15,
+    ("v2", "3d"): 7,
 }
 
 

@@ -27,7 +27,7 @@ from onbody_tpu.ops.kernels import Kernel
 from onbody_tpu.tree import equivalents as eq
 from onbody_tpu.traverse import exec as pexec
 from onbody_tpu.traverse import lists
-from onbody_tpu.traverse.treecode import Plan, _cap, _leaf_outputs
+from onbody_tpu.traverse.treecode import Plan, _leaf_outputs
 
 
 @partial(jax.jit, static_argnames=("order", "levels", "block_size"))
@@ -85,13 +85,12 @@ def solve_dtt(kernel: Kernel, cfg: SolverConfig, plan: Plan,
     theta = cfg.theta_dtt if theta is None else theta
     pl = lists.build_dtt_pairs(plan.stree, plan.ttree, theta,
                                cfg.frontier_width, cfg.list_width)
-    pl = lists.compact_pairs(pl, _cap(pl, cfg))
-    out = pexec.exec_pairs_jnp(kernel, plan.tgt_blocks, plan.src_blocks, pl,
-                               cfg.core_func, cfg.accum_dtype, cfg.d2_mode)
+    out, info = pexec.exec_pairs(kernel, cfg, plan, pl, cfg.list_width,
+                                 cfg.cap_groups_dtt)
     if cfg.order >= 0:
         out = _downward(out, plan.ttree.nc, plan.ttree.ns,
                         plan.tgt_blocks.pos, cfg.order, plan.ttree.levels,
                         plan.ttree.block_size)
     else:
         out = _downward_copy(out, plan.ttree.levels, plan.ttree.block_size)
-    return _leaf_outputs(out, plan, kernel, plan.tgt_sorted.n_real), pl
+    return _leaf_outputs(out, plan, kernel, plan.tgt_sorted.n_real), info

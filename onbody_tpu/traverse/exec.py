@@ -66,3 +66,36 @@ def exec_pairs_jnp(kernel: Kernel, tgt_blocks: Blocks, src_blocks: Blocks,
     out, _ = jax.lax.scan(step, out,
                           (tgt.reshape(-1, chunk), src.reshape(-1, chunk)))
     return out
+
+
+def exec_pairs(kernel: Kernel, cfg, plan, raw: PairList, slot_width: int,
+               cap_groups_per_row: int, interpret: bool = False):
+    """Backend dispatcher: compacts the raw builder list and runs it.
+
+    cfg.pair_backend in {'jnp', 'pallas'}. Capacity is STATIC
+    (cap_groups_per_row 8-wide groups per emitted target row) so the
+    entire solve path runs without device->host syncs; overflow is
+    detected and carried in the returned info. Returns (out_blocks, info).
+    """
+    from onbody_tpu.traverse import lists
+
+    n_rows = raw.tgt.shape[0] // slot_width
+
+    if cfg.pair_backend == "pallas":
+        from onbody_tpu.ops import pallas_pairs as pp
+        # CPU has no Mosaic backend: fall back to the interpreter so the
+        # pallas path stays testable on the virtual mesh
+        interpret = interpret or jax.devices()[0].platform == "cpu"
+        g = pp.GROUP
+        cap = max(1024, n_rows * cap_groups_per_row)
+        pg = lists.group_pairs(raw, cap, g, slot_width)
+        out = pp.exec_pairs_pallas(kernel, plan.tgt_geo, plan.src_fm,
+                                   pg.tgt, pg.src, cfg.core_func,
+                                   cfg.accum_dtype, interpret=interpret)
+        return out, pg
+    cap = max(1024, n_rows * cap_groups_per_row * 8)
+    cap = min(cap, raw.tgt.shape[0])
+    pl = lists.finalize_pairs(raw, cap)
+    out = exec_pairs_jnp(kernel, plan.tgt_blocks, plan.src_blocks, pl,
+                         cfg.core_func, cfg.accum_dtype, cfg.d2_mode)
+    return out, pl

@@ -35,6 +35,17 @@ from onbody_tpu.tree.build import Tree
 INVALID = jnp.int32(0)
 
 
+class PairGroups(NamedTuple):
+    """Grouped interaction lists: each entry is one target row with G
+    source rows (padded with inert row 0). The Pallas executor computes
+    all G source blocks in one grid step (a (B, G*B) tile), amortizing
+    per-step overheads ~Gx over single-pair execution."""
+    tgt: jax.Array      # (P,) int32
+    src: jax.Array      # (P, G) int32
+    n_valid: jax.Array  # () int32 — valid (tgt, src) pairs
+    overflow: jax.Array
+
+
 class PairList(NamedTuple):
     """Padded (tgt_row, src_row) interactions, sorted by tgt_row.
 
@@ -262,40 +273,42 @@ def _dtt_lists(stree: Tree, ttree: Tree, theta,
                 defer = valid & ~accept & (s_is_leaf | tgt_bigger)
             return accept, expand, defer
 
-        def _append_rows_pair(defer_acc, vals):
-            merged = jnp.concatenate([defer_acc, vals], axis=1)
-            return _compact_rows(merged, W)
+        # inner refinement: expand sources until none left to expand.
+        # classification is carried in the loop state so each iteration
+        # classifies exactly once (cond only reads a flag).
+        defer_out = jnp.zeros((nt, W + 1), jnp.int32)
+        defer_cnt = jnp.zeros((nt,), jnp.int32)
+        masks = classify(cand)
 
-        # inner refinement: expand sources until none left to expand
         def cond(state):
-            cand, out, out_cnt, defer_acc, ov, it = state
-            _, expand, _ = classify(cand)
-            return jnp.any(expand) & (it < levels_s + 2)
+            expand = state[1][1]
+            return jnp.any(expand) & (state[-1] < levels_s + 2)
 
         def body(state):
-            cand, out, out_cnt, defer_acc, ov, it = state
-            accept, expand, defer = classify(cand)
+            cand, (accept, expand, defer), out, out_cnt, defer_out, \
+                defer_cnt, ov, it = state
             out, out_cnt, ov1 = _append_rows(out, out_cnt,
                                              jnp.where(accept, cand, 0))
-            defer_acc, ov2 = _append_rows_pair(defer_acc,
-                                               jnp.where(defer, cand, 0))
+            defer_out, defer_cnt, ov2 = _append_rows(
+                defer_out, defer_cnt, jnp.where(defer, cand, 0))
             kids = jnp.concatenate(
                 [jnp.where(expand, 2 * cand, 0),
                  jnp.where(expand, 2 * cand + 1, 0)], axis=1)
             cand, ov3 = _compact_rows(kids, W)
-            return cand, out, out_cnt, defer_acc, ov + ov1 + ov2 + ov3, it + 1
+            masks = classify(cand)
+            return (cand, masks, out, out_cnt, defer_out, defer_cnt,
+                    ov + ov1 + ov2 + ov3, it + 1)
 
-        defer_acc = jnp.zeros((nt, W), jnp.int32)
-        state = (cand, out, out_cnt, defer_acc, overflow, jnp.int32(0))
+        state = (cand, masks, out, out_cnt, defer_out, defer_cnt,
+                 overflow, jnp.int32(0))
         state = jax.lax.while_loop(cond, body, state)
-        cand, out, out_cnt, defer_acc, overflow, _ = state
+        (cand, (accept, expand, defer), out, out_cnt, defer_out,
+         defer_cnt, overflow, _) = state
         # flush the final round (no expands left: accepts + defers remain)
-        accept, expand, defer = classify(cand)
         out, out_cnt, ov1 = _append_rows(out, out_cnt,
                                          jnp.where(accept, cand, 0))
-        defer_acc, ov2 = _compact_rows(
-            jnp.concatenate([defer_acc, jnp.where(defer, cand, 0)], axis=1),
-            W)
+        defer_out, defer_cnt, ov2 = _append_rows(
+            defer_out, defer_cnt, jnp.where(defer, cand, 0))
         overflow = overflow + ov1 + ov2
 
         all_tgt.append(jnp.broadcast_to(tgt_ids[:, None], (nt, K)).reshape(-1))
@@ -304,7 +317,7 @@ def _dtt_lists(stree: Tree, ttree: Tree, theta,
 
         if l < levels_t:
             # children inherit the deferred list (ongrav3d.cpp:418-422)
-            cand = jnp.repeat(defer_acc, 2, axis=0)
+            cand = jnp.repeat(defer_out[:, :W], 2, axis=0)
 
     tgt = jnp.concatenate(all_tgt)
     src = jnp.concatenate(all_src)
@@ -317,6 +330,61 @@ def build_dtt_pairs(stree: Tree, ttree: Tree, theta,
     tgt, src, nv, ov = _dtt_lists(stree, ttree, theta, stree.levels,
                                   ttree.levels, frontier_width, list_width)
     return PairList(tgt=tgt, src=src, n_valid=nv, overflow=ov)
+
+
+@partial(jax.jit, static_argnames=("cap",))
+def _compact_grouped(tgt, src, cap: int):
+    keep = src != 0
+    pos = jnp.cumsum(keep.astype(jnp.int32)) - 1
+    pos = jnp.where(keep & (pos < cap), pos, cap)
+    out_t = jnp.zeros((cap + 1,), jnp.int32).at[pos].set(tgt, mode="drop")
+    out_s = jnp.zeros((cap + 1,), jnp.int32).at[pos].set(src, mode="drop")
+    n = jnp.sum(keep, dtype=jnp.int32)
+    return out_t[:cap], out_s[:cap], n, jnp.maximum(n - cap, 0)
+
+
+def finalize_pairs(pl: PairList, cap: int, nn_t: int = 0) -> PairList:
+    """Sort-free compaction for builder output.
+
+    Both builders emit pairs already grouped by ascending target row
+    (levels in order, nodes in order), so compaction is a cumsum +
+    scatter — no argsort. Rows with no valid pairs simply don't appear;
+    the executors accumulate into a zero-initialized aliased output, so
+    absent rows stay zero."""
+    tgt, src, n, ov = _compact_grouped(pl.tgt, pl.src, cap)
+    return PairList(tgt=tgt, src=src, n_valid=n,
+                    overflow=pl.overflow + ov)
+
+
+@partial(jax.jit, static_argnames=("cap", "group", "slot_width"))
+def _compact_groups(tgt, src, cap: int, group: int, slot_width: int):
+    """Compact flat padded (tgt, src) pairs into G-wide groups.
+
+    Builder output has slot_width entries per target row (slot_width %
+    group == 0), so reshaping to (n_chunks, group) never straddles a row
+    boundary; chunks with any valid source survive."""
+    assert slot_width % group == 0
+    n_valid = jnp.sum(src != 0, dtype=jnp.int32)
+    tgt_c = tgt.reshape(-1, group)[:, 0]
+    src_c = src.reshape(-1, group)
+    keep = jnp.any(src_c != 0, axis=1)
+    pos = jnp.cumsum(keep.astype(jnp.int32)) - 1
+    pos = jnp.where(keep & (pos < cap), pos, cap)
+    out_t = jnp.zeros((cap + 1,), jnp.int32).at[pos].set(tgt_c, mode="drop")
+    out_s = jnp.zeros((cap + 1, group), jnp.int32).at[pos].set(
+        src_c, mode="drop")
+    n_chunks = jnp.sum(keep, dtype=jnp.int32)
+    return (out_t[:cap], out_s[:cap], n_valid,
+            jnp.maximum(n_chunks - cap, 0))
+
+
+def group_pairs(pl: PairList, cap: int, group: int,
+                slot_width: int) -> PairGroups:
+    """Builder output -> G-wide grouped chunks for the Pallas executor."""
+    tgt, src, n, ov = _compact_groups(pl.tgt, pl.src, cap, group,
+                                      slot_width)
+    return PairGroups(tgt=tgt, src=src, n_valid=n,
+                      overflow=pl.overflow + ov * group)
 
 
 def compact_pairs(pl: PairList, cap: int) -> PairList:

@@ -41,6 +41,8 @@ class Plan(NamedTuple):
     tgt_blocks: eq.Blocks
     src_gidx: jax.Array
     tgt_gidx: jax.Array
+    src_fm: jax.Array    # feature-major (NN, C, B) for the Pallas backend
+    tgt_geo: jax.Array   # (NN, B, PD+1) [pos | radius]
 
 
 def prepare(kernel: Kernel, cfg: SolverConfig, srcs: Parts,
@@ -59,9 +61,12 @@ def prepare(kernel: Kernel, cfg: SolverConfig, srcs: Parts,
     else:
         sblocks = eq.pairmerge_blocks(stree, ss)
         tblocks = eq.target_blocks(ttree, ts, cfg.order)
+    from onbody_tpu.ops import pallas_pairs as pp
+    src_fm = pp.build_fm_blocks(kernel, sblocks.pos, sblocks.rad, sblocks.s)
+    tgt_geo = pp.build_tgt_geo(tblocks.pos, tblocks.rad)
     return Plan(stree=stree, ttree=ttree, src_sorted=ss, tgt_sorted=ts,
                 src_blocks=sblocks, tgt_blocks=tblocks,
-                src_gidx=sg, tgt_gidx=tg)
+                src_gidx=sg, tgt_gidx=tg, src_fm=src_fm, tgt_geo=tgt_geo)
 
 
 def _unscramble(u_sorted: jax.Array, gidx: jax.Array, n_real: int):
@@ -87,10 +92,9 @@ def solve_treecode2(kernel: Kernel, cfg: SolverConfig, plan: Plan,
     pl = lists.build_treecode_pairs(plan.stree, plan.ttree, theta,
                                     "pointwise", cfg.frontier_width,
                                     cfg.list_width)
-    pl = lists.compact_pairs(pl, _cap(pl, cfg))
-    out = pexec.exec_pairs_jnp(kernel, plan.tgt_blocks, plan.src_blocks, pl,
-                               cfg.core_func, cfg.accum_dtype, cfg.d2_mode)
-    return _leaf_outputs(out, plan, kernel, plan.tgt_sorted.n_real), pl
+    out, info = pexec.exec_pairs(kernel, cfg, plan, pl, cfg.list_width,
+                                 cfg.cap_groups_treecode)
+    return _leaf_outputs(out, plan, kernel, plan.tgt_sorted.n_real), info
 
 
 def solve_treecode3(kernel: Kernel, cfg: SolverConfig, plan: Plan,
@@ -101,18 +105,9 @@ def solve_treecode3(kernel: Kernel, cfg: SolverConfig, plan: Plan,
     pl = lists.build_treecode_pairs(plan.stree, plan.ttree, theta,
                                     "boxwise", cfg.frontier_width,
                                     cfg.list_width)
-    pl = lists.compact_pairs(pl, _cap(pl, cfg))
-    out = pexec.exec_pairs_jnp(kernel, plan.tgt_blocks, plan.src_blocks, pl,
-                               cfg.core_func, cfg.accum_dtype, cfg.d2_mode)
-    return _leaf_outputs(out, plan, kernel, plan.tgt_sorted.n_real), pl
-
-
-def _cap(pl: lists.PairList, cfg: SolverConfig) -> int:
-    """Static pair cap: padded size rounded to limit executor waste while
-    keeping recompiles bounded (power-of-two buckets)."""
-    n = int(pl.n_valid) + 2 * 1024
-    cap = 1 << (n - 1).bit_length()
-    return min(cap, pl.tgt.shape[0])
+    out, info = pexec.exec_pairs(kernel, cfg, plan, pl, cfg.list_width,
+                                 cfg.cap_groups_treecode)
+    return _leaf_outputs(out, plan, kernel, plan.tgt_sorted.n_real), info
 
 
 @partial(jax.jit, static_argnames=("kernel", "core", "accum_dtype", "maxm"))
@@ -159,8 +154,7 @@ def solve_treecode1(kernel: Kernel, cfg: SolverConfig, plan: Plan,
         leaf_rows.shape)
     pl = lists.PairList(tgt=tgt_ids.reshape(-1), src=leaf_rows.reshape(-1),
                         n_valid=jnp.sum(leaf_rows != 0, dtype=jnp.int32), overflow=ov)
-    pl = lists.compact_pairs(pl, _cap(pl, cfg))
-    out = pexec.exec_pairs_jnp(kernel, plan.tgt_blocks, plan.src_blocks, pl,
-                               cfg.core_func, cfg.accum_dtype, cfg.d2_mode)
+    out, info = pexec.exec_pairs(kernel, cfg, plan, pl, cfg.list_width,
+                                 cfg.cap_groups_treecode)
     out = out.at[nleaf_t:, :bs].add(far)
-    return _leaf_outputs(out, plan, kernel, plan.tgt_sorted.n_real), pl
+    return _leaf_outputs(out, plan, kernel, plan.tgt_sorted.n_real), info

@@ -1,0 +1,116 @@
+"""Theta auto-tuner: time-vs-error Pareto sweep.
+
+Python equivalent of the reference's scripts/speedtest.pl (secant-like
+bisection on theta until the DTT error hits each target, then record the
+best time): for each (N, target error, block size, order), bisect theta
+in log-error space (speedtest.pl:53-96) until the measured rel-RMS is
+within 3% of target, then time the solve and append a row to new.dat.
+
+Usage: python scripts/speedtest.py [-n=...] [-b=...] [-o=...] [--method=dtt]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(
+    os.path.abspath(__file__)), ".."))
+
+import jax
+import numpy as np
+
+from onbody_tpu import parts as P
+from onbody_tpu.config import SolverConfig
+from onbody_tpu.ops.kernels import get_kernel
+from onbody_tpu.traverse import direct, dtt, treecode
+
+TARGET_ERRORS = [1e-2, 1e-3, 1e-4, 1e-5]
+
+
+def measure(kernel, cfg, plan, solver, theta, ref, tskip):
+    out, pl = solver(kernel, cfg, plan, theta=theta)
+    out = jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    out, pl = solver(kernel, cfg, plan, theta=theta)
+    out = jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    got = np.asarray(out)[::tskip][:ref.shape[0]]
+    err = float(np.linalg.norm(got - ref) / np.linalg.norm(ref))
+    return err, dt
+
+
+def bisect_theta(kernel, cfg, plan, solver, target, ref, tskip,
+                 lo=0.5, hi=3.0, max_iter=12):
+    """Secant bisection in (theta, log error) space (speedtest.pl:53-96)."""
+    e_lo, t_lo = measure(kernel, cfg, plan, solver, lo, ref, tskip)
+    e_hi, t_hi = measure(kernel, cfg, plan, solver, hi, ref, tskip)
+    best = None
+    for _ in range(max_iter):
+        # interpolate log-error linearly in theta
+        le_lo, le_hi, le_t = np.log(e_lo), np.log(e_hi), np.log(target)
+        if abs(le_hi - le_lo) < 1e-9:
+            mid = 0.5 * (lo + hi)
+        else:
+            mid = lo + (hi - lo) * (le_t - le_lo) / (le_hi - le_lo)
+            mid = min(max(mid, min(lo, hi)), max(lo, hi))
+        e_mid, dt = measure(kernel, cfg, plan, solver, float(mid), ref,
+                            tskip)
+        best = (float(mid), e_mid, dt)
+        if abs(np.log(e_mid / target)) < np.log(1.03):
+            break
+        if e_mid > target:
+            lo, e_lo = mid, e_mid
+        else:
+            hi, e_hi = mid, e_mid
+    return best
+
+
+def main(argv):
+    n = 100_000
+    block = 128
+    order = 4
+    method = "dtt"
+    for a in argv:
+        if a.startswith("-n="):
+            n = int(float(a[3:]))
+        elif a.startswith("-b="):
+            block = int(a[3:])
+        elif a.startswith("-o="):
+            order = int(a[3:])
+        elif a.startswith("--method="):
+            method = a[9:]
+
+    kernel = get_kernel("grav3d")
+    cfg = SolverConfig(block_size=block, order=order)
+    solver = {"dtt": dtt.solve_dtt,
+              "treecode2": treecode.solve_treecode2,
+              "treecode3": treecode.solve_treecode3}[method]
+
+    ks, kt = jax.random.split(jax.random.PRNGKey(12345))
+    srcs = P.random_in_cube(ks, n, 3, 1, True)
+    targs = P.random_in_cube(kt, n, 3, 0, False)
+    tskip = max(1, int(float(n) * n / 2e9))
+    ref = np.asarray(direct.direct_oracle(kernel, srcs, targs, tskip=tskip))
+    plan = treecode.prepare(kernel, cfg, srcs, targs)
+
+    rows = []
+    for target in TARGET_ERRORS:
+        res = bisect_theta(kernel, cfg, plan, solver, target, ref, tskip)
+        if res is None:
+            continue
+        theta, err, dt = res
+        row = (n, block, order, method, target, theta, err, dt, n / dt)
+        rows.append(row)
+        print(f"N={n} b={block} o={order} {method}: target {target:.0e} "
+              f"-> theta={theta:.4f} err={err:.3e} time={dt:.4f}s "
+              f"({n / dt:.3e} parts/s)")
+
+    with open("new.dat", "a") as f:
+        for r in rows:
+            f.write("\t".join(str(x) for x in r) + "\n")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -1,0 +1,103 @@
+"""Pallas pair executor (interpret mode on CPU) vs the jnp backend."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from onbody_tpu import parts as P
+from onbody_tpu.config import SolverConfig
+from onbody_tpu.ops import pallas_pairs as pp
+from onbody_tpu.ops.kernels import KERNELS, TILE_FM, featurize
+from onbody_tpu.traverse import direct, dtt, exec as pexec
+from onbody_tpu.traverse import lists, treecode
+
+CFG = SolverConfig(block_size=32, order=3, frontier_width=256,
+                   list_width=512)
+CFG_P = CFG.replace(pair_backend="pallas")
+
+
+@pytest.mark.parametrize("name", list(KERNELS))
+def test_tile_fm_matches_tile(name):
+    """Feature-major tile form == point-major tile form."""
+    kernel = KERNELS[name]
+    k = jax.random.PRNGKey(0)
+    k1, k2, k3, k4, k5 = jax.random.split(k, 5)
+    T, S = 32, 32
+    tx = jax.random.uniform(k1, (T, kernel.pd), jnp.float64, -1, 1)
+    sx = jax.random.uniform(k2, (S, kernel.pd), jnp.float64, -1, 1)
+    sr = jax.random.uniform(k3, (S,), jnp.float64, 0.01, 0.05)
+    tr = jax.random.uniform(k4, (T,), jnp.float64, 0.01, 0.05)
+    ss = jax.random.uniform(k5, (S, kernel.sd), jnp.float64, -1, 1) / S
+    ref = kernel.tile(tx, tr, sx, sr, ss, "rm", jnp.float64, "exact")
+    srcT = featurize(name, sx, sr, ss)
+    out = TILE_FM[name](tx, tr, srcT, "rm", jnp.float64)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-8, atol=1e-12)
+
+
+@pytest.mark.parametrize("name", ["grav3d", "vort2d", "vortgrad3d"])
+def test_pallas_exec_matches_jnp(name):
+    kernel = KERNELS[name]
+    ks, kt = jax.random.split(jax.random.PRNGKey(3))
+    srcs = P.random_in_cube(ks, 700, kernel.pd, kernel.sd, True)
+    targs = P.random_in_cube(kt, 700, kernel.pd, 0, False)
+    plan = treecode.prepare(kernel, CFG, srcs, targs)
+    raw = lists.build_treecode_pairs(plan.stree, plan.ttree, 1.0,
+                                     "boxwise", CFG.frontier_width,
+                                     CFG.list_width)
+    ref, _ = pexec.exec_pairs(kernel, CFG, plan, raw, CFG.list_width, 48)
+    out, pg = pexec.exec_pairs(kernel, CFG_P, plan, raw, CFG.list_width, 48)
+    assert int(pg.overflow) == 0
+    nleaf = plan.ttree.nleaf
+    a = np.asarray(out[nleaf:])
+    b = np.asarray(ref[nleaf:])
+    np.testing.assert_allclose(a, b, rtol=3e-4, atol=1e-4)
+
+
+def test_solver_pallas_backend_end_to_end():
+    kernel = KERNELS["grav3d"]
+    ks, kt = jax.random.split(jax.random.PRNGKey(11))
+    srcs = P.random_in_cube(ks, 1500, 3, 1, True)
+    targs = P.random_in_cube(kt, 1500, 3, 0, False)
+    plan = treecode.prepare(kernel, CFG_P, srcs, targs)
+    out, info = dtt.solve_dtt(kernel, CFG_P, plan)
+    ref = direct.direct_oracle(kernel, srcs, targs)
+    rel = (np.linalg.norm(np.asarray(out) - np.asarray(ref)) /
+           np.linalg.norm(np.asarray(ref)))
+    assert rel < 3e-3, rel
+
+
+def test_group_pairs_chunking():
+    """Grouped compaction keeps every valid pair exactly once."""
+    K, G = 16, 8
+    tgt = jnp.repeat(jnp.arange(1, 5, dtype=jnp.int32), K)
+    src = jnp.zeros((4, K), jnp.int32)
+    src = src.at[0, :3].set(jnp.array([7, 8, 9]))
+    src = src.at[2, :10].set(jnp.arange(10, 20))
+    raw = lists.PairList(tgt=tgt, src=src.reshape(-1),
+                         n_valid=jnp.int32(13), overflow=jnp.int32(0))
+    pg = lists.group_pairs(raw, cap=8, group=G, slot_width=K)
+    assert int(pg.overflow) == 0
+    t = np.asarray(pg.tgt)
+    s = np.asarray(pg.src)
+    # row 1: one chunk with 3 valid; row 3: two chunks (8 + 2)
+    got = [(t[i], list(s[i][s[i] != 0])) for i in range(len(t))
+           if s[i].any()]
+    assert got == [(1, [7, 8, 9]), (3, list(range(10, 18))),
+                   (3, [18, 19])]
+
+
+def test_pallas_direct_matches_oracle():
+    from onbody_tpu.ops import pallas_direct as pd
+    kernel = KERNELS["grav3d"]
+    ks, kt = jax.random.split(jax.random.PRNGKey(21))
+    srcs = P.random_in_cube(ks, 300, 3, 1, True)
+    targs = P.random_in_cube(kt, 211, 3, 0, False)
+    ref = direct.direct_oracle(kernel, srcs, targs)
+    tr = jnp.zeros_like(targs.r)
+    out = pd.direct_pallas(kernel, targs.x, tr, srcs.x, srcs.r, srcs.s,
+                           interpret=True)
+    rel = (np.linalg.norm(np.asarray(out) - np.asarray(ref)) /
+           np.linalg.norm(np.asarray(ref)))
+    assert rel < 2e-5, rel
