@@ -1,15 +1,19 @@
 """Headline benchmark: ongrav3d-equivalent full evaluation on one TPU chip.
 
 Measures the complete pipeline — tree builds, equivalent particles,
-interaction lists, dual-tree O(N) evaluation — for N sources on N targets
-at order 4 / theta 1.35, the reference's published configuration
-(README.md:70-90). Prints ONE JSON line.
+interaction lists, dual-tree O(N) evaluation, output unscrambling — for N
+sources on N targets at order 4 / theta 1.4 (the reference's published
+1e-4-RMS configuration, README.md:70-90 + BASELINE.md). Prints ONE JSON
+line.
 
-Baseline: the reference's 12-core Threadripper DTT row at N=1e6 is
-1.1449 s summation + 0.0879 s tree + 0.0585 s equivalents = 1.2913 s
-(BASELINE.md). vs_baseline = baseline_seconds / measured_seconds
-(higher is better). Accuracy is verified against a subsampled direct sum
-(rel-RMS must stay ~1e-4, else the number is meaningless).
+Timing methodology: through the axon tunnel, block_until_ready does not
+reliably block, so every timed iteration ends with a scalar fetch from the
+result (true synchronization; costs one ~30ms round trip, included in the
+reported time — conservative).
+
+Baseline: reference 12-core Threadripper DTT row incl setup (BASELINE.md):
+N=1e6 -> 1.2913 s; N=1e7 -> 13.577 s. vs_baseline = baseline / measured
+(higher is better).
 """
 
 import json
@@ -17,23 +21,28 @@ import os
 import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 import jax
 import jax.numpy as jnp
 import numpy as np
-
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from onbody_tpu import parts as P
 from onbody_tpu.config import SolverConfig
 from onbody_tpu.ops.kernels import get_kernel
 from onbody_tpu.traverse import direct, dtt, treecode
 
-N = int(os.environ.get("ONBODY_BENCH_N", 1_000_000))
-BASELINES = {  # reference DTT incl setup, seconds (BASELINE.md / README.md:82-90)
+N = int(float(os.environ.get("ONBODY_BENCH_N", 1_000_000)))
+BASELINES = {  # reference DTT incl setup, seconds (BASELINE.md)
     1_000_000: 1.1449 + 0.0879 + 0.0585,
     10_000_000: 12.199 + 0.9067 + 0.4713,
     100_000_000: 114.011 + 8.2903 + 4.6498,
 }
+
+
+def _sync(x) -> float:
+    """True device synchronization: fetch one scalar of the result."""
+    return float(np.asarray(jax.tree_util.tree_leaves(x)[0].ravel()[0]))
 
 
 def main():
@@ -44,30 +53,32 @@ def main():
     ks, kt = jax.random.split(jax.random.PRNGKey(12345))
     srcs = P.random_in_cube(ks, N, 3, 1, True)
     targs = P.random_in_cube(kt, N, 3, 0, False)
-    jax.block_until_ready((srcs.x, targs.x))
+    _sync(srcs.x)
+    _sync(targs.x)
 
     def full_eval():
         plan = treecode.prepare(kernel, cfg, srcs, targs)
-        out, pl = dtt.solve_dtt(kernel, cfg, plan)
-        return out, pl
+        return dtt.solve_dtt(kernel, cfg, plan)
 
-    # compile + warm up
-    out, pl = full_eval()
-    jax.block_until_ready(out)
-    assert int(pl.overflow) == 0, "interaction list overflow"
+    # compile + warm up (slow: remote-compiled kernels)
+    out, info = full_eval()
+    _sync(out)
 
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
-        out, pl = full_eval()
-        jax.block_until_ready(out)
+        out, info = full_eval()
+        _sync(out)
         times.append(time.perf_counter() - t0)
     t = min(times)
 
-    # accuracy spot check vs fp64 oracle on a subsample
+    overflow = int(np.asarray(info.overflow))
+    assert overflow == 0, f"interaction list overflow ({overflow})"
+
+    # accuracy spot check vs direct on a subsample (f32 oracle on-chip)
     tskip = max(1, N * N // int(2e10))
     ref = np.asarray(direct.direct_oracle(kernel, srcs, targs, tskip=tskip))
-    got = np.asarray(out)[::tskip]
+    got = np.asarray(out)[::tskip][:ref.shape[0]]
     rel = float(np.linalg.norm(got - ref) / np.linalg.norm(ref))
 
     base = BASELINES.get(N)

@@ -262,13 +262,30 @@ def featurize(name: str, pos, rad, s):
     raise KeyError(name)
 
 
-def _d2_fm(tpos, srcT, pd):
-    """(B_t, B_s) squared distances: per-dim lane/sublane broadcast."""
-    d2 = None
-    for d in range(pd):
-        diff = tpos[:, d:d + 1] - srcT[d:d + 1, :]
-        d2 = diff * diff if d2 is None else d2 + diff * diff
-    return d2
+def _d2_fm(tpos, srcT, pd, mode: str = "outer"):
+    """(B_t, B_s) squared distances from a feature-major source block.
+
+    'outer'  — per-dim lane/sublane broadcast (pure VPU, exact).
+    'center' — tile-centered Gram: |t'|^2 - 2 t'.s' + |s'|^2 with the
+               rank-pd contraction on the MXU; centering on the target
+               tile mean bounds fp32 cancellation by the tile extent,
+               which for near tiles is the particle spacing scale.
+    """
+    if mode == "outer":
+        d2 = None
+        for d in range(pd):
+            diff = tpos[:, d:d + 1] - srcT[d:d + 1, :]
+            d2 = diff * diff if d2 is None else d2 + diff * diff
+        return d2
+    c = jnp.mean(tpos, axis=0)                        # (pd,)
+    t = tpos - c                                      # (B, pd)
+    s = srcT[:pd, :] - c[:, None]                     # (pd, GB)
+    g = lax.dot_general(t, s, dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=t.dtype,
+                        precision=lax.Precision.HIGHEST)
+    t2 = jnp.sum(t * t, axis=1, keepdims=True)        # (B, 1)
+    s2 = jnp.sum(s * s, axis=0, keepdims=True)        # (1, GB)
+    return jnp.maximum(t2 - 2.0 * g + s2, 0.0)
 
 
 def _dotg_fm(w, rows, accum_dtype):
@@ -284,8 +301,8 @@ def _rowsum(w, accum_dtype):
 
 
 def _grav3d_tile_fm(tpos, trad, srcT, core="rm",
-                    accum_dtype=jnp.float32):
-    d2 = _d2_fm(tpos, srcT, 3)
+                    accum_dtype=jnp.float32, d2_mode="outer"):
+    d2 = _d2_fm(tpos, srcT, 3, d2_mode)
     sr = srcT[3:4, :]
     m = srcT[4:5, :]
     rinv = lax.rsqrt(d2 + sr * sr)
@@ -296,8 +313,8 @@ def _grav3d_tile_fm(tpos, trad, srcT, core="rm",
 
 
 def _vort2d_tile_fm(tpos, trad, srcT, core="rm",
-                    accum_dtype=jnp.float32):
-    d2 = _d2_fm(tpos, srcT, 2)
+                    accum_dtype=jnp.float32, d2_mode="outer"):
+    d2 = _d2_fm(tpos, srcT, 2, d2_mode)
     sr = srcT[2:3, :]
     ss = srcT[3:4, :]
     c = cf.core_2d(core)(d2, sr, trad[:, None])
@@ -311,8 +328,8 @@ def _vort2d_tile_fm(tpos, trad, srcT, core="rm",
 
 
 def _vort3d_tile_fm(tpos, trad, srcT, core="rm",
-                    accum_dtype=jnp.float32):
-    d2 = _d2_fm(tpos, srcT, 3)
+                    accum_dtype=jnp.float32, d2_mode="outer"):
+    d2 = _d2_fm(tpos, srcT, 3, d2_mode)
     sr = srcT[3:4, :]
     c = cf.core_3d(core)(d2, sr)
     o = _dotg_fm(c, srcT[4:10, :], accum_dtype)      # (B, 6): C@w, C@e
@@ -347,8 +364,8 @@ def _vortgrad_combine(oR, oB, txa):
 
 
 def _vortgrad3d_tile_fm(tpos, trad, srcT, core="rm",
-                        accum_dtype=jnp.float32):
-    d2 = _d2_fm(tpos, srcT, 3)
+                        accum_dtype=jnp.float32, d2_mode="outer"):
+    d2 = _d2_fm(tpos, srcT, 3, d2_mode)
     sr = srcT[3:4, :]
     r3, bbb = cf.core_3d_grads(core)(d2, sr)
     oR = _dotg_fm(r3, srcT[4:10, :], accum_dtype)

@@ -47,7 +47,7 @@ CHUNK_GROUPS = 16384
 
 
 def _body(pt_ref, ps_ref, tgt_ref, *rest, kernel_name: str, core: str,
-          accum_dtype, pd: int):
+          accum_dtype, pd: int, d2_mode: str):
     srcs = rest[:GROUP]
     prev_ref, out_ref = rest[GROUP], rest[GROUP + 1]
     p = pl.program_id(0)
@@ -60,16 +60,18 @@ def _body(pt_ref, ps_ref, tgt_ref, *rest, kernel_name: str, core: str,
         t = tgt_ref[0]                                   # (B, PD+1)
         s = jnp.concatenate([r[0] for r in srcs], axis=1)  # (C, G*B)
         tile = TILE_FM[kernel_name](t[:, :pd], t[:, pd], s, core,
-                                    accum_dtype)
+                                    accum_dtype, d2_mode)
         prev_t = pt_ref[jnp.maximum(p - 1, 0)]
         first = jnp.logical_or(p == 0, prev_t != pt_ref[p])
         out_ref[0] = jnp.where(first, prev_ref[0], out_ref[0]) + tile
 
 
 @functools.partial(
-    jax.jit, static_argnames=("kernel", "core", "accum_dtype", "interpret"))
+    jax.jit, static_argnames=("kernel", "core", "accum_dtype", "interpret",
+                              "d2_mode"))
 def _exec_chunk(kernel: Kernel, tgt_geo, src_fm, pair_t, pair_s, out,
-                core: str, accum_dtype, interpret: bool):
+                core: str, accum_dtype, interpret: bool,
+                d2_mode: str = "outer"):
     nn_t, b, _ = tgt_geo.shape
     c = src_fm.shape[1]
     p = pair_t.shape[0]
@@ -95,7 +97,8 @@ def _exec_chunk(kernel: Kernel, tgt_geo, src_fm, pair_t, pair_s, out,
                                lambda i, pt, ps: (pt[i], 0, 0)),
     )
     body = functools.partial(_body, kernel_name=kernel.name, core=core,
-                             accum_dtype=accum_dtype, pd=pd)
+                             accum_dtype=accum_dtype, pd=pd,
+                             d2_mode=d2_mode)
     flops_per_step = GROUP * b * b * kernel.flops_fn(core)
     return pl.pallas_call(
         body,
@@ -116,7 +119,8 @@ def exec_pairs_pallas(kernel: Kernel, tgt_geo: jax.Array,
                       src_fm: jax.Array, group_t: jax.Array,
                       group_s: jax.Array, core: str = "rm",
                       accum_dtype=jnp.float32,
-                      interpret: bool = False) -> jax.Array:
+                      interpret: bool = False,
+                      d2_mode: str = "outer") -> jax.Array:
     """tgt_geo (NN_t, B, PD+1), src_fm (NN_s, C, B), group_t (P,),
     group_s (P, GROUP) — groups ordered by target row. Returns
     out (NN_t, B, OD); rows with no groups are zero."""
@@ -131,10 +135,10 @@ def exec_pairs_pallas(kernel: Kernel, tgt_geo: jax.Array,
             out = _exec_chunk(kernel, tgt_geo, src_fm,
                               group_t[i:i + CHUNK_GROUPS],
                               group_s[i:i + CHUNK_GROUPS], out, core,
-                              accum_dtype, interpret)
+                              accum_dtype, interpret, d2_mode)
         return out
     return _exec_chunk(kernel, tgt_geo, src_fm, group_t, group_s, out,
-                       core, accum_dtype, interpret)
+                       core, accum_dtype, interpret, d2_mode)
 
 
 def build_fm_blocks(kernel: Kernel, blocks_pos, blocks_rad, blocks_s,

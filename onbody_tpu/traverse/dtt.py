@@ -79,6 +79,27 @@ def _downward_copy(out, levels: int, block_size: int):
     return out
 
 
+def fastsumm_stats(raw: lists.PairList, nleaf_s: int, nleaf_t: int):
+    """Interaction-type counters, the analogue of the reference's
+    fastsumm_stats {sltl, sbtl, sltb, sbtb} (ongrav3d.cpp:193-196).
+
+    Unlike the reference — whose stats accumulation has a documented race
+    without taskwait (README.md:200) and ships disabled — these are
+    deterministic reductions over the pair list.
+    """
+    valid = raw.src != 0
+    s_leaf = raw.src >= nleaf_s
+    t_leaf = raw.tgt >= nleaf_t
+    def cnt(m):
+        return jnp.sum(valid & m, dtype=jnp.int32)
+    return {
+        "sltl": cnt(s_leaf & t_leaf),
+        "sbtl": cnt(~s_leaf & t_leaf),
+        "sltb": cnt(s_leaf & ~t_leaf),
+        "sbtb": cnt(~s_leaf & ~t_leaf),
+    }
+
+
 def solve_dtt(kernel: Kernel, cfg: SolverConfig, plan: Plan,
               theta: Optional[float] = None) -> Tuple[jax.Array,
                                                       lists.PairList]:

@@ -89,9 +89,11 @@ def exec_pairs(kernel: Kernel, cfg, plan, raw: PairList, slot_width: int,
         g = pp.GROUP
         cap = max(1024, n_rows * cap_groups_per_row)
         pg = lists.group_pairs(raw, cap, g, slot_width)
+        d2m = "center" if cfg.d2_mode == "center" else "outer"
         out = pp.exec_pairs_pallas(kernel, plan.tgt_geo, plan.src_fm,
                                    pg.tgt, pg.src, cfg.core_func,
-                                   cfg.accum_dtype, interpret=interpret)
+                                   cfg.accum_dtype, interpret=interpret,
+                                   d2_mode=d2m)
         return out, pg
     cap = max(1024, n_rows * cap_groups_per_row * 8)
     cap = min(cap, raw.tgt.shape[0])

@@ -131,12 +131,11 @@ def solve_treecode1(kernel: Kernel, cfg: SolverConfig, plan: Plan,
     bs = plan.ttree.block_size
 
     # split accepted rows: interior -> monopoles, leaves -> direct pairs
+    # (static width: no host syncs in the solve path; node 0 is inert)
     is_interior = (pl_rows > 0) & (pl_rows < nleaf_s)
-    mono_ids, _ = lists._compact_rows(jnp.where(is_interior, pl_rows, 0),
-                                      cfg.list_width)
-    maxm = int(jnp.max(jnp.sum(mono_ids != 0, axis=1)))
-    maxm = max(128, 1 << (maxm - 1).bit_length()) if maxm else 128
-    mono_ids = mono_ids[:, :maxm]
+    mono_ids, mono_ov = lists._compact_rows(
+        jnp.where(is_interior, pl_rows, 0), cfg.list_width)
+    ov = ov + mono_ov
 
     mono_pos = plan.stree.x[mono_ids]                 # (L, M, PD)
     mono_rad = plan.stree.pr[mono_ids]
@@ -145,7 +144,8 @@ def solve_treecode1(kernel: Kernel, cfg: SolverConfig, plan: Plan,
     tgt_pos = plan.tgt_sorted.x.reshape(nleaf_t, bs, -1)
     tgt_rad = plan.tgt_sorted.r.reshape(nleaf_t, bs)
     far = _monopole_eval(kernel, tgt_pos, tgt_rad, mono_pos, mono_rad,
-                         mono_str, cfg.core_func, cfg.accum_dtype, maxm)
+                         mono_str, cfg.core_func, cfg.accum_dtype,
+                         cfg.list_width)
 
     # near: leaf-leaf direct via the standard pair executor
     leaf_rows = jnp.where(pl_rows >= nleaf_s, pl_rows, 0)

@@ -101,3 +101,24 @@ def test_pallas_direct_matches_oracle():
     rel = (np.linalg.norm(np.asarray(out) - np.asarray(ref)) /
            np.linalg.norm(np.asarray(ref)))
     assert rel < 2e-5, rel
+
+
+def test_fm_center_d2_matches_outer_f32():
+    """MXU-Gram d2 must track the exact broadcast form in fp32 at the
+    accuracy floor (near tiles: centering bounds cancellation)."""
+    from onbody_tpu.ops.kernels import TILE_FM, featurize
+    kernel = KERNELS["grav3d"]
+    k = jax.random.PRNGKey(5)
+    k1, k2, k3, k4 = jax.random.split(k, 4)
+    # near tile: tight cluster (worst case for Gram cancellation)
+    tx = 0.5 + 0.01 * jax.random.uniform(k1, (128, 3), jnp.float32)
+    sx = 0.5 + 0.01 * jax.random.uniform(k2, (128, 3), jnp.float32)
+    sr = jax.random.uniform(k3, (128,), jnp.float32, 0.005, 0.01)
+    ss = jax.random.uniform(k4, (128, 1), jnp.float32, -1, 1) / 128
+    tr = jnp.zeros((128,), jnp.float32)
+    srcT = featurize("grav3d", sx, sr, ss)
+    a = TILE_FM["grav3d"](tx, tr, srcT, "rm", jnp.float32, "outer")
+    b = TILE_FM["grav3d"](tx, tr, srcT, "rm", jnp.float32, "center")
+    rel = (np.linalg.norm(np.asarray(a) - np.asarray(b)) /
+           np.linalg.norm(np.asarray(a)))
+    assert rel < 5e-5, rel
