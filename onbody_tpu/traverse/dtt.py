@@ -53,7 +53,8 @@ def _downward(out, tree_nc, tree_ns, tgt_pos, order: int, levels: int,
         parent_ns = jnp.repeat(tree_ns[par], 2, axis=0)
         w = eq.bary_weights(pts, parent_nc, parent_ns, order)  # (2np,P,M)
         parent_u = jnp.repeat(out[par, :M], 2, axis=0)         # (2np,M,OD)
-        add = jnp.einsum("npm,nmo->npo", w, parent_u)
+        add = jnp.einsum("npm,nmo->npo", w, parent_u,
+                         precision=jax.lax.Precision.HIGHEST)
         out = out.at[chl, :width].add(add)
     return out
 

@@ -153,7 +153,8 @@ def _build(x, r, s, gidx, levels: int, block_size: int, refine: bool,
     else:
         w = jnp.ones((nleaf, block_size), dtype)
     wsum = 1e-20 + jnp.sum(w, axis=1)
-    leaf_cm = jnp.einsum("lbp,lb->lp", xs, w) / wsum[:, None]
+    leaf_cm = jnp.einsum("lbp,lb->lp", xs, w,
+                         precision=jax.lax.Precision.HIGHEST) / wsum[:, None]
     leaf_s = (jnp.sum(s.reshape(nleaf, block_size, sd), axis=1)
               if s is not None else jnp.zeros((nleaf, 1), dtype))
     leaf_pr = jnp.mean(r.reshape(nleaf, block_size), axis=1)

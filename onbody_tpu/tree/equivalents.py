@@ -157,7 +157,8 @@ def _bary_impl(tree: Tree, x, r, s, order: int, width: int,
             src_pos = child_pos.reshape(nseg, 2 * M, pd)
             src_str = child_str.reshape(nseg, 2 * M, sd)
         w = bary_weights(src_pos, nc_l, ns_l, order)     # (nseg, P, M)
-        eq_s = jnp.einsum("npm,nps->nms", w, src_str)
+        eq_s = jnp.einsum("npm,nps->nms", w, src_str,
+                          precision=jax.lax.Precision.HIGHEST)
         pos = pos.at[sl, :M].set(grid)
         # park unused slots at node center (ref :335-337)
         if M < width:
