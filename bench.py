@@ -75,9 +75,13 @@ def main():
     overflow = int(np.asarray(info.overflow))
     assert overflow == 0, f"interaction list overflow ({overflow})"
 
-    # accuracy spot check vs direct on a subsample (f32 oracle on-chip)
-    tskip = max(1, N * N // int(2e10))
-    ref = np.asarray(direct.direct_oracle(kernel, srcs, targs, tskip=tskip))
+    # accuracy spot check vs direct on a subsample: the tiled f32 direct
+    # path (its own error ~1e-6 is far below the ~1e-4 being measured;
+    # the fp64 oracle lives in tests where CPU fp64 is native)
+    tskip = max(1, N * N // int(4e11))
+    import dataclasses
+    sub = dataclasses.replace(targs, x=targs.x[::tskip], r=targs.r[::tskip])
+    ref = np.asarray(direct.direct(kernel, srcs, sub))
     got = np.asarray(out)[::tskip][:ref.shape[0]]
     rel = float(np.linalg.norm(got - ref) / np.linalg.norm(ref))
 

@@ -39,6 +39,11 @@ class SolverConfig:
     # (compact exponential) — ref CoreFunc2d.hpp:11-12, CoreFunc3d.hpp:11-12
     core_func: str = "rm"
 
+    # tree construction: 'median' (VAMsplit-equivalent) or 'morton'
+    # (single space-filling-curve sort; ~10x faster build, slightly
+    # fatter boxes)
+    tree_mode: str = "median"
+
     # storage / accumulation dtypes (ref README.md:107-110 documents the
     # fp32-storage + fp64-accumulation accuracy upgrade)
     storage_dtype: jnp.dtype = jnp.float32
@@ -50,8 +55,9 @@ class SolverConfig:
     frontier_width: int = 512
     list_width: int = 2048
 
-    # execution backend for the pair executor: 'pallas' or 'jnp'
-    pair_backend: str = "jnp"
+    # execution backend for the pair executor: 'auto' (pallas on TPU,
+    # jnp elsewhere), 'pallas', or 'jnp'
+    pair_backend: str = "auto"
 
     # static interaction-list capacity, in 8-wide source groups per
     # emitted target row (keeps the solve path free of host syncs; the

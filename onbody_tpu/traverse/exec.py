@@ -81,7 +81,11 @@ def exec_pairs(kernel: Kernel, cfg, plan, raw: PairList, slot_width: int,
 
     n_rows = raw.tgt.shape[0] // slot_width
 
-    if cfg.pair_backend == "pallas":
+    backend = cfg.pair_backend
+    if backend == "auto":
+        backend = ("pallas" if jax.devices()[0].platform == "tpu"
+                   else "jnp")
+    if backend == "pallas":
         from onbody_tpu.ops import pallas_pairs as pp
         # CPU has no Mosaic backend: fall back to the interpreter so the
         # pallas path stays testable on the virtual mesh

@@ -43,6 +43,7 @@ class Plan(NamedTuple):
     tgt_gidx: jax.Array
     src_fm: jax.Array    # feature-major (NN, C, B) for the Pallas backend
     tgt_geo: jax.Array   # (NN, B, PD+1) [pos | radius]
+    tgt_inv: jax.Array   # inverse of tgt_gidx: original index -> slot
 
 
 def prepare(kernel: Kernel, cfg: SolverConfig, srcs: Parts,
@@ -52,9 +53,11 @@ def prepare(kernel: Kernel, cfg: SolverConfig, srcs: Parts,
     ongrav3d.cpp:600-725)."""
     refine = cfg.order < 0
     stree, ss, sg = tree_build.build_tree(srcs, cfg.block_size,
-                                          refine=refine)
+                                          refine=refine,
+                                          mode=cfg.tree_mode)
     ttree, ts, tg = tree_build.build_tree(targs, cfg.block_size,
-                                          refine=refine)
+                                          refine=refine,
+                                          mode=cfg.tree_mode)
     if cfg.order >= 0:
         sblocks = eq.barycentric_blocks(stree, ss, cfg.order)
         tblocks = eq.target_blocks(ttree, ts, cfg.order)
@@ -64,9 +67,12 @@ def prepare(kernel: Kernel, cfg: SolverConfig, srcs: Parts,
     from onbody_tpu.ops import pallas_pairs as pp
     src_fm = pp.build_fm_blocks(kernel, sblocks.pos, sblocks.rad, sblocks.s)
     tgt_geo = pp.build_tgt_geo(tblocks.pos, tblocks.rad)
+    tgt_inv = jnp.zeros((targs.n_real,), jnp.int32).at[tg].set(
+        jnp.arange(tg.shape[0], dtype=jnp.int32), mode="drop")
     return Plan(stree=stree, ttree=ttree, src_sorted=ss, tgt_sorted=ts,
                 src_blocks=sblocks, tgt_blocks=tblocks,
-                src_gidx=sg, tgt_gidx=tg, src_fm=src_fm, tgt_geo=tgt_geo)
+                src_gidx=sg, tgt_gidx=tg, src_fm=src_fm, tgt_geo=tgt_geo,
+                tgt_inv=tgt_inv)
 
 
 def _unscramble(u_sorted: jax.Array, gidx: jax.Array, n_real: int):
@@ -82,7 +88,9 @@ def _leaf_outputs(out_blocks: jax.Array, plan: Plan, kernel: Kernel,
     nleaf = plan.ttree.nleaf
     bs = plan.ttree.block_size
     leaf = out_blocks[nleaf:, :bs, :].reshape(-1, kernel.od)
-    return _unscramble(leaf, plan.tgt_gidx, n_real)
+    # gather through the precomputed inverse permutation (TPU gathers
+    # are much faster than scatters; the scatter cost moved to prepare)
+    return leaf[plan.tgt_inv]
 
 
 def solve_treecode2(kernel: Kernel, cfg: SolverConfig, plan: Plan,

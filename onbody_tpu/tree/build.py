@@ -99,10 +99,43 @@ def _apply_perm(arrs, order):
     return out
 
 
+def _morton_keys(x, pd: int):
+    """Interleaved-bit Morton codes (uint32) from positions.
+
+    10 bits per dim in 3D, 15 in 2D — cell resolution far below leaf
+    granularity at any practical N. The classic parallel-spread bit
+    tricks, expressed in jnp integer ops.
+    """
+    lo = jnp.min(x, axis=0)
+    hi = jnp.max(x, axis=0)
+    bits = 10 if pd == 3 else 15
+    scale = (2 ** bits - 1) / jnp.maximum(hi - lo, 1e-30)
+    q = jnp.clip((x - lo) * scale, 0, 2 ** bits - 1).astype(jnp.uint32)
+
+    def spread3(v):  # 10 bits -> every 3rd bit
+        v = (v | (v << 16)) & jnp.uint32(0x030000FF)
+        v = (v | (v << 8)) & jnp.uint32(0x0300F00F)
+        v = (v | (v << 4)) & jnp.uint32(0x030C30C3)
+        v = (v | (v << 2)) & jnp.uint32(0x09249249)
+        return v
+
+    def spread2(v):  # 15 bits -> every 2nd bit
+        v = (v | (v << 8)) & jnp.uint32(0x00FF00FF)
+        v = (v | (v << 4)) & jnp.uint32(0x0F0F0F0F)
+        v = (v | (v << 2)) & jnp.uint32(0x33333333)
+        v = (v | (v << 1)) & jnp.uint32(0x55555555)
+        return v
+
+    if pd == 3:
+        return (spread3(q[:, 0]) | (spread3(q[:, 1]) << 1)
+                | (spread3(q[:, 2]) << 2))
+    return spread2(q[:, 0]) | (spread2(q[:, 1]) << 1)
+
+
 @partial(jax.jit, static_argnames=("levels", "block_size", "refine",
-                                   "are_targets"))
+                                   "are_targets", "mode"))
 def _build(x, r, s, gidx, levels: int, block_size: int, refine: bool,
-           are_targets: bool):
+           are_targets: bool, mode: str = "median"):
     n_pad = x.shape[0]
     pd = x.shape[1]
     sd = 0 if s is None else s.shape[1]
@@ -113,26 +146,49 @@ def _build(x, r, s, gidx, levels: int, block_size: int, refine: bool,
     nc_all = jnp.zeros((nn, pd), dtype)
     ns_all = jnp.zeros((nn, pd), dtype)
 
-    # -------- downward: split level by level (boxes computed pre-split,
-    # matching splitNode's ordering, barneshut.hpp:620-639)
-    sort_levels = levels if not refine else int(np.log2(n_pad))
-    for l in range(sort_levels + 1):
-        nseg = 1 << l
-        m = n_pad >> l
-        xs = x.reshape(nseg, m, pd)
-        lo = jnp.min(xs, axis=1)
-        hi = jnp.max(xs, axis=1)
-        if l <= levels:
+    if mode == "morton":
+        # -------- one global space-filling-curve sort; equal-count splits
+        # of the sorted order. Boxes are computed from the actual
+        # particles per segment, so they stay tight; split planes follow
+        # the Morton curve instead of per-level medians (slightly fatter
+        # nodes, ~1 sort instead of `levels`). Intra-leaf order is
+        # hierarchically local by construction (refine comes free).
+        keys = _morton_keys(x, pd)
+        order = jnp.argsort(keys)
+        x = x[order]
+        r = r[order]
+        s = s[order] if s is not None else None
+        gidx = gidx[order]
+        for l in range(levels + 1):
+            nseg = 1 << l
+            xs = x.reshape(nseg, n_pad >> l, pd)
+            lo = jnp.min(xs, axis=1)
+            hi = jnp.max(xs, axis=1)
             sl = slice(nseg, 2 * nseg)
             nc_all = nc_all.at[sl].set(0.5 * (lo + hi))
             ns_all = ns_all.at[sl].set(hi - lo)
-        if l == sort_levels or m < 2:
-            break
-        axis = jnp.argmax(hi - lo, axis=1)                      # (nseg,)
-        keys = jnp.take_along_axis(xs, axis[:, None, None], axis=2)[..., 0]
-        order = jnp.argsort(keys, axis=1)
-        x, r, s, gidx = _apply_perm([x, r, s, gidx], order)
-        x = x.reshape(n_pad, pd)
+    else:
+        # -------- downward: split level by level (boxes computed
+        # pre-split, matching splitNode's ordering, barneshut.hpp:620-639)
+        sort_levels = levels if not refine else int(np.log2(n_pad))
+        for l in range(sort_levels + 1):
+            nseg = 1 << l
+            m = n_pad >> l
+            xs = x.reshape(nseg, m, pd)
+            lo = jnp.min(xs, axis=1)
+            hi = jnp.max(xs, axis=1)
+            if l <= levels:
+                sl = slice(nseg, 2 * nseg)
+                nc_all = nc_all.at[sl].set(0.5 * (lo + hi))
+                ns_all = ns_all.at[sl].set(hi - lo)
+            if l == sort_levels or m < 2:
+                break
+            axis = jnp.argmax(hi - lo, axis=1)                  # (nseg,)
+            keys = jnp.take_along_axis(xs, axis[:, None, None],
+                                       axis=2)[..., 0]
+            order = jnp.argsort(keys, axis=1)
+            x, r, s, gidx = _apply_perm([x, r, s, gidx], order)
+            x = x.reshape(n_pad, pd)
 
     nr_all = 0.5 * jnp.sqrt(jnp.sum(ns_all * ns_all, axis=1))
 
@@ -181,19 +237,23 @@ def _build(x, r, s, gidx, levels: int, block_size: int, refine: bool,
     return tree, x, r, s, gidx
 
 
-def build_tree(p: Parts, block_size: int = 128, refine: bool = False
-               ) -> Tuple[Tree, Parts, jax.Array]:
+def build_tree(p: Parts, block_size: int = 128, refine: bool = False,
+               mode: str = "median") -> Tuple[Tree, Parts, jax.Array]:
     """Build the tree; returns (tree, reordered+padded parts, gidx).
 
     gidx[i] = original index of the particle now in slot i (the
     un-scrambling permutation the C-ABI layer needs,
     interface2dvort.cpp:301-304). Padded slots have gidx >= n_real.
+
+    mode: 'median' (VAMsplit-equivalent per-level median splits, one
+    batched sort per level) or 'morton' (one global space-filling-curve
+    sort; faster build, slightly fatter boxes).
     """
     levels, n_pad = plan(p.n_real, block_size)
     pp = pad_to(p, n_pad)
     gidx = jnp.arange(n_pad, dtype=jnp.int32)
     tree, x, r, s, gidx = _build(pp.x, pp.r, pp.s, gidx, levels,
                                  block_size, refine,
-                                 are_targets=not p.are_sources)
+                                 are_targets=not p.are_sources, mode=mode)
     sorted_parts = Parts(x=x, r=r, s=s, n_real=p.n_real)
     return tree, sorted_parts, gidx

@@ -138,3 +138,42 @@ def test_bary_proxies_approximate_far_field():
     out = jnp.sum(kernel.pairwise(tx, tr, blocks.pos[1], blocks.rad[1],
                                   blocks.s[1], "rm"), axis=1)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4)
+
+
+def test_morton_mode_boxes_and_order():
+    """Morton build: boxes still contain their particles, gidx is a
+    permutation, and a treecode on the morton tree stays accurate."""
+    import jax.numpy as jnp
+    from onbody_tpu.config import SolverConfig
+    from onbody_tpu.ops.kernels import KERNELS
+    from onbody_tpu.traverse import direct, treecode
+
+    p = _srcs(3000)
+    tree, sp, gidx = build.build_tree(p, block_size=64, mode="morton")
+    x = np.asarray(sp.x)
+    n_pad = x.shape[0]
+    for node in [1, 2, 3, 9, tree.nleaf, 2 * tree.nleaf - 1]:
+        l = int(np.log2(node))
+        k = node - (1 << l)
+        m = n_pad >> l
+        seg = x[k * m:(k + 1) * m]
+        nc = np.asarray(tree.nc[node])
+        ns = np.asarray(tree.ns[node])
+        assert np.all(seg >= nc - ns / 2 - 1e-6)
+        assert np.all(seg <= nc + ns / 2 + 1e-6)
+    assert sorted(np.asarray(gidx).tolist()) == list(range(n_pad))
+
+    kernel = KERNELS["grav3d"]
+    cfg = SolverConfig(block_size=64, order=4, tree_mode="morton",
+                       frontier_width=256, list_width=1024,
+                       cap_groups_treecode=96)
+    ks, kt = jax.random.split(jax.random.PRNGKey(2))
+    srcs = P.random_in_cube(ks, 3000, 3, 1, True)
+    targs = P.random_in_cube(kt, 3000, 3, 0, False)
+    ref = direct.direct_oracle(kernel, srcs, targs)
+    plan = treecode.prepare(kernel, cfg, srcs, targs)
+    out, info = treecode.solve_treecode3(kernel, cfg, plan)
+    assert int(info.overflow) == 0
+    rel = (np.linalg.norm(np.asarray(out) - np.asarray(ref)) /
+           np.linalg.norm(np.asarray(ref)))
+    assert rel < 5e-3, rel
