@@ -61,17 +61,25 @@ class PairList(NamedTuple):
 
 def _compact_rows(vals: jax.Array, width: int) -> Tuple[jax.Array, jax.Array]:
     """Move valid (!=0) entries of each row to the front; truncate/pad to
-    `width` columns. Returns (compacted, overflow_count)."""
-    order = jnp.argsort(vals == 0, axis=1, stable=True)
-    sorted_vals = jnp.take_along_axis(vals, order, axis=1)
-    counts = jnp.sum(vals != 0, axis=1, dtype=jnp.int32)
+    `width` columns. Returns (compacted, overflow_count).
+
+    Implemented as a row-local cumsum + one flat scatter (per-row sorts
+    and take_along_axis gathers are far slower on TPU)."""
+    L, K = vals.shape
+    valid = vals != 0
+    pos = jnp.cumsum(valid.astype(jnp.int32), axis=1) - 1
+    counts = jnp.sum(valid, axis=1, dtype=jnp.int32)
     overflow = jnp.sum(jnp.maximum(counts - width, 0), dtype=jnp.int32)
-    if sorted_vals.shape[1] > width:
-        sorted_vals = sorted_vals[:, :width]
-    elif sorted_vals.shape[1] < width:
-        sorted_vals = jnp.pad(sorted_vals,
-                              ((0, 0), (0, width - sorted_vals.shape[1])))
-    return sorted_vals, overflow
+    keep = valid & (pos < width)
+    dump = L * width
+    flat = jnp.where(
+        keep,
+        jnp.arange(L, dtype=jnp.int32)[:, None] * width + pos,
+        dump)
+    out = jnp.zeros((L * width + 1,), vals.dtype)
+    out = out.at[flat.reshape(-1)].set(
+        jnp.where(keep, vals, 0).reshape(-1), mode="drop")
+    return out[:L * width].reshape(L, width), overflow
 
 
 def _append_rows(out, out_cnt, vals):
@@ -92,12 +100,13 @@ def _append_rows(out, out_cnt, vals):
 
 def _put_along_axis(out, pos, vals):
     """Row-wise scatter: out[i, pos[i, j]] = vals[i, j] (vals==0 are inert
-    because they land in the dump column or write 0 over 0)."""
-    L = out.shape[0]
-    rows = jnp.broadcast_to(jnp.arange(L, dtype=jnp.int32)[:, None],
-                            pos.shape)
-    return out.at[rows.reshape(-1), pos.reshape(-1)].set(
-        vals.reshape(-1), mode="drop")
+    because they land in the dump column or write 0 over 0). One flat 1D
+    scatter — 2D scatters are much slower on TPU."""
+    L, K1 = out.shape
+    flat = (jnp.arange(L, dtype=jnp.int32)[:, None] * K1
+            + pos).reshape(-1)
+    return out.reshape(-1).at[flat].set(vals.reshape(-1),
+                                        mode="drop").reshape(L, K1)
 
 
 # ------------------------------------------------------------------- MACs

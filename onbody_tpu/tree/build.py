@@ -86,17 +86,16 @@ def plan(n: int, block_size: int) -> Tuple[int, int]:
 
 
 def _apply_perm(arrs, order):
-    """Permute flat (n_pad, ...) arrays by a (nseg, m) within-segment order."""
-    out = []
+    """Permute flat (n_pad, ...) arrays by a (nseg, m) within-segment order.
+
+    Converts the per-segment order to one flat global index and uses flat
+    gathers — per-segment take_along_axis lowers to row-wise gathers that
+    are ~25x slower on TPU.
+    """
     nseg, m = order.shape
-    for a in arrs:
-        if a is None:
-            out.append(None)
-            continue
-        shaped = a.reshape((nseg, m) + a.shape[1:])
-        idx = order.reshape((nseg, m) + (1,) * (a.ndim - 1))
-        out.append(jnp.take_along_axis(shaped, idx, axis=1).reshape(a.shape))
-    return out
+    base = (jnp.arange(nseg, dtype=order.dtype) * m)[:, None]
+    flat = (order + base).reshape(-1)
+    return [None if a is None else a[flat] for a in arrs]
 
 
 def _morton_keys(x, pd: int):
@@ -184,8 +183,10 @@ def _build(x, r, s, gidx, levels: int, block_size: int, refine: bool,
             if l == sort_levels or m < 2:
                 break
             axis = jnp.argmax(hi - lo, axis=1)                  # (nseg,)
-            keys = jnp.take_along_axis(xs, axis[:, None, None],
-                                       axis=2)[..., 0]
+            # per-particle longest-axis coordinate via a one-hot
+            # contraction (pure VPU; beats a dynamic gather)
+            onehot = jax.nn.one_hot(axis, pd, dtype=dtype)      # (nseg, pd)
+            keys = jnp.sum(xs * onehot[:, None, :], axis=2)
             order = jnp.argsort(keys, axis=1)
             x, r, s, gidx = _apply_perm([x, r, s, gidx], order)
             x = x.reshape(n_pad, pd)
