@@ -169,11 +169,26 @@ def _build(x, r, s, gidx, levels: int, block_size: int, refine: bool,
     else:
         # -------- downward: split level by level (boxes computed
         # pre-split, matching splitNode's ordering, barneshut.hpp:620-639)
+        #
+        # All per-particle payloads are packed into ONE (n, pd+1+sd+1)
+        # f32 matrix (gidx rides along bitcast): TPU gathers amortize
+        # per-row, so one packed gather per level is ~4x cheaper than
+        # separate 1-D gathers of r/s/gidx.
+        # gidx rides along as f32 VALUES (exact for n < 2^24; a bitcast
+        # would be corrupted on TPU, which quietens signaling-NaN bit
+        # patterns passing through copies)
+        carry_gidx = n_pad <= (1 << 24)
+        cols = [x, r[:, None]]
+        if s is not None:
+            cols.append(s)
+        if carry_gidx:
+            cols.append(gidx.astype(jnp.float32)[:, None])
+        payload = jnp.concatenate(cols, axis=1)
         sort_levels = levels if not refine else int(np.log2(n_pad))
         for l in range(sort_levels + 1):
             nseg = 1 << l
             m = n_pad >> l
-            xs = x.reshape(nseg, m, pd)
+            xs = payload[:, :pd].reshape(nseg, m, pd)
             lo = jnp.min(xs, axis=1)
             hi = jnp.max(xs, axis=1)
             if l <= levels:
@@ -188,8 +203,16 @@ def _build(x, r, s, gidx, levels: int, block_size: int, refine: bool,
             onehot = jax.nn.one_hot(axis, pd, dtype=dtype)      # (nseg, pd)
             keys = jnp.sum(xs * onehot[:, None, :], axis=2)
             order = jnp.argsort(keys, axis=1)
-            x, r, s, gidx = _apply_perm([x, r, s, gidx], order)
-            x = x.reshape(n_pad, pd)
+            if carry_gidx:
+                (payload,) = _apply_perm([payload], order)
+            else:
+                payload, gidx = _apply_perm([payload, gidx], order)
+        x = payload[:, :pd]
+        r = payload[:, pd]
+        if s is not None:
+            s = payload[:, pd + 1:pd + 1 + sd]
+        if carry_gidx:
+            gidx = payload[:, -1].astype(jnp.int32)
 
     nr_all = 0.5 * jnp.sqrt(jnp.sum(ns_all * ns_all, axis=1))
 
