@@ -110,25 +110,33 @@ def _put_along_axis(out, pos, vals):
 
 
 # ------------------------------------------------------------------- MACs
+#
+# Node geometry is packed into one (NN, 3*pd+1) matrix [nc | x(cm) | ns | nr]
+# so each classification round does ONE row-gather (separate 1-D gathers
+# of nr etc. are ~4x slower per element on TPU). MACs take the gathered
+# rows plus per-target constants (targets are contiguous level slices, so
+# their geometry is sliced, never gathered).
 
-def _gather_geom(tree: Tree, ids):
-    return (tree.nc[ids], tree.nr[ids], tree.x[ids])
+def pack_geom(tree: Tree):
+    return jnp.concatenate(
+        [tree.nc, tree.x, tree.ns, tree.nr[:, None]], axis=1)
 
 
-def mac_boxwise(stree: Tree, ttree: Tree, snode, tleaf_node, theta):
+def _geom_parts(g, pd):
+    return (g[..., :pd], g[..., pd:2 * pd], g[..., 2 * pd:3 * pd],
+            g[..., 3 * pd])
+
+
+def mac_boxwise(sg, pd, tnc, tns, tnr, theta):
     """treecode3 MAC (barneshut.hpp:250-283): geometric-center distance vs
     2*(max(snr,tnr)+0.25*min(snr,tnr))."""
-    snc = stree.nc[snode]
-    tnc = ttree.nc[tleaf_node]
+    snc, _, _, snr = _geom_parts(sg, pd)
     dist = jnp.sqrt(jnp.sum((snc - tnc) ** 2, axis=-1))
-    snr = stree.nr[snode]
-    tnr = ttree.nr[tleaf_node]
     testrad = jnp.maximum(snr, tnr) + 0.25 * jnp.minimum(snr, tnr)
     return dist / (2.0 * testrad) > theta
 
 
-def mac_pointwise_conservative(stree: Tree, ttree: Tree, snode, tleaf_node,
-                               theta):
+def mac_pointwise_conservative(sg, pd, tnc, tns, tnr, theta):
     """Leaf-conservative version of the treecode2 pointwise MAC
     (barneshut.hpp:160-175: |nc_s - x_t| / (2 snr) > theta). Using the
     minimum possible distance from any point in the target leaf box
@@ -136,25 +144,20 @@ def mac_pointwise_conservative(stree: Tree, ttree: Tree, snode, tleaf_node,
     valid for every point in the block — accuracy is >= the reference's
     per-point criterion at slightly more work. This is the TPU-native
     mapping of a per-point recursion onto block-parallel hardware."""
-    snc = stree.nc[snode]
-    tnc = ttree.nc[tleaf_node]
+    snc, _, _, snr = _geom_parts(sg, pd)
     dist = jnp.sqrt(jnp.sum((snc - tnc) ** 2, axis=-1))
-    dist = jnp.maximum(dist - ttree.nr[tleaf_node], 0.0)
-    return dist / (2.0 * stree.nr[snode]) > theta
+    dist = jnp.maximum(dist - tnr, 0.0)
+    return dist / (2.0 * snr) > theta
 
 
-def mac_treecode1_conservative(stree: Tree, ttree: Tree, snode, tleaf_node,
-                               theta):
+def mac_treecode1_conservative(sg, pd, tnc, tns, tnr, theta):
     """Leaf-conservative version of the treecode1 surface-distance MAC
     (barneshut.hpp:85-93): per-axis distance from the source box surface
     (box centered on the CM) to the nearest possible target point."""
-    scm = stree.x[snode]
-    sns = stree.ns[snode]
-    tnc = ttree.nc[tleaf_node]
-    tns = ttree.ns[tleaf_node]
+    _, scm, sns, snr = _geom_parts(sg, pd)
     d = jnp.maximum(jnp.abs(scm - tnc) - 0.5 * sns - 0.5 * tns, 0.0)
     dist = jnp.sqrt(jnp.sum(d * d, axis=-1))
-    return dist / (2.0 * stree.nr[snode]) > theta
+    return dist / (2.0 * snr) > theta
 
 
 _MACS = {
@@ -181,11 +184,16 @@ def _treecode_lists(stree: Tree, ttree: Tree, theta, mac: str,
     nleaf_s = 1 << levels_s
     nleaf_t = ttree.nleaf
     L = nleaf_t
-    tleaf_ids = jnp.arange(nleaf_t, 2 * nleaf_t, dtype=jnp.int32)
+    pd = stree.nc.shape[1]
 
     W = frontier_width
     K = list_width
     mac_fn = _MACS[mac]
+    sgeom = pack_geom(stree)
+    # target leaves are the contiguous tail slice: no gathers
+    tnc = ttree.nc[nleaf_t:][:, None, :]
+    tns = ttree.ns[nleaf_t:][:, None, :]
+    tnr = ttree.nr[nleaf_t:][:, None]
 
     cand = jnp.zeros((L, W), jnp.int32).at[:, 0].set(1)
     out = jnp.zeros((L, K + 1), jnp.int32)
@@ -194,7 +202,8 @@ def _treecode_lists(stree: Tree, ttree: Tree, theta, mac: str,
 
     for _ in range(levels_s + 1):
         valid = cand != 0
-        passes = mac_fn(stree, ttree, cand, tleaf_ids[:, None], theta)
+        sg = sgeom[cand]                         # (L, W, 3*pd+1)
+        passes = mac_fn(sg, pd, tnc, tns, tnr, theta)
         is_leaf = cand >= nleaf_s
         accept = valid & (passes | is_leaf)
         expand = valid & ~passes & ~is_leaf
@@ -244,6 +253,8 @@ def _dtt_lists(stree: Tree, ttree: Tree, theta,
     nleaf_s = 1 << levels_s
     W = frontier_width
     K = list_width
+    pd = stree.nc.shape[1]
+    sgeom = pack_geom(stree)
     theta = jnp.asarray(theta, stree.nc.dtype)
 
     all_tgt = []
@@ -257,8 +268,9 @@ def _dtt_lists(stree: Tree, ttree: Tree, theta,
         nt = 1 << l
         tgt_ids = jnp.arange(nt, 2 * nt, dtype=jnp.int32)
         t_is_leaf = (l == levels_t)
-        tnr = ttree.nr[tgt_ids]                      # (nt,)
-        tcm = ttree.x[tgt_ids]
+        # target nodes at this level are a contiguous slice: no gathers
+        tnr = ttree.nr[nt:2 * nt]                    # (nt,)
+        tcm = ttree.x[nt:2 * nt]
 
         out = jnp.zeros((nt, K + 1), jnp.int32)
         out_cnt = jnp.zeros((nt,), jnp.int32)
@@ -266,8 +278,8 @@ def _dtt_lists(stree: Tree, ttree: Tree, theta,
         def classify(cand):
             valid = cand != 0
             s_is_leaf = cand >= nleaf_s
-            scm = stree.x[cand]                      # (nt, W, PD)
-            snr = stree.nr[cand]
+            sg = sgeom[cand]                         # (nt, W, 3*pd+1)
+            _, scm, _, snr = _geom_parts(sg, pd)
             dist = jnp.sqrt(jnp.sum((scm - tcm[:, None, :]) ** 2, axis=-1))
             sep = dist / (snr + tnr[:, None]) > theta
             both_leaf = s_is_leaf & t_is_leaf
