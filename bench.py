@@ -47,9 +47,16 @@ def _sync(x) -> float:
 
 def main():
     kernel = get_kernel("grav3d")
-    cfg = SolverConfig(block_size=128, order=4, theta_dtt=1.4,
-                       frontier_width=256, list_width=512,
-                       pair_backend="pallas")
+    if N >= 4_000_000:
+        # larger blocks at scale: halves node count and list memory
+        # (HBM is 16GB on this chip); accuracy is equal or better
+        cfg = SolverConfig(block_size=256, order=4, theta_dtt=1.4,
+                           frontier_width=256, list_width=320,
+                           cap_groups_dtt=16, pair_backend="pallas")
+    else:
+        cfg = SolverConfig(block_size=128, order=4, theta_dtt=1.4,
+                           frontier_width=256, list_width=512,
+                           pair_backend="pallas")
     ks, kt = jax.random.split(jax.random.PRNGKey(12345))
     srcs = P.random_in_cube(ks, N, 3, 1, True)
     targs = P.random_in_cube(kt, N, 3, 0, False)

@@ -232,7 +232,7 @@ def _vortgrad3d_tile(tx, tr, sx, sr, ss, core="rm",
 # products) are precomputed once per block by `featurize`, moving that
 # work out of the per-pair hot loop.
 
-FM_ROWS = {  # rows of the feature-major source block, per kernel
+FM_ROWS = {  # used rows of the feature-major source block, per kernel
     "grav3d": 5,        # x, y, z, r, m
     "vort2d": 4,        # x, y, r, ss
     "vort3d": 10,       # x, y, z, r, w(3), e(3)
@@ -243,23 +243,27 @@ FM_ROWS = {  # rows of the feature-major source block, per kernel
 def featurize(name: str, pos, rad, s):
     """Build the (C, B) feature-major block from point-major arrays.
 
-    pos (B, PD), rad (B,), s (B, SD) -> (C, B). Works batched over leading
-    dims via vmap at the call site.
+    pos (B, PD), rad (B,), s (B, SD) -> (C, B) with C padded to a
+    multiple of 8 (Mosaic requires DMA sublane slices aligned to the
+    f32 tile). Works batched over leading dims via vmap at the call site.
     """
-    if name == "grav3d":
-        return jnp.concatenate([pos.T, rad[None, :], s.T], axis=0)
-    if name == "vort2d":
-        return jnp.concatenate([pos.T, rad[None, :], s.T], axis=0)
-    if name == "vort3d":
+    if name in ("grav3d", "vort2d"):
+        out = jnp.concatenate([pos.T, rad[None, :], s.T], axis=0)
+    elif name == "vort3d":
         e = _cross(s, pos)
-        return jnp.concatenate([pos.T, rad[None, :], s.T, e.T], axis=0)
-    if name == "vortgrad3d":
+        out = jnp.concatenate([pos.T, rad[None, :], s.T, e.T], axis=0)
+    elif name == "vortgrad3d":
         e = _cross(s, pos)
         ws = (s[:, :, None] * pos[:, None, :]).reshape(-1, 9)
         es = (e[:, :, None] * pos[:, None, :]).reshape(-1, 9)
-        return jnp.concatenate([pos.T, rad[None, :], s.T, e.T, ws.T, es.T],
-                               axis=0)
-    raise KeyError(name)
+        out = jnp.concatenate([pos.T, rad[None, :], s.T, e.T, ws.T, es.T],
+                              axis=0)
+    else:
+        raise KeyError(name)
+    pad = -out.shape[0] % 8
+    if pad:
+        out = jnp.pad(out, ((0, pad), (0, 0)))
+    return out
 
 
 def _d2_fm(tpos, srcT, pd, mode: str = "outer"):

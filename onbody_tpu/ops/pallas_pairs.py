@@ -1,17 +1,22 @@
 """Pallas pair-list executor: the hot kernel of every fast method.
 
-One grid step per (target_block, 8 source_blocks) group. Pair indices are
-scalar-prefetched so BlockSpec index maps gather the right block rows;
-groups are ordered by target row, so consecutive steps hitting the same
-target keep the accumulator resident in VMEM (output revisiting) — the
-Pallas analogue of the reference's per-leaf-block accumulation in
-treecode3_block (barneshut.hpp:244-287).
+One grid step per (target_block, GROUP source_blocks) group. Group
+indices are scalar-prefetched; groups are ordered by target row, so
+consecutive steps hitting the same target keep the accumulator resident
+in VMEM (output revisiting) — the Pallas analogue of the reference's
+per-leaf-block accumulation in treecode3_block (barneshut.hpp:244-287).
 
-Grouping G=8 source blocks per step turns the work item into a
-(B, G*B) = (128, 1024) tile: the distance matrix is pure lane/sublane
-broadcast on the VPU at full width, the far-field reduction is one
-(B, G*B) x (F, G*B) MXU contraction, and per-grid-step fixed costs are
-amortized 8x.
+Source blocks: the feature-major array stays resident in HBM
+(memory_space ANY, passed ONCE — passing it per-group as separate
+pipeline inputs made XLA allocate GROUP copies, a 33 GB compile OOM at
+N=1e7) and the kernel DMAs the GROUP blocks of each step into a
+double-buffered VMEM scratch, overlapping the next step's fetches with
+the current tile's compute.
+
+Grouping GROUP=8 source blocks per step turns the work item into a
+(B, 8B) = (128, 1024) tile: the distance matrix is lane/sublane broadcast
+on the VPU at full width, the far-field reduction is one MXU contraction,
+and per-grid-step fixed costs are amortized 8x.
 
 Layout: targets point-major (B, PD+1) [pos | radius]; sources
 feature-major (C, B) with precomputed feature rows (ops/kernels.py
@@ -24,9 +29,10 @@ the executor is safely chunkable — scalar-prefetch operands live in SMEM
 (~1 MB), so long lists are split into SMEM-sized chunks threading the
 same buffer (a run split across chunks resumes from the partial sum).
 
-Padding groups are (tgt=0, src=0...): they accumulate garbage into row 0
-only, which is never read. Inert src rows inside a real group contribute
-exactly zero (row 0 has zero strengths and radius one).
+Padding groups are (tgt=0, src=0...): they skip compute via the
+pt != 0 guard and only ever touch row 0, which is never read. Inert src
+rows inside a real group contribute exactly zero (row 0 has zero
+strengths and radius one).
 """
 
 from __future__ import annotations
@@ -42,77 +48,104 @@ from jax.experimental.pallas import tpu as pltpu
 from onbody_tpu.ops.kernels import TILE_FM, FM_ROWS, Kernel, featurize
 
 GROUP = 8
-# scalar-prefetch budget: tgt (P,) + src (P, G) int32 in SMEM per call
+# scalar-prefetch budget: tgt (P,) + src (P*G,) int32 in SMEM per call
 CHUNK_GROUPS = 16384
 
 
-def _body(pt_ref, ps_ref, tgt_ref, *rest, kernel_name: str, core: str,
-          accum_dtype, pd: int, d2_mode: str):
-    srcs = rest[:GROUP]
-    prev_ref, out_ref = rest[GROUP], rest[GROUP + 1]
+def _body(pt_ref, ps_ref, tgt_ref, src_hbm, prev_ref, out_ref,
+          scratch, sems, *, kernel_name: str, core: str, accum_dtype,
+          pd: int, od: int, d2_mode: str):
     p = pl.program_id(0)
+    n = pl.num_programs(0)
 
-    # padding-tail steps (tgt row 0) skip all compute; their block DMAs
-    # hit the cached row-0 blocks, so a generous static cap costs almost
-    # nothing per skipped step (no host sync needed to size the list)
+    def dma(bank, step, j):
+        return pltpu.make_async_copy(
+            src_hbm.at[ps_ref[step * GROUP + j]],
+            scratch.at[bank, j],
+            sems.at[bank, j])
+
+    def start(bank, step):
+        for j in range(GROUP):
+            dma(bank, step, j).start()
+
+    # double-buffered source fetch: warm up on the first step, prefetch
+    # the next step's blocks while computing this one
+    @pl.when(p == 0)
+    def _():
+        start(0, 0)
+
+    @pl.when(p + 1 < n)
+    def _():
+        start((p + 1) % 2, p + 1)
+
+    bank = p % 2
+    for j in range(GROUP):
+        dma(bank, p, j).wait()
+
+    # padding-tail steps (tgt row 0) skip all compute
     @pl.when(pt_ref[p] != 0)
     def _():
-        t = tgt_ref[0]                                   # (B, PD+1)
-        s = jnp.concatenate([r[0] for r in srcs], axis=1)  # (C, G*B)
+        # targets and outputs are feature-major (rows, B): blocks with a
+        # tiny trailing dim would be lane-padded to 128 by the pipeline
+        # (a 32x HBM blowup at scale)
+        tg = tgt_ref[0]                                  # (8, B)
+        t = tg[:pd + 1].T                                # (B, PD+1)
+        s = jnp.concatenate([scratch[bank, j] for j in range(GROUP)],
+                            axis=1)                      # (C, G*B)
         tile = TILE_FM[kernel_name](t[:, :pd], t[:, pd], s, core,
                                     accum_dtype, d2_mode)
+        od8 = out_ref.shape[1]
+        tile_fm = jnp.pad(tile.T, ((0, od8 - od), (0, 0)))
         prev_t = pt_ref[jnp.maximum(p - 1, 0)]
         first = jnp.logical_or(p == 0, prev_t != pt_ref[p])
-        out_ref[0] = jnp.where(first, prev_ref[0], out_ref[0]) + tile
+        out_ref[0] = jnp.where(first, prev_ref[0], out_ref[0]) + tile_fm
 
 
 @functools.partial(
     jax.jit, static_argnames=("kernel", "core", "accum_dtype", "interpret",
-                              "d2_mode"))
+                              "d2_mode"),
+    donate_argnums=(5,))
 def _exec_chunk(kernel: Kernel, tgt_geo, src_fm, pair_t, pair_s, out,
                 core: str, accum_dtype, interpret: bool,
                 d2_mode: str = "outer"):
-    nn_t, b, _ = tgt_geo.shape
+    nn_t, _, b = tgt_geo.shape
     c = src_fm.shape[1]
     p = pair_t.shape[0]
     pd = kernel.pd
-
-    def src_spec(j):
-        # pair_s is flattened (P*GROUP,): 2D scalar-prefetch operands get
-        # lane-padded 16x in SMEM, 1D ones don't
-        return pl.BlockSpec((1, c, b),
-                            lambda i, pt, ps, j=j: (ps[i * GROUP + j],
-                                                    0, 0))
+    od8 = -(-kernel.od // 8) * 8
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(p,),
         in_specs=[
-            pl.BlockSpec((1, b, pd + 1), lambda i, pt, ps: (pt[i], 0, 0)),
-            *[src_spec(j) for j in range(GROUP)],
-            pl.BlockSpec((1, b, kernel.od),
-                         lambda i, pt, ps: (pt[i], 0, 0)),
+            pl.BlockSpec((1, 8, b), lambda i, pt, ps: (pt[i], 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),   # src_fm stays in HBM
+            pl.BlockSpec((1, od8, b), lambda i, pt, ps: (pt[i], 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, b, kernel.od),
+        out_specs=pl.BlockSpec((1, od8, b),
                                lambda i, pt, ps: (pt[i], 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, GROUP, c, b), src_fm.dtype),
+            pltpu.SemaphoreType.DMA((2, GROUP)),
+        ],
     )
     body = functools.partial(_body, kernel_name=kernel.name, core=core,
-                             accum_dtype=accum_dtype, pd=pd,
+                             accum_dtype=accum_dtype, pd=pd, od=kernel.od,
                              d2_mode=d2_mode)
     flops_per_step = GROUP * b * b * kernel.flops_fn(core)
     return pl.pallas_call(
         body,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((nn_t, b, kernel.od), accum_dtype),
-        # inputs: pair_t(0), pair_s(1), tgt_geo(2), src x GROUP, prev
-        input_output_aliases={2 + 1 + GROUP: 0},
+        out_shape=jax.ShapeDtypeStruct((nn_t, od8, b), accum_dtype),
+        # inputs: pair_t(0), pair_s(1), tgt_geo(2), src_fm(3), prev(4)
+        input_output_aliases={4: 0},
         cost_estimate=pl.CostEstimate(
             flops=flops_per_step * p,
             bytes_accessed=p * (b * (pd + 1) + GROUP * c * b
                                 + 2 * b * kernel.od) * 4,
             transcendentals=p * GROUP * b * b),
         interpret=interpret,
-    )(pair_t, pair_s.reshape(-1), tgt_geo, *([src_fm] * GROUP), out)
+    )(pair_t, pair_s.reshape(-1), tgt_geo, src_fm, out)
 
 
 def exec_pairs_pallas(kernel: Kernel, tgt_geo: jax.Array,
@@ -124,9 +157,10 @@ def exec_pairs_pallas(kernel: Kernel, tgt_geo: jax.Array,
     """tgt_geo (NN_t, B, PD+1), src_fm (NN_s, C, B), group_t (P,),
     group_s (P, GROUP) — groups ordered by target row. Returns
     out (NN_t, B, OD); rows with no groups are zero."""
-    nn_t, b, _ = tgt_geo.shape
+    nn_t, _, b = tgt_geo.shape
     p = group_t.shape[0]
-    out = jnp.zeros((nn_t, b, kernel.od), accum_dtype)
+    od8 = -(-kernel.od // 8) * 8
+    out = jnp.zeros((nn_t, od8, b), accum_dtype)
     if p > CHUNK_GROUPS:
         pad = -p % CHUNK_GROUPS
         group_t = jnp.pad(group_t, (0, pad))
@@ -136,9 +170,11 @@ def exec_pairs_pallas(kernel: Kernel, tgt_geo: jax.Array,
                               group_t[i:i + CHUNK_GROUPS],
                               group_s[i:i + CHUNK_GROUPS], out, core,
                               accum_dtype, interpret, d2_mode)
-        return out
-    return _exec_chunk(kernel, tgt_geo, src_fm, group_t, group_s, out,
-                       core, accum_dtype, interpret, d2_mode)
+    else:
+        out = _exec_chunk(kernel, tgt_geo, src_fm, group_t, group_s, out,
+                          core, accum_dtype, interpret, d2_mode)
+    # back to the framework-standard (NN, B, OD) point-major layout
+    return jnp.transpose(out[:, :kernel.od, :], (0, 2, 1))
 
 
 def build_fm_blocks(kernel: Kernel, blocks_pos, blocks_rad, blocks_s,
@@ -150,5 +186,11 @@ def build_fm_blocks(kernel: Kernel, blocks_pos, blocks_rad, blocks_s,
 
 
 def build_tgt_geo(blocks_pos, blocks_rad) -> jax.Array:
-    """(NN, B, PD)/(NN, B) -> (NN, B, PD+1)."""
-    return jnp.concatenate([blocks_pos, blocks_rad[:, :, None]], axis=-1)
+    """(NN, B, PD)/(NN, B) -> feature-major (NN, 8, B) [pos | rad | 0...].
+
+    Feature-major with >=8 rows keeps the pallas pipeline block layout
+    aligned (a (B, pd+1) block would lane-pad 4 -> 128: 32x HBM)."""
+    nn, b, pd = blocks_pos.shape
+    g = jnp.concatenate([jnp.transpose(blocks_pos, (0, 2, 1)),
+                         blocks_rad[:, None, :]], axis=1)
+    return jnp.pad(g, ((0, 0), (0, 8 - pd - 1), (0, 0)))

@@ -51,10 +51,24 @@ def _downward(out, tree_nc, tree_ns, tgt_pos, order: int, levels: int,
         pts = pts[:, :width]
         parent_nc = jnp.repeat(tree_nc[par], 2, axis=0)
         parent_ns = jnp.repeat(tree_ns[par], 2, axis=0)
-        w = eq.bary_weights(pts, parent_nc, parent_ns, order)  # (2np,P,M)
         parent_u = jnp.repeat(out[par, :M], 2, axis=0)         # (2np,M,OD)
-        add = jnp.einsum("npm,nmo->npo", w, parent_u,
-                         precision=jax.lax.Precision.HIGHEST)
+
+        def level_add(args):
+            cpts, cnc, cns, cu = args
+            w = eq.bary_weights(cpts, cnc, cns, order)
+            return jnp.einsum("npm,nmo->npo", w, cu,
+                              precision=jax.lax.Precision.HIGHEST)
+
+        n_ch = 2 * np_l
+        chunk = min(n_ch, 2048)   # bound the (nodes, P, M) weight tensor
+        if n_ch > chunk:
+            def resh(a):
+                return a.reshape((n_ch // chunk, chunk) + a.shape[1:])
+            add = jax.lax.map(level_add, (resh(pts), resh(parent_nc),
+                                          resh(parent_ns), resh(parent_u)))
+            add = add.reshape((n_ch,) + add.shape[2:])
+        else:
+            add = level_add((pts, parent_nc, parent_ns, parent_u))
         out = out.at[chl, :width].add(add)
     return out
 

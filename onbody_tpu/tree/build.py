@@ -131,6 +131,61 @@ def _morton_keys(x, pd: int):
     return spread2(q[:, 0]) | (spread2(q[:, 1]) << 1)
 
 
+@partial(jax.jit, static_argnames=("l", "pd", "capture_box"),
+         donate_argnums=(0,))
+def _split_step(payload, l: int, pd: int, capture_box: bool):
+    """One median-split level: boxes (pre-split), longest-axis keys,
+    batched argsort, one packed permutation gather.
+
+    A separate donated jit per level keeps peak HBM at ~2x the payload:
+    unrolling all levels into one program makes XLA's buffer assignment
+    keep every level's temporaries alive (33 GB at n=2^24).
+    """
+    n_pad = payload.shape[0]
+    nseg = 1 << l
+    m = n_pad >> l
+    xs = payload[:, :pd].reshape(nseg, m, pd)
+    lo = jnp.min(xs, axis=1)
+    hi = jnp.max(xs, axis=1)
+    axis = jnp.argmax(hi - lo, axis=1)
+    onehot = jax.nn.one_hot(axis, pd, dtype=payload.dtype)
+    keys = jnp.sum(xs * onehot[:, None, :], axis=2)
+    order = jnp.argsort(keys, axis=1)
+    (payload,) = _apply_perm([payload], order)
+    if capture_box:
+        return payload, lo, hi
+    return payload, None, None
+
+
+@partial(jax.jit, static_argnames=("l", "pd", "capture_box"),
+         donate_argnums=(0, 1))
+def _split_step_g(payload, gidx, l: int, pd: int, capture_box: bool):
+    """_split_step variant carrying gidx separately (n >= 2^24, where f32
+    values can no longer represent indices exactly)."""
+    n_pad = payload.shape[0]
+    nseg = 1 << l
+    m = n_pad >> l
+    xs = payload[:, :pd].reshape(nseg, m, pd)
+    lo = jnp.min(xs, axis=1)
+    hi = jnp.max(xs, axis=1)
+    axis = jnp.argmax(hi - lo, axis=1)
+    onehot = jax.nn.one_hot(axis, pd, dtype=payload.dtype)
+    keys = jnp.sum(xs * onehot[:, None, :], axis=2)
+    order = jnp.argsort(keys, axis=1)
+    payload, gidx = _apply_perm([payload, gidx], order)
+    if capture_box:
+        return payload, gidx, lo, hi
+    return payload, gidx, None, None
+
+
+@partial(jax.jit, static_argnames=("l", "pd"))
+def _box_step(payload, l: int, pd: int):
+    n_pad = payload.shape[0]
+    nseg = 1 << l
+    xs = payload[:, :pd].reshape(nseg, n_pad >> l, pd)
+    return jnp.min(xs, axis=1), jnp.max(xs, axis=1)
+
+
 @partial(jax.jit, static_argnames=("levels", "block_size", "refine",
                                    "are_targets", "mode"))
 def _build(x, r, s, gidx, levels: int, block_size: int, refine: bool,
@@ -167,52 +222,7 @@ def _build(x, r, s, gidx, levels: int, block_size: int, refine: bool,
             nc_all = nc_all.at[sl].set(0.5 * (lo + hi))
             ns_all = ns_all.at[sl].set(hi - lo)
     else:
-        # -------- downward: split level by level (boxes computed
-        # pre-split, matching splitNode's ordering, barneshut.hpp:620-639)
-        #
-        # All per-particle payloads are packed into ONE (n, pd+1+sd+1)
-        # f32 matrix (gidx rides along bitcast): TPU gathers amortize
-        # per-row, so one packed gather per level is ~4x cheaper than
-        # separate 1-D gathers of r/s/gidx.
-        # gidx rides along as f32 VALUES (exact for n < 2^24; a bitcast
-        # would be corrupted on TPU, which quietens signaling-NaN bit
-        # patterns passing through copies)
-        carry_gidx = n_pad <= (1 << 24)
-        cols = [x, r[:, None]]
-        if s is not None:
-            cols.append(s)
-        if carry_gidx:
-            cols.append(gidx.astype(jnp.float32)[:, None])
-        payload = jnp.concatenate(cols, axis=1)
-        sort_levels = levels if not refine else int(np.log2(n_pad))
-        for l in range(sort_levels + 1):
-            nseg = 1 << l
-            m = n_pad >> l
-            xs = payload[:, :pd].reshape(nseg, m, pd)
-            lo = jnp.min(xs, axis=1)
-            hi = jnp.max(xs, axis=1)
-            if l <= levels:
-                sl = slice(nseg, 2 * nseg)
-                nc_all = nc_all.at[sl].set(0.5 * (lo + hi))
-                ns_all = ns_all.at[sl].set(hi - lo)
-            if l == sort_levels or m < 2:
-                break
-            axis = jnp.argmax(hi - lo, axis=1)                  # (nseg,)
-            # per-particle longest-axis coordinate via a one-hot
-            # contraction (pure VPU; beats a dynamic gather)
-            onehot = jax.nn.one_hot(axis, pd, dtype=dtype)      # (nseg, pd)
-            keys = jnp.sum(xs * onehot[:, None, :], axis=2)
-            order = jnp.argsort(keys, axis=1)
-            if carry_gidx:
-                (payload,) = _apply_perm([payload], order)
-            else:
-                payload, gidx = _apply_perm([payload, gidx], order)
-        x = payload[:, :pd]
-        r = payload[:, pd]
-        if s is not None:
-            s = payload[:, pd + 1:pd + 1 + sd]
-        if carry_gidx:
-            gidx = payload[:, -1].astype(jnp.int32)
+        raise ValueError("median mode is orchestrated in build_tree")
 
     nr_all = 0.5 * jnp.sqrt(jnp.sum(ns_all * ns_all, axis=1))
 
@@ -261,6 +271,73 @@ def _build(x, r, s, gidx, levels: int, block_size: int, refine: bool,
     return tree, x, r, s, gidx
 
 
+@partial(jax.jit, static_argnames=("levels", "block_size", "sd",
+                                   "are_targets", "carry_gidx"))
+def _finish_median(payload, gidx, lows, highs, levels: int,
+                   block_size: int, sd: int, are_targets: bool,
+                   carry_gidx: bool):
+    """Assemble Tree arrays and upward stats from the sorted payload and
+    per-level pre-split boxes (finishTree, barneshut.hpp:718-807)."""
+    n_pad = payload.shape[0]
+    pd = lows[0].shape[-1]
+    dtype = payload.dtype
+    nleaf = 1 << levels
+    nn = 2 * nleaf
+
+    nc_all = jnp.zeros((nn, pd), dtype)
+    ns_all = jnp.zeros((nn, pd), dtype)
+    for l, (lo, hi) in enumerate(zip(lows, highs)):
+        sl = slice(1 << l, 2 << l)
+        nc_all = nc_all.at[sl].set(0.5 * (lo + hi))
+        ns_all = ns_all.at[sl].set(hi - lo)
+    nr_all = 0.5 * jnp.sqrt(jnp.sum(ns_all * ns_all, axis=1))
+
+    x = payload[:, :pd]
+    r = payload[:, pd]
+    s = payload[:, pd + 1:pd + 1 + sd] if sd else None
+    if carry_gidx:
+        gidx = payload[:, -1].astype(jnp.int32)
+
+    cm_all = jnp.zeros((nn, pd), dtype)
+    s_all = jnp.zeros((nn, max(sd, 1)), dtype)
+    pr_all = jnp.zeros((nn,), dtype)
+
+    xs = x.reshape(nleaf, block_size, pd)
+    if s is not None and not are_targets:
+        ss = s.reshape(nleaf, block_size, sd)
+        if sd == 1:
+            w = jnp.abs(ss[..., 0])
+        else:
+            w = jnp.sqrt(jnp.sum(ss * ss, axis=-1))
+    else:
+        w = jnp.ones((nleaf, block_size), dtype)
+    wsum = 1e-20 + jnp.sum(w, axis=1)
+    leaf_cm = jnp.einsum("lbp,lb->lp", xs, w,
+                         precision=jax.lax.Precision.HIGHEST) / wsum[:, None]
+    leaf_s = (jnp.sum(s.reshape(nleaf, block_size, sd), axis=1)
+              if s is not None else jnp.zeros((nleaf, 1), dtype))
+    leaf_pr = jnp.mean(r.reshape(nleaf, block_size), axis=1)
+
+    cm_all = cm_all.at[nleaf:].set(leaf_cm)
+    s_all = s_all.at[nleaf:].set(leaf_s)
+    pr_all = pr_all.at[nleaf:].set(leaf_pr)
+
+    cm_l, s_l, pr_l = leaf_cm, leaf_s, leaf_pr
+    for l in range(levels - 1, -1, -1):
+        nseg = 1 << l
+        cm_l = 0.5 * (cm_l[0::2] + cm_l[1::2])
+        s_l = s_l[0::2] + s_l[1::2]
+        pr_l = 0.5 * (pr_l[0::2] + pr_l[1::2])
+        sl = slice(nseg, 2 * nseg)
+        cm_all = cm_all.at[sl].set(cm_l)
+        s_all = s_all.at[sl].set(s_l)
+        pr_all = pr_all.at[sl].set(pr_l)
+
+    tree = Tree(nc=nc_all, ns=ns_all, nr=nr_all, x=cm_all, s=s_all,
+                pr=pr_all, levels=levels, block_size=block_size)
+    return tree, x, r, s, gidx
+
+
 def build_tree(p: Parts, block_size: int = 128, refine: bool = False,
                mode: str = "median") -> Tuple[Tree, Parts, jax.Array]:
     """Build the tree; returns (tree, reordered+padded parts, gidx).
@@ -276,8 +353,51 @@ def build_tree(p: Parts, block_size: int = 128, refine: bool = False,
     levels, n_pad = plan(p.n_real, block_size)
     pp = pad_to(p, n_pad)
     gidx = jnp.arange(n_pad, dtype=jnp.int32)
-    tree, x, r, s, gidx = _build(pp.x, pp.r, pp.s, gidx, levels,
-                                 block_size, refine,
-                                 are_targets=not p.are_sources, mode=mode)
+    are_targets = not p.are_sources
+    if mode == "morton":
+        tree, x, r, s, gidx = _build(pp.x, pp.r, pp.s, gidx, levels,
+                                     block_size, refine,
+                                     are_targets=are_targets, mode=mode)
+        sorted_parts = Parts(x=x, r=r, s=s, n_real=p.n_real)
+        return tree, sorted_parts, gidx
+
+    # median mode: one donated jit step per split level (a single
+    # unrolled program makes XLA keep every level's temporaries live)
+    pd = pp.x.shape[1]
+    sd = 0 if pp.s is None else pp.s.shape[1]
+    # gidx rides along as f32 VALUES (exact for n < 2^24; a bitcast is
+    # corrupted on TPU, which quietens signaling-NaN bit patterns)
+    carry_gidx = n_pad <= (1 << 24)
+    cols = [pp.x, pp.r[:, None]]
+    if pp.s is not None:
+        cols.append(pp.s)
+    if carry_gidx:
+        cols.append(gidx.astype(jnp.float32)[:, None])
+    payload = jnp.concatenate(cols, axis=1)
+
+    sort_levels = levels if not refine else int(np.log2(n_pad))
+    lows, highs = [], []
+    l = 0
+    while True:
+        capture = l <= levels
+        if l == sort_levels or (n_pad >> l) < 2:
+            if capture:
+                lo, hi = _box_step(payload, l, pd)
+                lows.append(lo)
+                highs.append(hi)
+            break
+        if carry_gidx:
+            payload, lo, hi = _split_step(payload, l, pd, capture)
+        else:
+            payload, gidx, lo, hi = _split_step_g(payload, gidx, l, pd,
+                                                  capture)
+        if capture:
+            lows.append(lo)
+            highs.append(hi)
+        l += 1
+
+    tree, x, r, s, gidx = _finish_median(
+        payload, gidx, tuple(lows), tuple(highs), levels, block_size, sd,
+        are_targets, carry_gidx)
     sorted_parts = Parts(x=x, r=r, s=s, n_real=p.n_real)
     return tree, sorted_parts, gidx

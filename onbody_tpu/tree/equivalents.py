@@ -156,9 +156,22 @@ def _bary_impl(tree: Tree, x, r, s, order: int, width: int,
         else:
             src_pos = child_pos.reshape(nseg, 2 * M, pd)
             src_str = child_str.reshape(nseg, 2 * M, sd)
-        w = bary_weights(src_pos, nc_l, ns_l, order)     # (nseg, P, M)
-        eq_s = jnp.einsum("npm,nps->nms", w, src_str,
-                          precision=jax.lax.Precision.HIGHEST)
+        def anterp(args):
+            cpos, cnc, cns, cstr = args
+            w = bary_weights(cpos, cnc, cns, order)      # (c, P, M)
+            return jnp.einsum("npm,nps->nms", w, cstr,
+                              precision=jax.lax.Precision.HIGHEST)
+
+        # chunk the (nodes, P, M) weight tensor (7.8 GB unchunked at 1e7)
+        chunk = min(nseg, 2048)
+        if nseg > chunk:
+            def resh(a):
+                return a.reshape((nseg // chunk, chunk) + a.shape[1:])
+            eq_s = jax.lax.map(anterp, (resh(src_pos), resh(nc_l),
+                                        resh(ns_l), resh(src_str)))
+            eq_s = eq_s.reshape((nseg,) + eq_s.shape[2:])
+        else:
+            eq_s = anterp((src_pos, nc_l, ns_l, src_str))
         pos = pos.at[sl, :M].set(grid)
         # park unused slots at node center (ref :335-337)
         if M < width:
