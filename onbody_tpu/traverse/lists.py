@@ -111,52 +111,69 @@ def _put_along_axis(out, pos, vals):
 
 # ------------------------------------------------------------------- MACs
 #
-# Node geometry is packed into one (NN, 3*pd+1) matrix [nc | x(cm) | ns | nr]
-# so each classification round does ONE row-gather (separate 1-D gathers
-# of nr etc. are ~4x slower per element on TPU). MACs take the gathered
-# rows plus per-target constants (targets are contiguous level slices, so
-# their geometry is sliced, never gathered).
+# Node geometry is gathered per component as flat 1-D gathers whose
+# outputs are dense (nt, W) arrays (lane dim = W). Packing components
+# into a trailing dim looks cheaper but XLA tiles every array to
+# T(8,128): a (nt*W, 10) gather output lane-pads 10 -> 128, an 8 GB
+# blowup at N=1e7. Targets are contiguous level slices: sliced, never
+# gathered.
 
-def pack_geom(tree: Tree):
-    return jnp.concatenate(
-        [tree.nc, tree.x, tree.ns, tree.nr[:, None]], axis=1)
-
-
-def _geom_parts(g, pd):
-    return (g[..., :pd], g[..., pd:2 * pd], g[..., 2 * pd:3 * pd],
-            g[..., 3 * pd])
+def _g(a, cand):
+    """Dense per-component gather: a (NN,), cand (nt, W) -> (nt, W)."""
+    return a[cand.reshape(-1)].reshape(cand.shape)
 
 
-def mac_boxwise(sg, pd, tnc, tns, tnr, theta):
+def _gv(a, cand, pd):
+    """Per-axis gathers of a (NN, pd) array -> tuple of (nt, W)."""
+    return tuple(_g(a[:, d], cand) for d in range(pd))
+
+
+def _dist2_comp(av, bv):
+    d2 = None
+    for a, b in zip(av, bv):
+        diff = a - b
+        d2 = diff * diff if d2 is None else d2 + diff * diff
+    return d2
+
+
+def mac_boxwise(stree, cand, pd, tnc, tns, tnr, theta):
     """treecode3 MAC (barneshut.hpp:250-283): geometric-center distance vs
     2*(max(snr,tnr)+0.25*min(snr,tnr))."""
-    snc, _, _, snr = _geom_parts(sg, pd)
-    dist = jnp.sqrt(jnp.sum((snc - tnc) ** 2, axis=-1))
+    snc = _gv(stree.nc, cand, pd)
+    snr = _g(stree.nr, cand)
+    d2 = _dist2_comp(snc, tuple(tnc[:, :, d] for d in range(pd)))
+    dist = jnp.sqrt(d2)
     testrad = jnp.maximum(snr, tnr) + 0.25 * jnp.minimum(snr, tnr)
     return dist / (2.0 * testrad) > theta
 
 
-def mac_pointwise_conservative(sg, pd, tnc, tns, tnr, theta):
+def mac_pointwise_conservative(stree, cand, pd, tnc, tns, tnr, theta):
     """Leaf-conservative version of the treecode2 pointwise MAC
     (barneshut.hpp:160-175: |nc_s - x_t| / (2 snr) > theta). Using the
     minimum possible distance from any point in the target leaf box
     (center distance minus target node radius) guarantees acceptance is
     valid for every point in the block — accuracy is >= the reference's
-    per-point criterion at slightly more work. This is the TPU-native
-    mapping of a per-point recursion onto block-parallel hardware."""
-    snc, _, _, snr = _geom_parts(sg, pd)
-    dist = jnp.sqrt(jnp.sum((snc - tnc) ** 2, axis=-1))
-    dist = jnp.maximum(dist - tnr, 0.0)
+    per-point criterion at slightly more work."""
+    snc = _gv(stree.nc, cand, pd)
+    snr = _g(stree.nr, cand)
+    d2 = _dist2_comp(snc, tuple(tnc[:, :, d] for d in range(pd)))
+    dist = jnp.maximum(jnp.sqrt(d2) - tnr, 0.0)
     return dist / (2.0 * snr) > theta
 
 
-def mac_treecode1_conservative(sg, pd, tnc, tns, tnr, theta):
+def mac_treecode1_conservative(stree, cand, pd, tnc, tns, tnr, theta):
     """Leaf-conservative version of the treecode1 surface-distance MAC
     (barneshut.hpp:85-93): per-axis distance from the source box surface
     (box centered on the CM) to the nearest possible target point."""
-    _, scm, sns, snr = _geom_parts(sg, pd)
-    d = jnp.maximum(jnp.abs(scm - tnc) - 0.5 * sns - 0.5 * tns, 0.0)
-    dist = jnp.sqrt(jnp.sum(d * d, axis=-1))
+    snr = _g(stree.nr, cand)
+    d2 = None
+    for d in range(pd):
+        scm = _g(stree.x[:, d], cand)
+        sns = _g(stree.ns[:, d], cand)
+        dd = jnp.maximum(jnp.abs(scm - tnc[:, :, d]) - 0.5 * sns
+                         - 0.5 * tns[:, :, d], 0.0)
+        d2 = dd * dd if d2 is None else d2 + dd * dd
+    dist = jnp.sqrt(d2)
     return dist / (2.0 * snr) > theta
 
 
@@ -189,7 +206,6 @@ def _treecode_lists(stree: Tree, ttree: Tree, theta, mac: str,
     W = frontier_width
     K = list_width
     mac_fn = _MACS[mac]
-    sgeom = pack_geom(stree)
     # target leaves are the contiguous tail slice: no gathers
     tnc = ttree.nc[nleaf_t:][:, None, :]
     tns = ttree.ns[nleaf_t:][:, None, :]
@@ -202,8 +218,7 @@ def _treecode_lists(stree: Tree, ttree: Tree, theta, mac: str,
 
     for _ in range(levels_s + 1):
         valid = cand != 0
-        sg = sgeom[cand]                         # (L, W, 3*pd+1)
-        passes = mac_fn(sg, pd, tnc, tns, tnr, theta)
+        passes = mac_fn(stree, cand, pd, tnc, tns, tnr, theta)
         is_leaf = cand >= nleaf_s
         accept = valid & (passes | is_leaf)
         expand = valid & ~passes & ~is_leaf
@@ -254,7 +269,6 @@ def _dtt_lists(stree: Tree, ttree: Tree, theta,
     W = frontier_width
     K = list_width
     pd = stree.nc.shape[1]
-    sgeom = pack_geom(stree)
     theta = jnp.asarray(theta, stree.nc.dtype)
 
     all_tgt = []
@@ -278,9 +292,10 @@ def _dtt_lists(stree: Tree, ttree: Tree, theta,
         def classify(cand):
             valid = cand != 0
             s_is_leaf = cand >= nleaf_s
-            sg = sgeom[cand]                         # (nt, W, 3*pd+1)
-            _, scm, _, snr = _geom_parts(sg, pd)
-            dist = jnp.sqrt(jnp.sum((scm - tcm[:, None, :]) ** 2, axis=-1))
+            snr = _g(stree.nr, cand)
+            d2 = _dist2_comp(_gv(stree.x, cand, pd),
+                             tuple(tcm[:, None, d] for d in range(pd)))
+            dist = jnp.sqrt(d2)
             sep = dist / (snr + tnr[:, None]) > theta
             both_leaf = s_is_leaf & t_is_leaf
             accept = valid & (both_leaf | sep)

@@ -245,6 +245,10 @@ def _build(x, r, s, gidx, levels: int, block_size: int, refine: bool,
     wsum = 1e-20 + jnp.sum(w, axis=1)
     leaf_cm = jnp.einsum("lbp,lb->lp", xs, w,
                          precision=jax.lax.Precision.HIGHEST) / wsum[:, None]
+    # zero-strength leaves (pure padding) fall back to the mean position
+    # so their CM is never a bogus origin inside the real domain
+    leaf_cm = jnp.where((wsum > 1e-12)[:, None], leaf_cm,
+                        jnp.mean(xs, axis=1))
     leaf_s = (jnp.sum(s.reshape(nleaf, block_size, sd), axis=1)
               if s is not None else jnp.zeros((nleaf, 1), dtype))
     leaf_pr = jnp.mean(r.reshape(nleaf, block_size), axis=1)
@@ -314,6 +318,10 @@ def _finish_median(payload, gidx, lows, highs, levels: int,
     wsum = 1e-20 + jnp.sum(w, axis=1)
     leaf_cm = jnp.einsum("lbp,lb->lp", xs, w,
                          precision=jax.lax.Precision.HIGHEST) / wsum[:, None]
+    # zero-strength leaves (pure padding) fall back to the mean position
+    # so their CM is never a bogus origin inside the real domain
+    leaf_cm = jnp.where((wsum > 1e-12)[:, None], leaf_cm,
+                        jnp.mean(xs, axis=1))
     leaf_s = (jnp.sum(s.reshape(nleaf, block_size, sd), axis=1)
               if s is not None else jnp.zeros((nleaf, 1), dtype))
     leaf_pr = jnp.mean(r.reshape(nleaf, block_size), axis=1)
