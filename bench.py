@@ -23,6 +23,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# persistent compilation cache: first-ever compile of the full pipeline
+# is ~8 min through the remote tunnel; warm runs skip it entirely
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
 import jax
 import jax.numpy as jnp
 import numpy as np

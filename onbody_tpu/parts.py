@@ -134,13 +134,14 @@ def pad_to(p: Parts, n_pad: int) -> Parts:
     """Pad a particle set to n_pad slots.
 
     Padded slots carry zero strength (numerically inert) and sit in a
-    tight cluster OUTSIDE the real domain (one diameter past the max
-    corner): the tree's median splits then peel them into pure-padding
-    leaves that separate from everything at the top level, so padding
-    costs ~nothing in interaction lists — unlike in-domain clones, which
-    would dilute every leaf (a 1.68x slowdown when n is just above a
-    power-of-two block count). Replaces the reference's neutral-element
-    buffer_end trick (Parts.hpp:200-218) and its partial-block handling.
+    cluster OUTSIDE the real domain (one diameter past the max corner),
+    so they sort to the high end of every split axis and concentrate in
+    pure-padding leaves instead of diluting every leaf (a 1.68x slowdown
+    when n is just above a power-of-two block count). The tree build
+    excludes them from node boxes and centers of mass (tree/build.py
+    _masked_box/_upward_stats), so MAC geometry sees only real
+    particles. Replaces the reference's neutral-element buffer_end trick
+    (Parts.hpp:200-218) and its partial-block handling.
     """
     n = p.n
     if n_pad == n:

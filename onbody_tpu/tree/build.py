@@ -131,22 +131,45 @@ def _morton_keys(x, pd: int):
     return spread2(q[:, 0]) | (spread2(q[:, 1]) << 1)
 
 
+def _masked_box(xs, mask):
+    """Per-segment min/max over REAL particles only, falling back to the
+    unmasked box for pure-padding segments.
+
+    Padding clones live outside the real domain (parts.pad_to); letting
+    them into node boxes inflates nr/ns for every node on the real/pad
+    boundary spine, which wrecks MAC acceptance (huge nodes never
+    separate) and overflows the fixed-width interaction lists.
+    xs: (nseg, m, pd); mask: (nseg, m) bool.
+    """
+    big = jnp.asarray(3.0e38, xs.dtype)
+    lo_m = jnp.min(jnp.where(mask[..., None], xs, big), axis=1)
+    hi_m = jnp.max(jnp.where(mask[..., None], xs, -big), axis=1)
+    any_real = jnp.any(mask, axis=1)[:, None]
+    lo_u = jnp.min(xs, axis=1)
+    hi_u = jnp.max(xs, axis=1)
+    return (jnp.where(any_real, lo_m, lo_u),
+            jnp.where(any_real, hi_m, hi_u))
+
+
 @partial(jax.jit, static_argnames=("l", "pd", "capture_box"),
          donate_argnums=(0,))
-def _split_step(payload, l: int, pd: int, capture_box: bool):
+def _split_step(payload, n_real, l: int, pd: int, capture_box: bool):
     """One median-split level: boxes (pre-split), longest-axis keys,
     batched argsort, one packed permutation gather.
 
     A separate donated jit per level keeps peak HBM at ~2x the payload:
     unrolling all levels into one program makes XLA's buffer assignment
     keep every level's temporaries alive (33 GB at n=2^24).
+
+    The payload's last column is gidx-as-f32; slots with gidx >= n_real
+    are padding and are excluded from boxes and axis selection.
     """
     n_pad = payload.shape[0]
     nseg = 1 << l
     m = n_pad >> l
     xs = payload[:, :pd].reshape(nseg, m, pd)
-    lo = jnp.min(xs, axis=1)
-    hi = jnp.max(xs, axis=1)
+    mask = (payload[:, -1] < n_real).reshape(nseg, m)
+    lo, hi = _masked_box(xs, mask)
     axis = jnp.argmax(hi - lo, axis=1)
     onehot = jax.nn.one_hot(axis, pd, dtype=payload.dtype)
     keys = jnp.sum(xs * onehot[:, None, :], axis=2)
@@ -159,15 +182,16 @@ def _split_step(payload, l: int, pd: int, capture_box: bool):
 
 @partial(jax.jit, static_argnames=("l", "pd", "capture_box"),
          donate_argnums=(0, 1))
-def _split_step_g(payload, gidx, l: int, pd: int, capture_box: bool):
+def _split_step_g(payload, gidx, n_real, l: int, pd: int,
+                  capture_box: bool):
     """_split_step variant carrying gidx separately (n >= 2^24, where f32
     values can no longer represent indices exactly)."""
     n_pad = payload.shape[0]
     nseg = 1 << l
     m = n_pad >> l
     xs = payload[:, :pd].reshape(nseg, m, pd)
-    lo = jnp.min(xs, axis=1)
-    hi = jnp.max(xs, axis=1)
+    mask = (gidx < n_real).reshape(nseg, m)
+    lo, hi = _masked_box(xs, mask)
     axis = jnp.argmax(hi - lo, axis=1)
     onehot = jax.nn.one_hot(axis, pd, dtype=payload.dtype)
     keys = jnp.sum(xs * onehot[:, None, :], axis=2)
@@ -178,18 +202,21 @@ def _split_step_g(payload, gidx, l: int, pd: int, capture_box: bool):
     return payload, gidx, None, None
 
 
-@partial(jax.jit, static_argnames=("l", "pd"))
-def _box_step(payload, l: int, pd: int):
+@partial(jax.jit, static_argnames=("l", "pd", "carry_gidx"))
+def _box_step(payload, gidx, n_real, l: int, pd: int, carry_gidx: bool):
     n_pad = payload.shape[0]
     nseg = 1 << l
-    xs = payload[:, :pd].reshape(nseg, n_pad >> l, pd)
-    return jnp.min(xs, axis=1), jnp.max(xs, axis=1)
+    m = n_pad >> l
+    xs = payload[:, :pd].reshape(nseg, m, pd)
+    gcol = payload[:, -1] if carry_gidx else gidx
+    mask = (gcol < n_real).reshape(nseg, m)
+    return _masked_box(xs, mask)
 
 
 @partial(jax.jit, static_argnames=("levels", "block_size", "refine",
                                    "are_targets", "mode"))
-def _build(x, r, s, gidx, levels: int, block_size: int, refine: bool,
-           are_targets: bool, mode: str = "median"):
+def _build(x, r, s, gidx, n_real, levels: int, block_size: int,
+           refine: bool, are_targets: bool, mode: str = "median"):
     n_pad = x.shape[0]
     pd = x.shape[1]
     sd = 0 if s is None else s.shape[1]
@@ -202,7 +229,7 @@ def _build(x, r, s, gidx, levels: int, block_size: int, refine: bool,
 
     if mode == "morton":
         # -------- one global space-filling-curve sort; equal-count splits
-        # of the sorted order. Boxes are computed from the actual
+        # of the sorted order. Boxes are computed from the actual REAL
         # particles per segment, so they stay tight; split planes follow
         # the Morton curve instead of per-level medians (slightly fatter
         # nodes, ~1 sort instead of `levels`). Intra-leaf order is
@@ -213,11 +240,12 @@ def _build(x, r, s, gidx, levels: int, block_size: int, refine: bool,
         r = r[order]
         s = s[order] if s is not None else None
         gidx = gidx[order]
+        mask_flat = gidx < n_real
         for l in range(levels + 1):
             nseg = 1 << l
-            xs = x.reshape(nseg, n_pad >> l, pd)
-            lo = jnp.min(xs, axis=1)
-            hi = jnp.max(xs, axis=1)
+            m = n_pad >> l
+            xs = x.reshape(nseg, m, pd)
+            lo, hi = _masked_box(xs, mask_flat.reshape(nseg, m))
             sl = slice(nseg, 2 * nseg)
             nc_all = nc_all.at[sl].set(0.5 * (lo + hi))
             ns_all = ns_all.at[sl].set(hi - lo)
@@ -226,14 +254,37 @@ def _build(x, r, s, gidx, levels: int, block_size: int, refine: bool,
 
     nr_all = 0.5 * jnp.sqrt(jnp.sum(ns_all * ns_all, axis=1))
 
-    # -------- upward: centers of "mass", strength sums, mean radii
-    # (finishTree, barneshut.hpp:718-807)
+    cm_all, s_all, pr_all = _upward_stats(x, r, s, gidx < n_real, levels,
+                                          block_size, sd, are_targets,
+                                          dtype)
+
+    tree = Tree(nc=nc_all, ns=ns_all, nr=nr_all, x=cm_all, s=s_all,
+                pr=pr_all, levels=levels, block_size=block_size)
+    return tree, x, r, s, gidx
+
+
+def _upward_stats(x, r, s, mask, levels: int, block_size: int, sd: int,
+                  are_targets: bool, dtype):
+    """Leaf + interior centers of mass, strength sums, mean radii
+    (finishTree, barneshut.hpp:718-807), excluding padding clones.
+
+    CM weights: |strength| for sources (pads are zero-strength), the
+    real-particle mask for targets (a pad-polluted target CM shifts the
+    DTT MAC distance and breaks acceptance near the real/pad boundary).
+    Interior merges are weight-sum-weighted (the analogue of the
+    reference's count-weighted merge, barneshut.hpp:733-746).
+    Returns (cm_all, s_all, pr_all) of shapes (NN, pd)/(NN, sd)/(NN,).
+    """
+    nleaf = 1 << levels
+    nn = 2 * nleaf
+    pd = x.shape[1]
+
     cm_all = jnp.zeros((nn, pd), dtype)
     s_all = jnp.zeros((nn, max(sd, 1)), dtype)
     pr_all = jnp.zeros((nn,), dtype)
 
-    # leaves: abs-strength-weighted CM (targets weight 1.0, :780-783)
     xs = x.reshape(nleaf, block_size, pd)
+    maskf = mask.reshape(nleaf, block_size).astype(dtype)
     if s is not None and not are_targets:
         ss = s.reshape(nleaf, block_size, sd)
         if sd == 1:
@@ -241,43 +292,53 @@ def _build(x, r, s, gidx, levels: int, block_size: int, refine: bool,
         else:
             w = jnp.sqrt(jnp.sum(ss * ss, axis=-1))
     else:
-        w = jnp.ones((nleaf, block_size), dtype)
-    wsum = 1e-20 + jnp.sum(w, axis=1)
-    leaf_cm = jnp.einsum("lbp,lb->lp", xs, w,
-                         precision=jax.lax.Precision.HIGHEST) / wsum[:, None]
-    # zero-strength leaves (pure padding) fall back to the mean position
+        w = maskf
+    wsum = jnp.sum(w, axis=1)
+    leaf_cm = (jnp.einsum("lbp,lb->lp", xs, w,
+                          precision=jax.lax.Precision.HIGHEST)
+               / (1e-20 + wsum[:, None]))
+    # zero-weight leaves (pure padding) fall back to the mean position
     # so their CM is never a bogus origin inside the real domain
     leaf_cm = jnp.where((wsum > 1e-12)[:, None], leaf_cm,
                         jnp.mean(xs, axis=1))
     leaf_s = (jnp.sum(s.reshape(nleaf, block_size, sd), axis=1)
               if s is not None else jnp.zeros((nleaf, 1), dtype))
-    leaf_pr = jnp.mean(r.reshape(nleaf, block_size), axis=1)
+    # mean radius over real particles (falling back to the plain mean)
+    rs = r.reshape(nleaf, block_size)
+    msum = jnp.sum(maskf, axis=1)
+    leaf_pr = jnp.where(msum > 0,
+                        jnp.sum(rs * maskf, axis=1) / (1e-20 + msum),
+                        jnp.mean(rs, axis=1))
 
     cm_all = cm_all.at[nleaf:].set(leaf_cm)
     s_all = s_all.at[nleaf:].set(leaf_s)
     pr_all = pr_all.at[nleaf:].set(leaf_pr)
 
-    # interiors: count-weighted merge — equal counts here, so plain means
-    # (barneshut.hpp:733-746)
-    cm_l, s_l, pr_l = leaf_cm, leaf_s, leaf_pr
+    cm_l, s_l, pr_l, w_l = leaf_cm, leaf_s, leaf_pr, wsum
     for l in range(levels - 1, -1, -1):
         nseg = 1 << l
-        cm_l = 0.5 * (cm_l[0::2] + cm_l[1::2])
+        w0, w1 = w_l[0::2], w_l[1::2]
+        wp = w0 + w1
+        safe = 1e-20 + wp
+        any_w = (wp > 1e-12)
+        cm_m = (cm_l[0::2] * w0[:, None] + cm_l[1::2] * w1[:, None]) \
+            / safe[:, None]
+        cm_l = jnp.where(any_w[:, None], cm_m,
+                         0.5 * (cm_l[0::2] + cm_l[1::2]))
+        pr_m = (pr_l[0::2] * w0 + pr_l[1::2] * w1) / safe
+        pr_l = jnp.where(any_w, pr_m, 0.5 * (pr_l[0::2] + pr_l[1::2]))
         s_l = s_l[0::2] + s_l[1::2]
-        pr_l = 0.5 * (pr_l[0::2] + pr_l[1::2])
+        w_l = wp
         sl = slice(nseg, 2 * nseg)
         cm_all = cm_all.at[sl].set(cm_l)
         s_all = s_all.at[sl].set(s_l)
         pr_all = pr_all.at[sl].set(pr_l)
-
-    tree = Tree(nc=nc_all, ns=ns_all, nr=nr_all, x=cm_all, s=s_all,
-                pr=pr_all, levels=levels, block_size=block_size)
-    return tree, x, r, s, gidx
+    return cm_all, s_all, pr_all
 
 
 @partial(jax.jit, static_argnames=("levels", "block_size", "sd",
                                    "are_targets", "carry_gidx"))
-def _finish_median(payload, gidx, lows, highs, levels: int,
+def _finish_median(payload, gidx, n_real, lows, highs, levels: int,
                    block_size: int, sd: int, are_targets: bool,
                    carry_gidx: bool):
     """Assemble Tree arrays and upward stats from the sorted payload and
@@ -301,45 +362,11 @@ def _finish_median(payload, gidx, lows, highs, levels: int,
     s = payload[:, pd + 1:pd + 1 + sd] if sd else None
     if carry_gidx:
         gidx = payload[:, -1].astype(jnp.int32)
+    mask = gidx < n_real
 
-    cm_all = jnp.zeros((nn, pd), dtype)
-    s_all = jnp.zeros((nn, max(sd, 1)), dtype)
-    pr_all = jnp.zeros((nn,), dtype)
-
-    xs = x.reshape(nleaf, block_size, pd)
-    if s is not None and not are_targets:
-        ss = s.reshape(nleaf, block_size, sd)
-        if sd == 1:
-            w = jnp.abs(ss[..., 0])
-        else:
-            w = jnp.sqrt(jnp.sum(ss * ss, axis=-1))
-    else:
-        w = jnp.ones((nleaf, block_size), dtype)
-    wsum = 1e-20 + jnp.sum(w, axis=1)
-    leaf_cm = jnp.einsum("lbp,lb->lp", xs, w,
-                         precision=jax.lax.Precision.HIGHEST) / wsum[:, None]
-    # zero-strength leaves (pure padding) fall back to the mean position
-    # so their CM is never a bogus origin inside the real domain
-    leaf_cm = jnp.where((wsum > 1e-12)[:, None], leaf_cm,
-                        jnp.mean(xs, axis=1))
-    leaf_s = (jnp.sum(s.reshape(nleaf, block_size, sd), axis=1)
-              if s is not None else jnp.zeros((nleaf, 1), dtype))
-    leaf_pr = jnp.mean(r.reshape(nleaf, block_size), axis=1)
-
-    cm_all = cm_all.at[nleaf:].set(leaf_cm)
-    s_all = s_all.at[nleaf:].set(leaf_s)
-    pr_all = pr_all.at[nleaf:].set(leaf_pr)
-
-    cm_l, s_l, pr_l = leaf_cm, leaf_s, leaf_pr
-    for l in range(levels - 1, -1, -1):
-        nseg = 1 << l
-        cm_l = 0.5 * (cm_l[0::2] + cm_l[1::2])
-        s_l = s_l[0::2] + s_l[1::2]
-        pr_l = 0.5 * (pr_l[0::2] + pr_l[1::2])
-        sl = slice(nseg, 2 * nseg)
-        cm_all = cm_all.at[sl].set(cm_l)
-        s_all = s_all.at[sl].set(s_l)
-        pr_all = pr_all.at[sl].set(pr_l)
+    cm_all, s_all, pr_all = _upward_stats(x, r, s, mask, levels,
+                                          block_size, sd, are_targets,
+                                          dtype)
 
     tree = Tree(nc=nc_all, ns=ns_all, nr=nr_all, x=cm_all, s=s_all,
                 pr=pr_all, levels=levels, block_size=block_size)
@@ -361,10 +388,11 @@ def build_tree(p: Parts, block_size: int = 128, refine: bool = False,
     levels, n_pad = plan(p.n_real, block_size)
     pp = pad_to(p, n_pad)
     gidx = jnp.arange(n_pad, dtype=jnp.int32)
+    n_real = jnp.int32(p.n_real)
     are_targets = not p.are_sources
     if mode == "morton":
-        tree, x, r, s, gidx = _build(pp.x, pp.r, pp.s, gidx, levels,
-                                     block_size, refine,
+        tree, x, r, s, gidx = _build(pp.x, pp.r, pp.s, gidx, n_real,
+                                     levels, block_size, refine,
                                      are_targets=are_targets, mode=mode)
         sorted_parts = Parts(x=x, r=r, s=s, n_real=p.n_real)
         return tree, sorted_parts, gidx
@@ -390,22 +418,23 @@ def build_tree(p: Parts, block_size: int = 128, refine: bool = False,
         capture = l <= levels
         if l == sort_levels or (n_pad >> l) < 2:
             if capture:
-                lo, hi = _box_step(payload, l, pd)
+                lo, hi = _box_step(payload, gidx, n_real, l, pd,
+                                   carry_gidx)
                 lows.append(lo)
                 highs.append(hi)
             break
         if carry_gidx:
-            payload, lo, hi = _split_step(payload, l, pd, capture)
+            payload, lo, hi = _split_step(payload, n_real, l, pd, capture)
         else:
-            payload, gidx, lo, hi = _split_step_g(payload, gidx, l, pd,
-                                                  capture)
+            payload, gidx, lo, hi = _split_step_g(payload, gidx, n_real,
+                                                  l, pd, capture)
         if capture:
             lows.append(lo)
             highs.append(hi)
         l += 1
 
     tree, x, r, s, gidx = _finish_median(
-        payload, gidx, tuple(lows), tuple(highs), levels, block_size, sd,
-        are_targets, carry_gidx)
+        payload, gidx, n_real, tuple(lows), tuple(highs), levels,
+        block_size, sd, are_targets, carry_gidx)
     sorted_parts = Parts(x=x, r=r, s=s, n_real=p.n_real)
     return tree, sorted_parts, gidx

@@ -22,9 +22,13 @@ def test_plan_sizes():
 
 
 def test_tree_boxes_contain_particles():
+    """Node boxes tightly bound the REAL particles of their segment;
+    padding clones (gidx >= n_real) are excluded from box geometry by
+    design (build._masked_box) so MACs never see the padding cluster."""
     p = _srcs(1000)
     tree, sp, gidx = build.build_tree(p, block_size=128)
     x = np.asarray(sp.x)
+    real = np.asarray(gidx) < p.n_real
     nleaf = tree.nleaf
     n_pad = x.shape[0]
     for node in range(1, 2 * nleaf):
@@ -32,10 +36,21 @@ def test_tree_boxes_contain_particles():
         k = node - (1 << l)
         m = n_pad >> l
         seg = x[k * m:(k + 1) * m]
+        seg_real = seg[real[k * m:(k + 1) * m]]
         nc = np.asarray(tree.nc[node])
         ns = np.asarray(tree.ns[node])
-        assert np.all(seg >= nc - ns / 2 - 1e-6)
-        assert np.all(seg <= nc + ns / 2 + 1e-6)
+        if len(seg_real):
+            assert np.all(seg_real >= nc - ns / 2 - 1e-6)
+            assert np.all(seg_real <= nc + ns / 2 + 1e-6)
+            # and the box is TIGHT around the real particles
+            np.testing.assert_allclose(nc - ns / 2, seg_real.min(0),
+                                       atol=1e-6)
+            np.testing.assert_allclose(nc + ns / 2, seg_real.max(0),
+                                       atol=1e-6)
+        else:
+            # pure-padding node: box falls back to the pad positions
+            assert np.all(seg >= nc - ns / 2 - 1e-6)
+            assert np.all(seg <= nc + ns / 2 + 1e-6)
     # node radius = half-diagonal (barneshut.hpp:637-639)
     nr = np.asarray(tree.nr[1:])
     ns = np.asarray(tree.ns[1:])
@@ -151,12 +166,15 @@ def test_morton_mode_boxes_and_order():
     p = _srcs(3000)
     tree, sp, gidx = build.build_tree(p, block_size=64, mode="morton")
     x = np.asarray(sp.x)
+    real = np.asarray(gidx) < p.n_real
     n_pad = x.shape[0]
     for node in [1, 2, 3, 9, tree.nleaf, 2 * tree.nleaf - 1]:
         l = int(np.log2(node))
         k = node - (1 << l)
         m = n_pad >> l
-        seg = x[k * m:(k + 1) * m]
+        seg = x[k * m:(k + 1) * m][real[k * m:(k + 1) * m]]
+        if not len(seg):
+            continue
         nc = np.asarray(tree.nc[node])
         ns = np.asarray(tree.ns[node])
         assert np.all(seg >= nc - ns / 2 - 1e-6)
