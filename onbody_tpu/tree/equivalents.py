@@ -93,7 +93,14 @@ def bary_weights(pts, nc, ns, order: int):
     onehot = sing.astype(dtype)
     amat = jnp.where(has_sing, onehot, amat)
     rowsum = jnp.sum(amat, axis=-1)                      # (..., P, PD)
-    denom = 1.0 / jnp.prod(rowsum, axis=-1)              # (..., P)
+    prod = jnp.prod(rowsum, axis=-1)                     # (..., P)
+    # Points far OUTSIDE the grid (always zero-strength padding clones:
+    # real points lie inside their node's box by construction) can hit
+    # rowsum == 0.0 exactly through f32 cancellation of the alternating
+    # wk/(x-sk) terms; 1/0 = inf then turns inert pads into NaN proxy
+    # strengths (inf * 0) that poison the whole upward pass. Vanishing
+    # normalizer -> zero weights.
+    denom = jnp.where(jnp.abs(prod) > 1e-35, 1.0 / prod, 0.0)
 
     pd = pts.shape[-1]
     w = amat[..., 0, :]                                  # (..., P, ncp)

@@ -128,6 +128,33 @@ def test_bary_weights_singularity_capture():
     np.testing.assert_allclose(np.asarray(w[0, 0]), want, atol=1e-12)
 
 
+def test_bary_weights_far_outside_point_finite():
+    """A point far outside the grid can hit an exactly-zero barycentric
+    normalizer via f32 cancellation; its weights must come back 0/finite,
+    never inf/NaN (inf * zero-strength padding = NaN that poisons the
+    whole upward pass)."""
+    nc = jnp.zeros((1, 3), jnp.float32)
+    ns = jnp.full((1, 3), 0.01, jnp.float32)
+    # equidistant-in-f32 from every grid node along each dim -> rowsum 0
+    pts = jnp.full((1, 1, 3), 3.0, jnp.float32)
+    w = eq.bary_weights(pts, nc, ns, order=4)
+    assert np.all(np.isfinite(np.asarray(w)))
+
+
+def test_bary_blocks_finite_with_outside_padding():
+    """End-to-end: a particle count forcing heavy out-of-domain padding
+    must still give finite proxies everywhere (regression: N=1e6 bench
+    produced NaN in ~998k of 1e6 outputs)."""
+    p = _srcs(1025)                       # 1025 -> n_pad 2048, ~50% pads
+    tree, sp, _ = build.build_tree(p, block_size=128)
+    blocks = eq.barycentric_blocks(tree, sp, order=4)
+    assert np.all(np.isfinite(np.asarray(blocks.s)))
+    assert np.all(np.isfinite(np.asarray(blocks.pos)))
+    # conservation still holds at the root
+    np.testing.assert_allclose(float(jnp.sum(blocks.s[1])),
+                               float(tree.s[1, 0]), rtol=1e-4, atol=1e-9)
+
+
 def test_pairmerge_blocks_conserve_strength():
     p = _srcs(1024, sd=3)
     tree, sp, _ = build.build_tree(p, block_size=128, refine=True)
