@@ -59,6 +59,17 @@ class SolverConfig:
     # jnp elsewhere), 'pallas', or 'jnp'
     pair_backend: str = "auto"
 
+    # DTT traversal scheme: 'level' (simultaneous descent, one MAC round
+    # per level — fastest) or 'refine' (refine-the-larger-box with an
+    # inner source-refinement loop, mirroring ongrav3d.cpp:374-397 —
+    # more robust to strongly non-uniform source/target distributions)
+    dtt_traversal: str = "level"
+
+    # source blocks fetched per Pallas grid step: the work tile is
+    # (block_size, pair_group*block_size); larger groups amortize
+    # per-step overheads at the cost of more padding waste on short runs
+    pair_group: int = 8
+
     # static interaction-list capacity, in 8-wide source groups per
     # emitted target row (keeps the solve path free of host syncs; the
     # pallas kernel skips padding-tail steps nearly for free, and

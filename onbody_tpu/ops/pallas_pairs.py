@@ -48,24 +48,30 @@ from jax.experimental.pallas import tpu as pltpu
 from onbody_tpu.ops.kernels import TILE_FM, FM_ROWS, Kernel, featurize
 
 GROUP = 8
-# scalar-prefetch budget: tgt (P,) + src (P*G,) int32 in SMEM per call
-CHUNK_GROUPS = 16384
+# scalar-prefetch budget: tgt (P,) + src (P*G,) int32 must fit in ~1MB
+# SMEM per call; chunk size scales down as the group size grows
+SMEM_BYTES = 900_000
+
+
+def _chunk_groups(group: int) -> int:
+    """Largest power-of-two step count whose prefetch arrays fit SMEM."""
+    return 1 << ((SMEM_BYTES // (4 * (group + 1))).bit_length() - 1)
 
 
 def _body(pt_ref, ps_ref, tgt_ref, src_hbm, prev_ref, out_ref,
           scratch, sems, *, kernel_name: str, core: str, accum_dtype,
-          pd: int, od: int, d2_mode: str):
+          pd: int, od: int, d2_mode: str, group: int):
     p = pl.program_id(0)
     n = pl.num_programs(0)
 
     def dma(bank, step, j):
         return pltpu.make_async_copy(
-            src_hbm.at[ps_ref[step * GROUP + j]],
+            src_hbm.at[ps_ref[step * group + j]],
             scratch.at[bank, j],
             sems.at[bank, j])
 
     def start(bank, step):
-        for j in range(GROUP):
+        for j in range(group):
             dma(bank, step, j).start()
 
     # double-buffered source fetch: warm up on the first step, prefetch
@@ -79,7 +85,7 @@ def _body(pt_ref, ps_ref, tgt_ref, src_hbm, prev_ref, out_ref,
         start((p + 1) % 2, p + 1)
 
     bank = p % 2
-    for j in range(GROUP):
+    for j in range(group):
         dma(bank, p, j).wait()
 
     # padding-tail steps (tgt row 0) skip all compute
@@ -90,7 +96,7 @@ def _body(pt_ref, ps_ref, tgt_ref, src_hbm, prev_ref, out_ref,
         # (a 32x HBM blowup at scale)
         tg = tgt_ref[0]                                  # (8, B)
         t = tg[:pd + 1].T                                # (B, PD+1)
-        s = jnp.concatenate([scratch[bank, j] for j in range(GROUP)],
+        s = jnp.concatenate([scratch[bank, j] for j in range(group)],
                             axis=1)                      # (C, G*B)
         tile = TILE_FM[kernel_name](t[:, :pd], t[:, pd], s, core,
                                     accum_dtype, d2_mode)
@@ -103,11 +109,11 @@ def _body(pt_ref, ps_ref, tgt_ref, src_hbm, prev_ref, out_ref,
 
 @functools.partial(
     jax.jit, static_argnames=("kernel", "core", "accum_dtype", "interpret",
-                              "d2_mode"),
+                              "d2_mode", "group"),
     donate_argnums=(5,))
 def _exec_chunk(kernel: Kernel, tgt_geo, src_fm, pair_t, pair_s, out,
                 core: str, accum_dtype, interpret: bool,
-                d2_mode: str = "outer"):
+                d2_mode: str = "outer", group: int = GROUP):
     nn_t, _, b = tgt_geo.shape
     c = src_fm.shape[1]
     p = pair_t.shape[0]
@@ -125,14 +131,14 @@ def _exec_chunk(kernel: Kernel, tgt_geo, src_fm, pair_t, pair_s, out,
         out_specs=pl.BlockSpec((1, od8, b),
                                lambda i, pt, ps: (pt[i], 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((2, GROUP, c, b), src_fm.dtype),
-            pltpu.SemaphoreType.DMA((2, GROUP)),
+            pltpu.VMEM((2, group, c, b), src_fm.dtype),
+            pltpu.SemaphoreType.DMA((2, group)),
         ],
     )
     body = functools.partial(_body, kernel_name=kernel.name, core=core,
                              accum_dtype=accum_dtype, pd=pd, od=kernel.od,
-                             d2_mode=d2_mode)
-    flops_per_step = GROUP * b * b * kernel.flops_fn(core)
+                             d2_mode=d2_mode, group=group)
+    flops_per_step = group * b * b * kernel.flops_fn(core)
     return pl.pallas_call(
         body,
         grid_spec=grid_spec,
@@ -141,9 +147,9 @@ def _exec_chunk(kernel: Kernel, tgt_geo, src_fm, pair_t, pair_s, out,
         input_output_aliases={4: 0},
         cost_estimate=pl.CostEstimate(
             flops=flops_per_step * p,
-            bytes_accessed=p * (b * (pd + 1) + GROUP * c * b
+            bytes_accessed=p * (b * (pd + 1) + group * c * b
                                 + 2 * b * kernel.od) * 4,
-            transcendentals=p * GROUP * b * b),
+            transcendentals=p * group * b * b),
         interpret=interpret,
     )(pair_t, pair_s.reshape(-1), tgt_geo, src_fm, out)
 
@@ -153,7 +159,8 @@ def exec_pairs_pallas(kernel: Kernel, tgt_geo: jax.Array,
                       group_s: jax.Array, core: str = "rm",
                       accum_dtype=jnp.float32,
                       interpret: bool = False,
-                      d2_mode: str = "outer") -> jax.Array:
+                      d2_mode: str = "outer",
+                      group: int = GROUP) -> jax.Array:
     """tgt_geo (NN_t, B, PD+1), src_fm (NN_s, C, B), group_t (P,),
     group_s (P, GROUP) — groups ordered by target row. Returns
     out (NN_t, B, OD); rows with no groups are zero."""
@@ -161,18 +168,19 @@ def exec_pairs_pallas(kernel: Kernel, tgt_geo: jax.Array,
     p = group_t.shape[0]
     od8 = -(-kernel.od // 8) * 8
     out = jnp.zeros((nn_t, od8, b), accum_dtype)
-    if p > CHUNK_GROUPS:
-        pad = -p % CHUNK_GROUPS
+    chunk = _chunk_groups(group)
+    if p > chunk:
+        pad = -p % chunk
         group_t = jnp.pad(group_t, (0, pad))
         group_s = jnp.pad(group_s, ((0, pad), (0, 0)))
-        for i in range(0, p + pad, CHUNK_GROUPS):
+        for i in range(0, p + pad, chunk):
             out = _exec_chunk(kernel, tgt_geo, src_fm,
-                              group_t[i:i + CHUNK_GROUPS],
-                              group_s[i:i + CHUNK_GROUPS], out, core,
-                              accum_dtype, interpret, d2_mode)
+                              group_t[i:i + chunk],
+                              group_s[i:i + chunk], out, core,
+                              accum_dtype, interpret, d2_mode, group)
     else:
         out = _exec_chunk(kernel, tgt_geo, src_fm, group_t, group_s, out,
-                          core, accum_dtype, interpret, d2_mode)
+                          core, accum_dtype, interpret, d2_mode, group)
     # back to the framework-standard (NN, B, OD) point-major layout
     return jnp.transpose(out[:, :kernel.od, :], (0, 2, 1))
 

@@ -90,14 +90,14 @@ def exec_pairs(kernel: Kernel, cfg, plan, raw: PairList, slot_width: int,
         # CPU has no Mosaic backend: fall back to the interpreter so the
         # pallas path stays testable on the virtual mesh
         interpret = interpret or jax.devices()[0].platform == "cpu"
-        g = pp.GROUP
-        cap = max(1024, n_rows * cap_groups_per_row)
+        g = getattr(cfg, "pair_group", pp.GROUP)
+        cap = max(1024, n_rows * cap_groups_per_row * pp.GROUP // g)
         pg = lists.group_pairs(raw, cap, g, slot_width)
         d2m = "center" if cfg.d2_mode == "center" else "outer"
         out = pp.exec_pairs_pallas(kernel, plan.tgt_geo, plan.src_fm,
                                    pg.tgt, pg.src, cfg.core_func,
                                    cfg.accum_dtype, interpret=interpret,
-                                   d2_mode=d2m)
+                                   d2_mode=d2m, group=g)
         return out, pg
     cap = max(1024, n_rows * cap_groups_per_row * 8)
     cap = min(cap, raw.tgt.shape[0])

@@ -368,6 +368,120 @@ def build_dtt_pairs(stree: Tree, ttree: Tree, theta,
     return PairList(tgt=tgt, src=src, n_valid=nv, overflow=ov)
 
 
+@partial(jax.jit, static_argnames=("levels_s", "levels_t", "frontier_width"))
+def _dtt_lists_level(stree: Tree, ttree: Tree, theta,
+                     levels_s: int, levels_t: int, frontier_width: int):
+    """Simultaneous-descent dual-tree traversal: ONE MAC classification
+    per target level.
+
+    Where _dtt_lists mirrors the reference's refine-the-larger-box walk
+    (ongrav3d.cpp:374-397) with an inner source-refinement loop, this
+    variant descends both trees in lockstep: a target node's candidates
+    are exactly the children of its parent's non-separated list, so every
+    candidate source node sits at the target's own level (clamped to the
+    source leaf level) and no inner loop is needed. The MAC criterion is
+    identical — acceptance still guarantees dist/(snr+tnr) > theta — so
+    the error envelope is unchanged; only the level at which a given pair
+    separates can shift. Per-level output slot width equals the frontier
+    width (accepted <= candidates), which shrinks every downstream
+    compaction ~4x vs the list_width slots of the refine builder.
+
+    If the source tree is deeper than the target tree, leaf-level target
+    nodes may still hold interior source candidates; a (statically
+    emitted) refinement loop finishes those off.
+    """
+    nleaf_s = 1 << levels_s
+    W = frontier_width
+    pd = stree.nc.shape[1]
+    theta = jnp.asarray(theta, stree.nc.dtype)
+
+    all_tgt = []
+    all_src = []
+    total_valid = jnp.int32(0)
+    overflow = jnp.int32(0)
+
+    cand = jnp.zeros((1, W), jnp.int32).at[0, 0].set(1)  # root vs root
+
+    for l in range(levels_t + 1):
+        nt = 1 << l
+        tgt_ids = jnp.arange(nt, 2 * nt, dtype=jnp.int32)
+        t_is_leaf = (l == levels_t)
+        tnr = ttree.nr[nt:2 * nt]
+        tcm = ttree.x[nt:2 * nt]
+
+        def classify(cand):
+            valid = cand != 0
+            s_is_leaf = cand >= nleaf_s
+            snr = _g(stree.nr, cand)
+            d2 = _dist2_comp(_gv(stree.x, cand, pd),
+                             tuple(tcm[:, None, d] for d in range(pd)))
+            sep = d2 > (theta * (snr + tnr[:, None])) ** 2
+            accept = valid & ((s_is_leaf & t_is_leaf) | sep)
+            if t_is_leaf:
+                expand = valid & ~accept & ~s_is_leaf
+                defer = jnp.zeros_like(valid)
+            else:
+                expand = jnp.zeros_like(valid)
+                defer = valid & ~accept
+            return accept, expand, defer
+
+        accept, expand, defer = classify(cand)
+        out = jnp.where(accept, cand, 0)
+        if t_is_leaf and levels_s > levels_t:
+            # deep source tree: refine remaining interior sources in place
+            out_ext = jnp.zeros((nt, W + 1), jnp.int32)
+            out_cnt = jnp.zeros((nt,), jnp.int32)
+            out_ext, out_cnt, ov0 = _append_rows(out_ext, out_cnt, out)
+            overflow = overflow + ov0
+            for _ in range(levels_s - levels_t):
+                kids = jnp.concatenate(
+                    [jnp.where(expand, 2 * cand, 0),
+                     jnp.where(expand, 2 * cand + 1, 0)], axis=1)
+                cand, ovc = _compact_rows(kids, W)
+                overflow = overflow + ovc
+                accept, expand, defer = classify(cand)
+                out_ext, out_cnt, ovc = _append_rows(
+                    out_ext, out_cnt, jnp.where(accept, cand, 0))
+                overflow = overflow + ovc
+            overflow = overflow + jnp.sum(expand, dtype=jnp.int32)
+            out = out_ext[:, :W]
+            total_valid = total_valid + jnp.sum(out_cnt, dtype=jnp.int32)
+        else:
+            out, ovc = _compact_rows(out, W)
+            overflow = overflow + ovc + jnp.sum(expand, dtype=jnp.int32)
+            total_valid = total_valid + jnp.sum(out != 0, dtype=jnp.int32)
+
+        all_tgt.append(jnp.broadcast_to(tgt_ids[:, None], (nt, W)).reshape(-1))
+        all_src.append(out.reshape(-1))
+
+        if l < levels_t:
+            # children of the deferred list, clamped at source leaves:
+            # a non-separated source leaf rides along unrefined until the
+            # target reaches its own leaf level (sltl direct there)
+            s_leaf = cand >= nleaf_s
+            keep_leaf = defer & s_leaf
+            split = defer & ~s_leaf
+            kids = jnp.concatenate(
+                [jnp.where(split, 2 * cand, 0),
+                 jnp.where(split, 2 * cand + 1, 0),
+                 jnp.where(keep_leaf, cand, 0)], axis=1)
+            nxt, ovc = _compact_rows(kids, W)
+            overflow = overflow + ovc
+            cand = jnp.repeat(nxt, 2, axis=0)
+
+    tgt = jnp.concatenate(all_tgt)
+    src = jnp.concatenate(all_src)
+    return tgt, src, total_valid, overflow
+
+
+def build_dtt_pairs_level(stree: Tree, ttree: Tree, theta,
+                          frontier_width: int = 128) -> PairList:
+    """Simultaneous-descent DTT pair list; slot width == frontier_width."""
+    tgt, src, nv, ov = _dtt_lists_level(stree, ttree, theta, stree.levels,
+                                        ttree.levels, frontier_width)
+    return PairList(tgt=tgt, src=src, n_valid=nv, overflow=ov)
+
+
 @partial(jax.jit, static_argnames=("cap",))
 def _compact_grouped(tgt, src, cap: int):
     keep = src != 0

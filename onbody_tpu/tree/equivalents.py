@@ -276,6 +276,46 @@ def pairmerge_blocks(tree: Tree, sorted_parts: Parts) -> Blocks:
 
 # ----------------------------------------------------- target-side blocks
 
+@partial(jax.jit, static_argnames=("order", "width", "levels", "block_size"))
+def _target_grid_impl(tree: Tree, x, r, order: int, width: int,
+                      levels: int, block_size: int):
+    """Positions-and-radii-only Blocks build for the target side.
+
+    Equivalent-target points are just the Chebyshev grids of each node
+    (BarycentricLagrange.hpp:325-332) — no anterpolation happens on the
+    target side (strengths flow downward, not upward), so skipping the
+    weight-build/einsum machinery of _bary_impl makes this pass nearly
+    free.
+    """
+    pd = x.shape[1]
+    dtype = x.dtype
+    ncp = order + 1
+    M = ncp ** pd
+    nleaf = 1 << levels
+    nn = 2 * nleaf
+    n_pad = x.shape[0]
+
+    pos = jnp.zeros((nn, width, pd), dtype)
+    rad = jnp.ones((nn, width), dtype)
+    pos = pos.at[nleaf:, :block_size].set(x.reshape(nleaf, block_size, pd))
+    rad = rad.at[nleaf:, :block_size].set(r.reshape(nleaf, block_size))
+
+    for l in range(levels - 1, -1, -1):
+        nseg = 1 << l
+        sl = tree.level_slice(l)
+        nc_l = tree.nc[sl]
+        grid = _grid_positions(nc_l, tree.ns[sl], order)
+        pos = pos.at[sl, :M].set(grid)
+        if M < width:
+            pos = pos.at[sl, M:].set(
+                jnp.broadcast_to(nc_l[:, None, :],
+                                 (nseg, width - M, pd)))
+        r_first = r.reshape(nseg, n_pad >> l)[:, 0]
+        rad = rad.at[sl].set(jnp.broadcast_to(r_first[:, None],
+                                              (nseg, width)))
+    return pos, rad
+
+
 def target_blocks(tree: Tree, sorted_targs: Parts, order: int,
                   width: Optional[int] = None) -> Blocks:
     """Target-side unified blocks: leaf rows = target particles, interior
@@ -287,10 +327,8 @@ def target_blocks(tree: Tree, sorted_targs: Parts, order: int,
         M = (order + 1) ** pd
         if width is None:
             width = max(bs, M)
-        # positions only: reuse the bary machinery with dummy strengths
-        dummy_s = jnp.zeros((sorted_targs.n, 1), sorted_targs.x.dtype)
-        pos, rad, _ = _bary_impl(tree, sorted_targs.x, sorted_targs.r,
-                                 dummy_s, order, width, tree.levels, bs)
+        pos, rad = _target_grid_impl(tree, sorted_targs.x, sorted_targs.r,
+                                     order, width, tree.levels, bs)
         return Blocks(pos=pos, rad=rad, s=None)
     # pair-merge targets: positions merged with unit weights
     dummy_s = jnp.ones((sorted_targs.n, 1), sorted_targs.x.dtype)

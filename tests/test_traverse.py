@@ -91,6 +91,24 @@ def test_pairmerge_treecode_and_dtt():
     assert rel_rms(outd, ref) < 5e-2, rel_rms(outd, ref)
 
 
+@pytest.mark.parametrize("nsrc,ntgt", [(2048, 2048), (4096, 1024),
+                                       (1024, 4096)])
+def test_dtt_level_traversal(nsrc, ntgt):
+    """Simultaneous-descent DTT matches the refine walk's accuracy across
+    equal and unequal tree depths (deep-source case exercises the
+    leaf-level source-refinement tail)."""
+    kernel = KERNELS["grav3d"]
+    ks, kt = jax.random.split(jax.random.PRNGKey(3))
+    srcs = P.random_in_cube(ks, nsrc, 3, 1, True)
+    targs = P.random_in_cube(kt, ntgt, 3, 0, False)
+    ref = direct.direct_oracle(kernel, srcs, targs)
+    cfg = CFG.replace(dtt_traversal="level", frontier_width=128)
+    plan = treecode.prepare(kernel, cfg, srcs, targs)
+    out, pl = dtt.solve_dtt(kernel, cfg, plan)
+    assert int(pl.overflow) == 0
+    assert rel_rms(out, ref) < 3e-3, rel_rms(out, ref)
+
+
 def test_theta_tightens_error():
     kernel = KERNELS["grav3d"]
     srcs, targs = _problem(kernel)
