@@ -68,6 +68,10 @@ def main():
     _sync(targs.x)
 
     def full_eval():
+        if N < 4_000_000:
+            # one fused program: no dispatch boundaries (peak HBM is
+            # higher; the split path bounds it at large N)
+            return dtt.solve_dtt_fused(kernel, cfg, srcs, targs)
         plan = treecode.prepare(kernel, cfg, srcs, targs)
         return dtt.solve_dtt(kernel, cfg, plan)
 

@@ -115,6 +115,30 @@ def fastsumm_stats(raw: lists.PairList, nleaf_s: int, nleaf_t: int):
     }
 
 
+@partial(jax.jit, static_argnames=("kernel", "cfg", "n_src", "n_tgt"))
+def _full_fused(kernel: Kernel, cfg: SolverConfig, sx, sr, ss, tx, tr,
+                n_src: int, n_tgt: int):
+    from onbody_tpu.parts import Parts
+    from onbody_tpu.traverse.treecode import prepare
+    srcs = Parts(x=sx, r=sr, s=ss, n_real=n_src)
+    targs = Parts(x=tx, r=tr, s=None, n_real=n_tgt)
+    plan = prepare(kernel, cfg, srcs, targs)
+    return solve_dtt(kernel, cfg, plan)
+
+
+def solve_dtt_fused(kernel: Kernel, cfg: SolverConfig, srcs, targs):
+    """Whole pipeline (tree builds -> equivalents -> lists -> pair
+    execution -> downward -> unscramble) as ONE jitted program.
+
+    Removes every dispatch boundary so XLA can overlap phases; peak HBM
+    is higher than the phase-split path (the per-level donated tree-build
+    steps exist precisely to bound it at large N), so prefer this below
+    ~4e6 particles and the split path above.
+    """
+    return _full_fused(kernel, cfg, srcs.x, srcs.r, srcs.s, targs.x,
+                       targs.r, srcs.n_real, targs.n_real)
+
+
 def solve_dtt(kernel: Kernel, cfg: SolverConfig, plan: Plan,
               theta: Optional[float] = None) -> Tuple[jax.Array,
                                                       lists.PairList]:

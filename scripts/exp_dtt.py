@@ -43,21 +43,27 @@ def main():
     ref = np.asarray(direct.direct(kernel, srcs, sub))
 
     variants = [
-        ("level g8",  dict(dtt_traversal="level", pair_group=8)),
-        ("level g16", dict(dtt_traversal="level", pair_group=16)),
-        ("level g16 morton", dict(dtt_traversal="level", pair_group=16,
-                                  tree_mode="morton")),
-        ("level g8 morton", dict(dtt_traversal="level", pair_group=8,
-                                 tree_mode="morton")),
+        ("level g8 fused", dict(dtt_traversal="level", pair_group=8),
+         True),
+        ("level g8 fused bs256",
+         dict(dtt_traversal="level", pair_group=8, block_size=256,
+              cap_groups_dtt=12), True),
+        ("level g8 fused morton",
+         dict(dtt_traversal="level", pair_group=8, tree_mode="morton"),
+         True),
+        ("level g8 split", dict(dtt_traversal="level", pair_group=8),
+         False),
     ]
     base = dict(block_size=128, order=4, theta_dtt=1.4,
                 frontier_width=256, list_width=512,
                 pair_backend="pallas")
 
-    for name, kw in variants:
+    for name, kw, fused in variants:
         cfg = SolverConfig(**{**base, **kw})
 
         def full_eval():
+            if fused:
+                return dtt.solve_dtt_fused(kernel, cfg, srcs, targs)
             plan = treecode.prepare(kernel, cfg, srcs, targs)
             return dtt.solve_dtt(kernel, cfg, plan)
 

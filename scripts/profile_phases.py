@@ -51,6 +51,7 @@ def main():
         cfg = SolverConfig(block_size=128, order=4, theta_dtt=1.4,
                            frontier_width=256, list_width=512,
                            pair_backend="pallas")
+    cfg = cfg.replace(dtt_traversal="level")
     ks, kt = jax.random.split(jax.random.PRNGKey(12345))
     srcs = P.random_in_cube(ks, n, 3, 1, True)
     targs = P.random_in_cube(kt, n, 3, 0, False)
@@ -87,23 +88,30 @@ def main():
                              tgt_sorted=ts, src_blocks=sblocks,
                              tgt_blocks=tblocks, src_gidx=sg, tgt_gidx=tg,
                              src_fm=src_fm, tgt_geo=tgt_geo, tgt_inv=tgt_inv)
-        pl_raw = run("dtt lists", lambda: lists.build_dtt_pairs(
-            stree, ttree, cfg.theta_dtt, cfg.frontier_width,
-            cfg.list_width))
-        n_rows = pl_raw.tgt.shape[0] // cfg.list_width
-        cap = max(1024, n_rows * cfg.cap_groups_dtt)
+        if cfg.dtt_traversal == "level":
+            slot = cfg.frontier_width
+            pl_raw = run("dtt lists", lambda: lists.build_dtt_pairs_level(
+                stree, ttree, cfg.theta_dtt, cfg.frontier_width))
+        else:
+            slot = cfg.list_width
+            pl_raw = run("dtt lists", lambda: lists.build_dtt_pairs(
+                stree, ttree, cfg.theta_dtt, cfg.frontier_width,
+                cfg.list_width))
+        g = cfg.pair_group
+        n_rows = pl_raw.tgt.shape[0] // slot
+        cap = max(1024, n_rows * cfg.cap_groups_dtt * pp.GROUP // g)
         pg = run("group pairs", lambda: lists.group_pairs(
-            pl_raw, cap, pp.GROUP, cfg.list_width))
+            pl_raw, cap, g, slot))
         outb = run("pair exec", lambda: pp.exec_pairs_pallas(
             kernel, plan.tgt_geo, plan.src_fm, pg.tgt, pg.src,
-            cfg.core_func, cfg.accum_dtype))
+            cfg.core_func, cfg.accum_dtype, group=g))
         outb = run("downward", lambda: dtt._downward(
             outb, ttree.nc, ttree.ns, tblocks.pos, cfg.order,
             ttree.levels, ttree.block_size))
         res = run("unscramble", lambda: treecode._leaf_outputs(
             outb, plan, kernel, targs.n_real))
         t["TOTAL"] = sum(t.values())
-        t["n_groups"] = int(np.asarray(pg.n_valid)) / 8.0
+        t["n_groups"] = int(np.asarray(pg.n_valid)) / g
         t["overflow"] = int(np.asarray(pg.overflow))
         return t, res
 
