@@ -9,13 +9,19 @@ uniformly full blocks, README.md:117-138, taken to its fixed-shape
 conclusion). The tree is then a complete implicit binary tree — node i's
 children are 2i/2i+1, level l spans indices [2^l, 2^(l+1)) (Tree.hpp:36-41)
 — and construction is a static Python loop over levels where each level is
-one batched reshape + argsort:
+one batched variadic sort:
 
     for level l: segments of m = n_pad/2^l particles
       box = per-segment min/max            (reshape + reduce)
       axis = argmax(box size)              (per-segment)
-      order = argsort along that axis      (batched sort, one per level)
-      apply permutation to all SoA arrays  (take_along_axis)
+      lax.sort(key, x0..x_pd, r, s.., gidx)  (ONE variadic sort)
+
+The particle payload rides through the sort network as extra operands:
+bitonic compare-exchange moves data with regular strides, which is ~9x
+faster on TPU than the argsort + random-index gather formulation (the
+gather, not the sort, dominates at scale — measured 131ms vs 14ms per
+level at 2^23). gidx rides as a native int32 operand, so no f32-index
+encoding and no special casing at n >= 2^24.
 
 Exact median splits on padded power-of-two segments reproduce VAMsplit
 semantics (left subtree = full power-of-two blocks, barneshut.hpp:663).
@@ -85,19 +91,6 @@ def plan(n: int, block_size: int) -> Tuple[int, int]:
     return int(np.log2(nleaf)), nleaf * block_size
 
 
-def _apply_perm(arrs, order):
-    """Permute flat (n_pad, ...) arrays by a (nseg, m) within-segment order.
-
-    Converts the per-segment order to one flat global index and uses flat
-    gathers — per-segment take_along_axis lowers to row-wise gathers that
-    are ~25x slower on TPU.
-    """
-    nseg, m = order.shape
-    base = (jnp.arange(nseg, dtype=order.dtype) * m)[:, None]
-    flat = (order + base).reshape(-1)
-    return [None if a is None else a[flat] for a in arrs]
-
-
 def _morton_keys(x, pd: int):
     """Interleaved-bit Morton codes (uint32) from positions.
 
@@ -131,7 +124,7 @@ def _morton_keys(x, pd: int):
     return spread2(q[:, 0]) | (spread2(q[:, 1]) << 1)
 
 
-def _masked_box(xs, mask):
+def _masked_box_cols(xs, mask):
     """Per-segment min/max over REAL particles only, falling back to the
     unmasked box for pure-padding segments.
 
@@ -139,128 +132,57 @@ def _masked_box(xs, mask):
     them into node boxes inflates nr/ns for every node on the real/pad
     boundary spine, which wrecks MAC acceptance (huge nodes never
     separate) and overflows the fixed-width interaction lists.
-    xs: (nseg, m, pd); mask: (nseg, m) bool.
+    xs: list of pd (nseg, m) arrays; mask: (nseg, m) bool.
+    Returns (lo, hi) of shape (nseg, pd).
     """
-    big = jnp.asarray(3.0e38, xs.dtype)
-    lo_m = jnp.min(jnp.where(mask[..., None], xs, big), axis=1)
-    hi_m = jnp.max(jnp.where(mask[..., None], xs, -big), axis=1)
-    any_real = jnp.any(mask, axis=1)[:, None]
-    lo_u = jnp.min(xs, axis=1)
-    hi_u = jnp.max(xs, axis=1)
-    return (jnp.where(any_real, lo_m, lo_u),
-            jnp.where(any_real, hi_m, hi_u))
+    los, his = [], []
+    any_real = jnp.any(mask, axis=1)
+    for xd in xs:
+        big = jnp.asarray(3.0e38, xd.dtype)
+        lo_m = jnp.min(jnp.where(mask, xd, big), axis=1)
+        hi_m = jnp.max(jnp.where(mask, xd, -big), axis=1)
+        los.append(jnp.where(any_real, lo_m, jnp.min(xd, axis=1)))
+        his.append(jnp.where(any_real, hi_m, jnp.max(xd, axis=1)))
+    return jnp.stack(los, axis=1), jnp.stack(his, axis=1)
 
 
 @partial(jax.jit, static_argnames=("l", "pd", "capture_box"),
          donate_argnums=(0,))
-def _split_step(payload, n_real, l: int, pd: int, capture_box: bool):
-    """One median-split level: boxes (pre-split), longest-axis keys,
-    batched argsort, one packed permutation gather.
+def _split_step(cols, n_real, l: int, pd: int, capture_box: bool):
+    """One median-split level: boxes (pre-split), longest-axis keys, one
+    variadic segmented sort carrying every column through the network.
 
-    A separate donated jit per level keeps peak HBM at ~2x the payload:
-    unrolling all levels into one program makes XLA's buffer assignment
-    keep every level's temporaries alive (33 GB at n=2^24).
-
-    The payload's last column is gidx-as-f32; slots with gidx >= n_real
-    are padding and are excluded from boxes and axis selection.
+    cols: tuple of (n_pad,) arrays — x0..x_{pd-1}, r, s..., gidx (int32,
+    last). A separate donated jit per level keeps peak HBM at ~2x the
+    payload: unrolling all levels into one program makes XLA's buffer
+    assignment keep every level's temporaries alive.
     """
-    n_pad = payload.shape[0]
+    n_pad = cols[0].shape[0]
     nseg = 1 << l
     m = n_pad >> l
-    xs = payload[:, :pd].reshape(nseg, m, pd)
-    mask = (payload[:, -1] < n_real).reshape(nseg, m)
-    lo, hi = _masked_box(xs, mask)
-    axis = jnp.argmax(hi - lo, axis=1)
-    onehot = jax.nn.one_hot(axis, pd, dtype=payload.dtype)
-    keys = jnp.sum(xs * onehot[:, None, :], axis=2)
-    order = jnp.argsort(keys, axis=1)
-    (payload,) = _apply_perm([payload], order)
+    segs = [c.reshape(nseg, m) for c in cols]
+    xs = segs[:pd]
+    mask = segs[-1] < n_real
+    lo, hi = _masked_box_cols(xs, mask)
+    axis = jnp.argmax(hi - lo, axis=1)                    # (nseg,)
+    keys = xs[0]
+    for d in range(1, pd):
+        keys = jnp.where((axis == d)[:, None], xs[d], keys)
+    out = jax.lax.sort((keys,) + tuple(segs), dimension=1, num_keys=1)
+    new_cols = tuple(o.reshape(n_pad) for o in out[1:])
     if capture_box:
-        return payload, lo, hi
-    return payload, None, None
+        return new_cols, lo, hi
+    return new_cols, None, None
 
 
-@partial(jax.jit, static_argnames=("l", "pd", "capture_box"),
-         donate_argnums=(0, 1))
-def _split_step_g(payload, gidx, n_real, l: int, pd: int,
-                  capture_box: bool):
-    """_split_step variant carrying gidx separately (n >= 2^24, where f32
-    values can no longer represent indices exactly)."""
-    n_pad = payload.shape[0]
+@partial(jax.jit, static_argnames=("l", "pd"))
+def _box_step(cols, n_real, l: int, pd: int):
+    n_pad = cols[0].shape[0]
     nseg = 1 << l
     m = n_pad >> l
-    xs = payload[:, :pd].reshape(nseg, m, pd)
-    mask = (gidx < n_real).reshape(nseg, m)
-    lo, hi = _masked_box(xs, mask)
-    axis = jnp.argmax(hi - lo, axis=1)
-    onehot = jax.nn.one_hot(axis, pd, dtype=payload.dtype)
-    keys = jnp.sum(xs * onehot[:, None, :], axis=2)
-    order = jnp.argsort(keys, axis=1)
-    payload, gidx = _apply_perm([payload, gidx], order)
-    if capture_box:
-        return payload, gidx, lo, hi
-    return payload, gidx, None, None
-
-
-@partial(jax.jit, static_argnames=("l", "pd", "carry_gidx"))
-def _box_step(payload, gidx, n_real, l: int, pd: int, carry_gidx: bool):
-    n_pad = payload.shape[0]
-    nseg = 1 << l
-    m = n_pad >> l
-    xs = payload[:, :pd].reshape(nseg, m, pd)
-    gcol = payload[:, -1] if carry_gidx else gidx
-    mask = (gcol < n_real).reshape(nseg, m)
-    return _masked_box(xs, mask)
-
-
-@partial(jax.jit, static_argnames=("levels", "block_size", "refine",
-                                   "are_targets", "mode"))
-def _build(x, r, s, gidx, n_real, levels: int, block_size: int,
-           refine: bool, are_targets: bool, mode: str = "median"):
-    n_pad = x.shape[0]
-    pd = x.shape[1]
-    sd = 0 if s is None else s.shape[1]
-    dtype = x.dtype
-    nleaf = 1 << levels
-    nn = 2 * nleaf
-
-    nc_all = jnp.zeros((nn, pd), dtype)
-    ns_all = jnp.zeros((nn, pd), dtype)
-
-    if mode == "morton":
-        # -------- one global space-filling-curve sort; equal-count splits
-        # of the sorted order. Boxes are computed from the actual REAL
-        # particles per segment, so they stay tight; split planes follow
-        # the Morton curve instead of per-level medians (slightly fatter
-        # nodes, ~1 sort instead of `levels`). Intra-leaf order is
-        # hierarchically local by construction (refine comes free).
-        keys = _morton_keys(x, pd)
-        order = jnp.argsort(keys)
-        x = x[order]
-        r = r[order]
-        s = s[order] if s is not None else None
-        gidx = gidx[order]
-        mask_flat = gidx < n_real
-        for l in range(levels + 1):
-            nseg = 1 << l
-            m = n_pad >> l
-            xs = x.reshape(nseg, m, pd)
-            lo, hi = _masked_box(xs, mask_flat.reshape(nseg, m))
-            sl = slice(nseg, 2 * nseg)
-            nc_all = nc_all.at[sl].set(0.5 * (lo + hi))
-            ns_all = ns_all.at[sl].set(hi - lo)
-    else:
-        raise ValueError("median mode is orchestrated in build_tree")
-
-    nr_all = 0.5 * jnp.sqrt(jnp.sum(ns_all * ns_all, axis=1))
-
-    cm_all, s_all, pr_all = _upward_stats(x, r, s, gidx < n_real, levels,
-                                          block_size, sd, are_targets,
-                                          dtype)
-
-    tree = Tree(nc=nc_all, ns=ns_all, nr=nr_all, x=cm_all, s=s_all,
-                pr=pr_all, levels=levels, block_size=block_size)
-    return tree, x, r, s, gidx
+    xs = [c.reshape(nseg, m) for c in cols[:pd]]
+    mask = cols[-1].reshape(nseg, m) < n_real
+    return _masked_box_cols(xs, mask)
 
 
 def _upward_stats(x, r, s, mask, levels: int, block_size: int, sd: int,
@@ -337,15 +259,13 @@ def _upward_stats(x, r, s, mask, levels: int, block_size: int, sd: int,
 
 
 @partial(jax.jit, static_argnames=("levels", "block_size", "sd",
-                                   "are_targets", "carry_gidx"))
-def _finish_median(payload, gidx, n_real, lows, highs, levels: int,
-                   block_size: int, sd: int, are_targets: bool,
-                   carry_gidx: bool):
-    """Assemble Tree arrays and upward stats from the sorted payload and
+                                   "are_targets"))
+def _finish_median(cols, n_real, lows, highs, levels: int,
+                   block_size: int, sd: int, are_targets: bool):
+    """Assemble Tree arrays and upward stats from the sorted columns and
     per-level pre-split boxes (finishTree, barneshut.hpp:718-807)."""
-    n_pad = payload.shape[0]
     pd = lows[0].shape[-1]
-    dtype = payload.dtype
+    dtype = cols[0].dtype
     nleaf = 1 << levels
     nn = 2 * nleaf
 
@@ -357,17 +277,62 @@ def _finish_median(payload, gidx, n_real, lows, highs, levels: int,
         ns_all = ns_all.at[sl].set(hi - lo)
     nr_all = 0.5 * jnp.sqrt(jnp.sum(ns_all * ns_all, axis=1))
 
-    x = payload[:, :pd]
-    r = payload[:, pd]
-    s = payload[:, pd + 1:pd + 1 + sd] if sd else None
-    if carry_gidx:
-        gidx = payload[:, -1].astype(jnp.int32)
+    x = jnp.stack(cols[:pd], axis=1)
+    r = cols[pd]
+    s = jnp.stack(cols[pd + 1:pd + 1 + sd], axis=1) if sd else None
+    gidx = cols[-1]
     mask = gidx < n_real
 
     cm_all, s_all, pr_all = _upward_stats(x, r, s, mask, levels,
                                           block_size, sd, are_targets,
                                           dtype)
 
+    tree = Tree(nc=nc_all, ns=ns_all, nr=nr_all, x=cm_all, s=s_all,
+                pr=pr_all, levels=levels, block_size=block_size)
+    return tree, x, r, s, gidx
+
+
+@partial(jax.jit, static_argnames=("levels", "block_size", "sd",
+                                   "are_targets"))
+def _build_morton(cols, n_real, levels: int, block_size: int, sd: int,
+                  are_targets: bool):
+    """One global space-filling-curve sort; equal-count splits of the
+    sorted order. Boxes are computed from the actual REAL particles per
+    segment, so they stay tight; split planes follow the Morton curve
+    instead of per-level medians (slightly fatter nodes, ~1 sort instead
+    of `levels`). Intra-leaf order is hierarchically local by
+    construction (refine comes free)."""
+    pd = len(cols) - 2 - sd
+    n_pad = cols[0].shape[0]
+    dtype = cols[0].dtype
+    nleaf = 1 << levels
+    nn = 2 * nleaf
+
+    x = jnp.stack(cols[:pd], axis=1)
+    keys = _morton_keys(x, pd)
+    out = jax.lax.sort((keys,) + tuple(cols), dimension=0, num_keys=1)
+    cols = out[1:]
+    gidx = cols[-1]
+    mask_flat = gidx < n_real
+
+    nc_all = jnp.zeros((nn, pd), dtype)
+    ns_all = jnp.zeros((nn, pd), dtype)
+    for l in range(levels + 1):
+        nseg = 1 << l
+        m = n_pad >> l
+        xs = [c.reshape(nseg, m) for c in cols[:pd]]
+        lo, hi = _masked_box_cols(xs, mask_flat.reshape(nseg, m))
+        sl = slice(nseg, 2 * nseg)
+        nc_all = nc_all.at[sl].set(0.5 * (lo + hi))
+        ns_all = ns_all.at[sl].set(hi - lo)
+    nr_all = 0.5 * jnp.sqrt(jnp.sum(ns_all * ns_all, axis=1))
+
+    x = jnp.stack(cols[:pd], axis=1)
+    r = cols[pd]
+    s = jnp.stack(cols[pd + 1:pd + 1 + sd], axis=1) if sd else None
+    cm_all, s_all, pr_all = _upward_stats(x, r, s, mask_flat, levels,
+                                          block_size, sd, are_targets,
+                                          dtype)
     tree = Tree(nc=nc_all, ns=ns_all, nr=nr_all, x=cm_all, s=s_all,
                 pr=pr_all, levels=levels, block_size=block_size)
     return tree, x, r, s, gidx
@@ -382,7 +347,7 @@ def build_tree(p: Parts, block_size: int = 128, refine: bool = False,
     interface2dvort.cpp:301-304). Padded slots have gidx >= n_real.
 
     mode: 'median' (VAMsplit-equivalent per-level median splits, one
-    batched sort per level) or 'morton' (one global space-filling-curve
+    variadic sort per level) or 'morton' (one global space-filling-curve
     sort; faster build, slightly fatter boxes).
     """
     levels, n_pad = plan(p.n_real, block_size)
@@ -390,27 +355,22 @@ def build_tree(p: Parts, block_size: int = 128, refine: bool = False,
     gidx = jnp.arange(n_pad, dtype=jnp.int32)
     n_real = jnp.int32(p.n_real)
     are_targets = not p.are_sources
+    pd = pp.x.shape[1]
+    sd = 0 if pp.s is None else pp.s.shape[1]
+
+    cols = tuple(pp.x[:, d] for d in range(pd)) + (pp.r,)
+    if pp.s is not None:
+        cols = cols + tuple(pp.s[:, d] for d in range(sd))
+    cols = cols + (gidx,)
+
     if mode == "morton":
-        tree, x, r, s, gidx = _build(pp.x, pp.r, pp.s, gidx, n_real,
-                                     levels, block_size, refine,
-                                     are_targets=are_targets, mode=mode)
+        tree, x, r, s, gidx = _build_morton(cols, n_real, levels,
+                                            block_size, sd, are_targets)
         sorted_parts = Parts(x=x, r=r, s=s, n_real=p.n_real)
         return tree, sorted_parts, gidx
 
     # median mode: one donated jit step per split level (a single
     # unrolled program makes XLA keep every level's temporaries live)
-    pd = pp.x.shape[1]
-    sd = 0 if pp.s is None else pp.s.shape[1]
-    # gidx rides along as f32 VALUES (exact for n < 2^24; a bitcast is
-    # corrupted on TPU, which quietens signaling-NaN bit patterns)
-    carry_gidx = n_pad <= (1 << 24)
-    cols = [pp.x, pp.r[:, None]]
-    if pp.s is not None:
-        cols.append(pp.s)
-    if carry_gidx:
-        cols.append(gidx.astype(jnp.float32)[:, None])
-    payload = jnp.concatenate(cols, axis=1)
-
     sort_levels = levels if not refine else int(np.log2(n_pad))
     lows, highs = [], []
     l = 0
@@ -418,23 +378,18 @@ def build_tree(p: Parts, block_size: int = 128, refine: bool = False,
         capture = l <= levels
         if l == sort_levels or (n_pad >> l) < 2:
             if capture:
-                lo, hi = _box_step(payload, gidx, n_real, l, pd,
-                                   carry_gidx)
+                lo, hi = _box_step(cols, n_real, l, pd)
                 lows.append(lo)
                 highs.append(hi)
             break
-        if carry_gidx:
-            payload, lo, hi = _split_step(payload, n_real, l, pd, capture)
-        else:
-            payload, gidx, lo, hi = _split_step_g(payload, gidx, n_real,
-                                                  l, pd, capture)
+        cols, lo, hi = _split_step(cols, n_real, l, pd, capture)
         if capture:
             lows.append(lo)
             highs.append(hi)
         l += 1
 
     tree, x, r, s, gidx = _finish_median(
-        payload, gidx, n_real, tuple(lows), tuple(highs), levels,
-        block_size, sd, are_targets, carry_gidx)
+        cols, n_real, tuple(lows), tuple(highs), levels, block_size, sd,
+        are_targets)
     sorted_parts = Parts(x=x, r=r, s=s, n_real=p.n_real)
     return tree, sorted_parts, gidx

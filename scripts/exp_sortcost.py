@@ -69,19 +69,48 @@ def bench(fn, *args, iters=3, k=16):
     return min(ts)
 
 
+@partial(jax.jit, static_argnames=("nseg",))
+def seg_argsort_only(keys, nseg: int):
+    n = keys.shape[0]
+    return jnp.argsort(keys.reshape(nseg, n // nseg), axis=1)
+
+
+@partial(jax.jit, static_argnames=("nseg", "cols"))
+def seg_sortkv(keys, payload, nseg: int, cols: int):
+    """Variadic sort: payload columns ride through the sort network."""
+    n = keys.shape[0]
+    m = n // nseg
+    ops = [keys.reshape(nseg, m)] + [payload[:, i].reshape(nseg, m)
+                                     for i in range(cols)]
+    out = jax.lax.sort(tuple(ops), dimension=1, num_keys=1)
+    return out[1]
+
+
+@partial(jax.jit, static_argnames=("cols",))
+def gather_only(payload, idx, cols: int):
+    return payload[:, :cols][idx]
+
+
 def main():
     for n in [1 << 20, 1 << 23]:
         k = jax.random.PRNGKey(0)
         keys = jax.random.uniform(k, (n,), jnp.float32)
         payload = jax.random.uniform(k, (n, 7), jnp.float32)
-        ids = jnp.arange(n, dtype=jnp.int32)
-        flag = jax.random.uniform(jax.random.PRNGKey(1), (n,)) < 0.5
+        idx = jnp.asarray(np.random.permutation(n).astype(np.int32))
         for nseg in [1, 64, 4096]:
             t1 = bench(seg_argsort_gather, keys, payload, nseg)
-            t2 = bench(seg_partition3, flag, (ids, ids, ids), nseg)
+            t3 = bench(seg_argsort_only, keys, nseg)
+            t4 = bench(seg_sortkv, keys, payload, nseg, 7)
+            t5 = bench(seg_sortkv, keys, payload, nseg, 3)
             print(f"n=2^{int(np.log2(n))} nseg={nseg:5d}: "
-                  f"argsort+gather7={t1*1e3:8.2f}ms  "
-                  f"partition3={t2*1e3:8.2f}ms", flush=True)
+                  f"argsort+gather7={t1*1e3:7.2f}ms  "
+                  f"argsort={t3*1e3:7.2f}ms  "
+                  f"sortkv7={t4*1e3:7.2f}ms  sortkv3={t5*1e3:7.2f}ms",
+                  flush=True)
+        t6 = bench(gather_only, payload, idx, 7)
+        t7 = bench(gather_only, payload, idx, 1)
+        print(f"n=2^{int(np.log2(n))}: gather7={t6*1e3:7.2f}ms "
+              f"gather1={t7*1e3:7.2f}ms", flush=True)
 
 
 if __name__ == "__main__":
