@@ -93,6 +93,16 @@ def exec_pairs(kernel: Kernel, cfg, plan, raw: PairList, slot_width: int,
         g = getattr(cfg, "pair_group", pp.GROUP)
         cap = max(1024, n_rows * cap_groups_per_row * pp.GROUP // g)
         pg = lists.group_pairs(raw, cap, g, slot_width)
+        # eager path (not under jit): trim the all-padding tail so the
+        # kernel only visits real groups — the static cap is a safety
+        # bound, not the work size. Costs one scalar fetch.
+        try:
+            n_groups = int(jax.device_get(jnp.sum(pg.tgt != 0)))
+            chunk = pp._chunk_groups(g)
+            trim = min(cap, -(-max(n_groups, 1) // chunk) * chunk)
+            pg = pg._replace(tgt=pg.tgt[:trim], src=pg.src[:trim])
+        except jax.errors.ConcretizationTypeError:
+            pass  # inside jit (fused path): keep static shapes
         d2m = "center" if cfg.d2_mode == "center" else "outer"
         out = pp.exec_pairs_pallas(kernel, plan.tgt_geo, plan.src_fm,
                                    pg.tgt, pg.src, cfg.core_func,

@@ -211,7 +211,10 @@ def _treecode_lists(stree: Tree, ttree: Tree, theta, mac: str,
     tns = ttree.ns[nleaf_t:][:, None, :]
     tnr = ttree.nr[nleaf_t:][:, None]
 
-    cand = jnp.zeros((L, W), jnp.int32).at[:, 0].set(1)
+    # dead target leaves (pure padding, outputs discarded) start empty
+    leaf_alive = ttree.alive[nleaf_t:]
+    cand = jnp.zeros((L, W), jnp.int32).at[:, 0].set(
+        jnp.where(leaf_alive, 1, 0))
     out = jnp.zeros((L, K + 1), jnp.int32)
     out_cnt = jnp.zeros((L,), jnp.int32)
     overflow = jnp.int32(0)
@@ -285,6 +288,8 @@ def _dtt_lists(stree: Tree, ttree: Tree, theta,
         # target nodes at this level are a contiguous slice: no gathers
         tnr = ttree.nr[nt:2 * nt]                    # (nt,)
         tcm = ttree.x[nt:2 * nt]
+        # dead (pure-padding) target subtrees produce nothing
+        cand = jnp.where(ttree.alive[nt:2 * nt][:, None], cand, 0)
 
         out = jnp.zeros((nt, K + 1), jnp.int32)
         out_cnt = jnp.zeros((nt,), jnp.int32)
@@ -408,6 +413,10 @@ def _dtt_lists_level(stree: Tree, ttree: Tree, theta,
         t_is_leaf = (l == levels_t)
         tnr = ttree.nr[nt:2 * nt]
         tcm = ttree.x[nt:2 * nt]
+        # dead target subtrees (pure padding — 40% of all leaves at
+        # N=1e7) produce no pairs and starve immediately: their outputs
+        # are discarded, so killing the row loses nothing
+        cand = jnp.where(ttree.alive[nt:2 * nt][:, None], cand, 0)
 
         def classify(cand):
             valid = cand != 0

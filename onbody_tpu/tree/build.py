@@ -69,6 +69,10 @@ class Tree:
     x: jax.Array    # (NN, PD) center of |strength|-weighted mass
     s: jax.Array    # (NN, SD) summed strengths
     pr: jax.Array   # (NN,)    mean particle radius
+    alive: jax.Array  # (NN,) bool — node holds >= 1 real particle.
+    # Power-of-two padding can be large (1.68x at N=1e7): whole subtrees
+    # of inert clones. Traversals kill dead TARGET rows outright (their
+    # outputs are discarded), which also starves dead-source work.
     levels: int = dataclasses.field(metadata=dict(static=True))
     block_size: int = dataclasses.field(metadata=dict(static=True))
 
@@ -204,6 +208,7 @@ def _upward_stats(x, r, s, mask, levels: int, block_size: int, sd: int,
     cm_all = jnp.zeros((nn, pd), dtype)
     s_all = jnp.zeros((nn, max(sd, 1)), dtype)
     pr_all = jnp.zeros((nn,), dtype)
+    alive_all = jnp.zeros((nn,), jnp.bool_)
 
     xs = x.reshape(nleaf, block_size, pd)
     maskf = mask.reshape(nleaf, block_size).astype(dtype)
@@ -235,6 +240,8 @@ def _upward_stats(x, r, s, mask, levels: int, block_size: int, sd: int,
     cm_all = cm_all.at[nleaf:].set(leaf_cm)
     s_all = s_all.at[nleaf:].set(leaf_s)
     pr_all = pr_all.at[nleaf:].set(leaf_pr)
+    alive_l = msum > 0
+    alive_all = alive_all.at[nleaf:].set(alive_l)
 
     cm_l, s_l, pr_l, w_l = leaf_cm, leaf_s, leaf_pr, wsum
     for l in range(levels - 1, -1, -1):
@@ -251,11 +258,13 @@ def _upward_stats(x, r, s, mask, levels: int, block_size: int, sd: int,
         pr_l = jnp.where(any_w, pr_m, 0.5 * (pr_l[0::2] + pr_l[1::2]))
         s_l = s_l[0::2] + s_l[1::2]
         w_l = wp
+        alive_l = alive_l[0::2] | alive_l[1::2]
         sl = slice(nseg, 2 * nseg)
         cm_all = cm_all.at[sl].set(cm_l)
         s_all = s_all.at[sl].set(s_l)
         pr_all = pr_all.at[sl].set(pr_l)
-    return cm_all, s_all, pr_all
+        alive_all = alive_all.at[sl].set(alive_l)
+    return cm_all, s_all, pr_all, alive_all
 
 
 @partial(jax.jit, static_argnames=("levels", "block_size", "sd",
@@ -283,12 +292,13 @@ def _finish_median(cols, n_real, lows, highs, levels: int,
     gidx = cols[-1]
     mask = gidx < n_real
 
-    cm_all, s_all, pr_all = _upward_stats(x, r, s, mask, levels,
-                                          block_size, sd, are_targets,
-                                          dtype)
+    cm_all, s_all, pr_all, alive = _upward_stats(x, r, s, mask, levels,
+                                                 block_size, sd,
+                                                 are_targets, dtype)
 
     tree = Tree(nc=nc_all, ns=ns_all, nr=nr_all, x=cm_all, s=s_all,
-                pr=pr_all, levels=levels, block_size=block_size)
+                pr=pr_all, alive=alive, levels=levels,
+                block_size=block_size)
     return tree, x, r, s, gidx
 
 
@@ -330,11 +340,12 @@ def _build_morton(cols, n_real, levels: int, block_size: int, sd: int,
     x = jnp.stack(cols[:pd], axis=1)
     r = cols[pd]
     s = jnp.stack(cols[pd + 1:pd + 1 + sd], axis=1) if sd else None
-    cm_all, s_all, pr_all = _upward_stats(x, r, s, mask_flat, levels,
-                                          block_size, sd, are_targets,
-                                          dtype)
+    cm_all, s_all, pr_all, alive = _upward_stats(x, r, s, mask_flat,
+                                                 levels, block_size, sd,
+                                                 are_targets, dtype)
     tree = Tree(nc=nc_all, ns=ns_all, nr=nr_all, x=cm_all, s=s_all,
-                pr=pr_all, levels=levels, block_size=block_size)
+                pr=pr_all, alive=alive, levels=levels,
+                block_size=block_size)
     return tree, x, r, s, gidx
 
 
@@ -358,7 +369,10 @@ def build_tree(p: Parts, block_size: int = 128, refine: bool = False,
     pd = pp.x.shape[1]
     sd = 0 if pp.s is None else pp.s.shape[1]
 
-    cols = tuple(pp.x[:, d] for d in range(pd)) + (pp.r,)
+    # jnp.copy(r): every other column is a fresh buffer (slices, iota,
+    # concat), but r would alias the caller's array — the donated
+    # per-level split steps would delete it out from under the caller
+    cols = tuple(pp.x[:, d] for d in range(pd)) + (jnp.copy(pp.r),)
     if pp.s is not None:
         cols = cols + tuple(pp.s[:, d] for d in range(sd))
     cols = cols + (gidx,)

@@ -39,11 +39,12 @@ def main():
                 frontier_width=256, list_width=512,
                 pair_backend="pallas", dtt_traversal="level")
     variants = [
-        ("g8 outer", dict(pair_group=8)),
-        ("g8 center", dict(pair_group=8, d2_mode="center")),
-        ("g16 center", dict(pair_group=16, d2_mode="center")),
-        ("g16 outer", dict(pair_group=16)),
-        ("g8 outer W192", dict(pair_group=8, frontier_width=192)),
+        ("g16 t1.40", dict(pair_group=16)),
+        ("g32 t1.40", dict(pair_group=32)),
+        ("g16 t1.35", dict(pair_group=16, theta_dtt=1.35)),
+        ("g16 t1.30", dict(pair_group=16, theta_dtt=1.30)),
+        ("g16 t1.35 W192", dict(pair_group=16, theta_dtt=1.35,
+                                frontier_width=192)),
     ]
     for name, kw in variants:
         cfg = SolverConfig(**{**base, **kw})
