@@ -7,7 +7,18 @@ entry points (interface2dvort.cpp:306-316).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
+
+# Platform override for embedded use: the JAX_PLATFORMS env var is
+# frozen too early when a sitecustomize imports jax at interpreter
+# start, so honor an explicit request here via jax.config (the only
+# reliable switch — see tests/conftest.py).
+if os.environ.get("ONBODY_CABI_PLATFORM"):
+    import jax
+    jax.config.update("jax_platforms",
+                      os.environ["ONBODY_CABI_PLATFORM"])
 
 from onbody_tpu.api import solver
 

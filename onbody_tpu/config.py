@@ -65,6 +65,17 @@ class SolverConfig:
     # more robust to strongly non-uniform source/target distributions)
     dtt_traversal: str = "level"
 
+    # candidate-list layout for the level traversal: 'flat' (one
+    # compacted (tgt, src) array per level — classification touches only
+    # real candidates; emits executor groups directly) or 'rows' (dense
+    # per-target frontier rows of frontier_width slots)
+    dtt_lists: str = "flat"
+
+    # flat layout: per-target-row candidate budget (the level-l flat cap
+    # is 2^l * this). Mean occupancy is ~67 at theta=1.4; overflow is
+    # detected, not silent
+    flat_row_cap: int = 128
+
     # source blocks fetched per Pallas grid step: the work tile is
     # (block_size, pair_group*block_size); larger groups amortize
     # per-step overheads at the cost of more padding waste on short runs

@@ -143,16 +143,22 @@ def solve_dtt(kernel: Kernel, cfg: SolverConfig, plan: Plan,
               theta: Optional[float] = None) -> Tuple[jax.Array,
                                                       lists.PairList]:
     theta = cfg.theta_dtt if theta is None else theta
-    if cfg.dtt_traversal == "level":
-        pl = lists.build_dtt_pairs_level(plan.stree, plan.ttree, theta,
-                                         cfg.frontier_width)
-        slot_width = cfg.frontier_width
+    if cfg.dtt_traversal == "level" and cfg.dtt_lists == "flat":
+        pg = lists.build_dtt_groups_flat(plan.stree, plan.ttree, theta,
+                                         cfg.flat_row_cap,
+                                         cfg.pair_group)
+        out, info = pexec.exec_groups(kernel, cfg, plan, pg)
     else:
-        pl = lists.build_dtt_pairs(plan.stree, plan.ttree, theta,
-                                   cfg.frontier_width, cfg.list_width)
-        slot_width = cfg.list_width
-    out, info = pexec.exec_pairs(kernel, cfg, plan, pl, slot_width,
-                                 cfg.cap_groups_dtt)
+        if cfg.dtt_traversal == "level":
+            pl = lists.build_dtt_pairs_level(plan.stree, plan.ttree,
+                                             theta, cfg.frontier_width)
+            slot_width = cfg.frontier_width
+        else:
+            pl = lists.build_dtt_pairs(plan.stree, plan.ttree, theta,
+                                       cfg.frontier_width, cfg.list_width)
+            slot_width = cfg.list_width
+        out, info = pexec.exec_pairs(kernel, cfg, plan, pl, slot_width,
+                                     cfg.cap_groups_dtt)
     if cfg.order >= 0:
         out = _downward(out, plan.ttree.nc, plan.ttree.ns,
                         plan.tgt_blocks.pos, cfg.order, plan.ttree.levels,

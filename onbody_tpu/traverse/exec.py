@@ -68,6 +68,45 @@ def exec_pairs_jnp(kernel: Kernel, tgt_blocks: Blocks, src_blocks: Blocks,
     return out
 
 
+def exec_groups(kernel: Kernel, cfg, plan, pg, interpret: bool = False):
+    """Run pre-grouped interactions (flat-list builder output).
+
+    Pallas on TPU (with eager tail trimming), jnp elsewhere (groups
+    flattened back to a pair list).
+    """
+    from onbody_tpu.traverse import lists
+    backend = cfg.pair_backend
+    if backend == "auto":
+        backend = ("pallas" if jax.devices()[0].platform == "tpu"
+                   else "jnp")
+    g = pg.src.shape[1]
+    if backend == "pallas":
+        from onbody_tpu.ops import pallas_pairs as pp
+        interpret = interpret or jax.devices()[0].platform == "cpu"
+        tgt, src = pg.tgt, pg.src
+        try:
+            # groups are front-packed by the builder: trim the padding
+            # tail to the next chunk boundary (one scalar fetch)
+            n_groups = int(jax.device_get(jnp.sum(tgt != 0)))
+            chunk = pp._chunk_groups(g)
+            cap = tgt.shape[0]
+            trim = min(cap, -(-max(n_groups, 1) // chunk) * chunk)
+            tgt, src = tgt[:trim], src[:trim]
+        except jax.errors.ConcretizationTypeError:
+            pass
+        d2m = "center" if cfg.d2_mode == "center" else "outer"
+        out = pp.exec_pairs_pallas(kernel, plan.tgt_geo, plan.src_fm,
+                                   tgt, src, cfg.core_func,
+                                   cfg.accum_dtype, interpret=interpret,
+                                   d2_mode=d2m, group=g)
+        return out, pg
+    pl = PairList(tgt=jnp.repeat(pg.tgt, g), src=pg.src.reshape(-1),
+                  n_valid=pg.n_valid, overflow=pg.overflow)
+    out = exec_pairs_jnp(kernel, plan.tgt_blocks, plan.src_blocks, pl,
+                         cfg.core_func, cfg.accum_dtype, cfg.d2_mode)
+    return out, pg
+
+
 def exec_pairs(kernel: Kernel, cfg, plan, raw: PairList, slot_width: int,
                cap_groups_per_row: int, interpret: bool = False):
     """Backend dispatcher: compacts the raw builder list and runs it.

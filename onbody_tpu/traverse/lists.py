@@ -491,6 +491,235 @@ def build_dtt_pairs_level(stree: Tree, ttree: Tree, theta,
     return PairList(tgt=tgt, src=src, n_valid=nv, overflow=ov)
 
 
+# ------------------------------------------- flat simultaneous descent
+#
+# The dense (targets, W) frontier pays gather + compaction cost for every
+# padded slot: measured occupancy is ~67 of W=256 (a ~3.8x overfetch), and
+# random gathers are the dominant cost of list construction at scale.
+# The flat builder keeps ONE compacted (tgt, src) candidate array per
+# level — classification touches exactly the real candidates — and emits
+# executor-ready G-wide groups directly (no group_pairs pass).
+
+def _pack_c64(x, w):
+    return jax.lax.complex(x, w)
+
+
+def _runs(pt, valid):
+    """Run machinery over a front-compacted, pt-sorted flat list.
+
+    Returns (is_start, run_id): is_start marks each run's first valid
+    entry; run_id numbers runs 0.. (valid entries only; junk elsewhere).
+    Invalid holes inside a run are harmless — every rank below is
+    computed by cumsums of flags that are False on holes.
+    """
+    prev = jnp.concatenate([jnp.zeros((1,), pt.dtype), pt[:-1]])
+    is_start = valid & (pt != prev)
+    run_id = jnp.cumsum(is_start.astype(jnp.int32)) - 1
+    return is_start, run_id
+
+
+def _seg_rank(flag, is_start):
+    """Within-run rank among flagged entries (0-based, valid where flag)."""
+    c = jnp.cumsum(flag.astype(jnp.int32))
+    excl = c - flag.astype(jnp.int32)
+    base = jax.lax.cummax(jnp.where(is_start, excl, 0))
+    return c - 1 - base, excl, base
+
+
+def _emit_groups(pt, ps, accept, is_start, group: int, cap_g: int):
+    """Compacted G-wide groups from accepted entries of a flat run list.
+
+    Groups of the same target stay consecutive (executor revisiting).
+    Returns (out_t (capG,), out_s (capG, G), n_groups_overflowed).
+    """
+    war, _, _ = _seg_rank(accept, is_start)
+    slot = war % group
+    gstart = accept & (slot == 0)
+    gid = jnp.cumsum(gstart.astype(jnp.int32)) - 1
+    ok = accept & (gid < cap_g)
+    overflow = jnp.sum(accept & (gid >= cap_g), dtype=jnp.int32)
+    out_t = jnp.zeros((cap_g + 1,), jnp.int32).at[
+        jnp.where(ok, gid, cap_g)].set(pt, mode="drop")[:cap_g]
+    flat = jnp.where(ok, gid * group + slot, cap_g * group)
+    out_s = jnp.zeros((cap_g * group + 1,), jnp.int32).at[flat].set(
+        jnp.where(ok, ps, 0), mode="drop")[:cap_g * group]
+    return out_t, out_s.reshape(cap_g, group), overflow
+
+
+def _flat_caps(levels_t: int, row_cap: int):
+    caps = []
+    c = 8
+    for l in range(levels_t + 1):
+        nt = 1 << l
+        c = min(max(4096, nt * row_cap), 4 * c)
+        caps.append(c)
+    return caps
+
+
+@partial(jax.jit, static_argnames=("levels_s", "levels_t", "row_cap",
+                                   "group"))
+def _dtt_groups_flat(stree: Tree, ttree: Tree, theta,
+                     levels_s: int, levels_t: int, row_cap: int,
+                     group: int):
+    """Flat-list simultaneous-descent DTT, emitting executor groups.
+
+    Same MAC and same traversal as _dtt_lists_level; only the data
+    structure differs (compacted flat candidate pairs instead of dense
+    per-target rows).
+    """
+    nleaf_s = 1 << levels_s
+    pd = stree.nc.shape[1]
+    theta = jnp.asarray(theta, stree.nc.dtype)
+
+    if pd == 3:
+        sgeo = (_pack_c64(stree.x[:, 0], stree.x[:, 1]),
+                _pack_c64(stree.x[:, 2], stree.nr))
+        tgeo = (_pack_c64(ttree.x[:, 0], ttree.x[:, 1]),
+                _pack_c64(ttree.x[:, 2], ttree.nr))
+    else:
+        sgeo = (_pack_c64(stree.x[:, 0], stree.x[:, 1]), stree.nr)
+        tgeo = (_pack_c64(ttree.x[:, 0], ttree.x[:, 1]), ttree.nr)
+    t_alive = ttree.alive
+
+    caps = _flat_caps(levels_t, row_cap)
+    group_ts, group_ss = [], []
+    total_valid = jnp.int32(0)
+    overflow = jnp.int32(0)
+
+    pt = jnp.zeros((8,), jnp.int32).at[0].set(1)
+    ps = jnp.zeros((8,), jnp.int32).at[0].set(1)
+
+    def classify(pt, ps, t_is_leaf):
+        valid = (ps != 0) & t_alive[pt]
+        s_is_leaf = ps >= nleaf_s
+        g1 = sgeo[0][ps]
+        t1 = tgeo[0][pt]
+        dx = g1.real - t1.real
+        dy = g1.imag - t1.imag
+        if pd == 3:
+            g2 = sgeo[1][ps]
+            t2 = tgeo[1][pt]
+            dz = g2.real - t2.real
+            snr = g2.imag
+            tnr = t2.imag
+            d2 = dx * dx + dy * dy + dz * dz
+        else:
+            snr = sgeo[1][ps]
+            tnr = tgeo[1][pt]
+            d2 = dx * dx + dy * dy
+        sep = d2 > (theta * (snr + tnr)) ** 2
+        accept = valid & ((s_is_leaf & t_is_leaf) | sep)
+        rest = valid & ~accept
+        return accept, rest, s_is_leaf
+
+    for l in range(levels_t + 1):
+        t_is_leaf = (l == levels_t)
+        accept, rest, s_is_leaf = classify(pt, ps, t_is_leaf)
+
+        if t_is_leaf and levels_s > levels_t:
+            # deep source tree: expand remaining interior sources. Each
+            # round's accepts are stashed and merged by ONE sort at the
+            # end — a target's groups must stay consecutive for the
+            # executor's output-revisiting accumulation (non-consecutive
+            # revisits race the writeback of the earlier run).
+            C = pt.shape[0]
+            acc_pt = [jnp.where(accept, pt, 0)]
+            acc_ps = [jnp.where(accept, ps, 0)]
+            for _ in range(levels_s - levels_t):
+                valid0 = ps != 0
+                is_start, _ = _runs(pt, valid0)
+                expand = rest & ~s_is_leaf
+                wdr, _, d_base = _seg_rank(expand, is_start)
+                npos = 2 * d_base + 2 * wdr
+                npt = jnp.zeros((C + 1,), jnp.int32)
+                nps = jnp.zeros((C + 1,), jnp.int32)
+                for b in (0, 1):
+                    dst = jnp.where(expand & (npos + b < C), npos + b, C)
+                    npt = npt.at[dst].set(pt, mode="drop")
+                    nps = nps.at[dst].set(2 * ps + b, mode="drop")
+                overflow += jnp.sum(expand & (npos + 1 >= C),
+                                    dtype=jnp.int32)
+                pt, ps = npt[:C], nps[:C]
+                accept, rest, s_is_leaf = classify(pt, ps, t_is_leaf)
+                acc_pt.append(jnp.where(accept, pt, 0))
+                acc_ps.append(jnp.where(accept, ps, 0))
+            overflow += jnp.sum(rest & ~s_is_leaf, dtype=jnp.int32)
+            # merge rounds: sort by (padding-last, target) and fall
+            # through to the shared emission below
+            apt = jnp.concatenate(acc_pt)
+            aps = jnp.concatenate(acc_ps)
+            key = jnp.where(apt != 0, apt, jnp.int32(2 ** 30))
+            _, pt, ps = jax.lax.sort((key, apt, aps), dimension=0,
+                                     num_keys=1)
+            accept = ps != 0
+            rest = jnp.zeros_like(accept)
+
+        valid0 = ps != 0
+        is_start, run_id = _runs(pt, valid0)
+        cap_g = caps[l] // group + (1 << l) + 1
+        gt, gs, ovg = _emit_groups(pt, ps, accept, is_start, group, cap_g)
+        group_ts.append(gt)
+        group_ss.append(gs)
+        total_valid += jnp.sum(accept, dtype=jnp.int32)
+        overflow += ovg
+
+        if l < levels_t:
+            # children: deferred (t,s) -> (2t+a, kids(s)); source leaves
+            # ride along unrefined (hole at b=1)
+            dfr = rest
+            wdr, _, d_base = _seg_rank(dfr, is_start)
+            C = pt.shape[0]
+            cnt_by_run = jnp.zeros((C + 1,), jnp.int32).at[
+                jnp.where(dfr, run_id, C)].add(1, mode="drop")
+            cnt = cnt_by_run[jnp.minimum(run_id, C)]
+            Cn = caps[l + 1]
+            npt = jnp.zeros((Cn + 1,), jnp.int32)
+            nps = jnp.zeros((Cn + 1,), jnp.int32)
+            ov_new = jnp.int32(0)
+            for a in (0, 1):
+                for b in (0, 1):
+                    npos = 4 * d_base + a * 2 * cnt + 2 * wdr + b
+                    src_kid = jnp.where(s_is_leaf,
+                                        jnp.where(b == 0, ps, 0),
+                                        2 * ps + b)
+                    ok = dfr & (npos < Cn)
+                    dst = jnp.where(ok, npos, Cn)
+                    npt = npt.at[dst].set(2 * pt + a, mode="drop")
+                    nps = nps.at[dst].set(jnp.where(ok, src_kid, 0),
+                                          mode="drop")
+                    ov_new += jnp.sum(dfr & (npos >= Cn),
+                                      dtype=jnp.int32)
+            overflow += ov_new
+            pt, ps = npt[:Cn], nps[:Cn]
+
+    # compact the per-level buffers' padding holes so real groups are
+    # front-packed (executor steps then stop at the real tail)
+    gt = jnp.concatenate(group_ts)
+    gs = jnp.concatenate(group_ss)
+    keep = gt != 0
+    pos = jnp.cumsum(keep.astype(jnp.int32)) - 1
+    capT = gt.shape[0]
+    dst = jnp.where(keep, pos, capT)
+    out_t = jnp.zeros((capT + 1,), jnp.int32).at[dst].set(
+        gt, mode="drop")[:capT]
+    flat = (dst[:, None] * group
+            + jnp.arange(group, dtype=jnp.int32)[None, :]).reshape(-1)
+    out_s = jnp.zeros((capT * group + group,), jnp.int32).at[
+        jnp.where(keep[:, None], flat.reshape(-1, group),
+                  capT * group).reshape(-1)].set(
+        gs.reshape(-1), mode="drop")[:capT * group]
+    return out_t, out_s.reshape(capT, group), total_valid, overflow
+
+
+def build_dtt_groups_flat(stree: Tree, ttree: Tree, theta,
+                          row_cap: int = 128,
+                          group: int = 8) -> PairGroups:
+    """Flat simultaneous-descent DTT -> executor-ready groups."""
+    gt, gs, nv, ov = _dtt_groups_flat(stree, ttree, theta, stree.levels,
+                                      ttree.levels, row_cap, group)
+    return PairGroups(tgt=gt, src=gs, n_valid=nv, overflow=ov)
+
+
 @partial(jax.jit, static_argnames=("cap",))
 def _compact_grouped(tgt, src, cap: int):
     keep = src != 0

@@ -55,6 +55,9 @@ print("CABI_OK")
 def test_cabi_2d_solver_vs_direct():
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
+    # JAX_PLATFORMS alone is frozen too early under the axon
+    # sitecustomize; the bridge honors this explicit override instead
+    env["ONBODY_CABI_PLATFORM"] = "cpu"
     env["ONBODY_TPU_ROOT"] = os.path.abspath(
         os.path.join(os.path.dirname(__file__), ".."))
     out = subprocess.run([sys.executable, "-c", DRIVER, os.path.abspath(LIB)],

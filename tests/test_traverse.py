@@ -109,6 +109,27 @@ def test_dtt_level_traversal(nsrc, ntgt):
     assert rel_rms(out, ref) < 3e-3, rel_rms(out, ref)
 
 
+@pytest.mark.parametrize("nsrc,ntgt", [(2048, 2048), (4096, 1024),
+                                       (2080, 2080)])
+def test_dtt_flat_lists(nsrc, ntgt):
+    """Flat-list traversal matches the dense-rows builder exactly (same
+    MAC, same pairs) across equal/unequal depths and heavy padding."""
+    kernel = KERNELS["grav3d"]
+    ks, kt = jax.random.split(jax.random.PRNGKey(3))
+    srcs = P.random_in_cube(ks, nsrc, 3, 1, True)
+    targs = P.random_in_cube(kt, ntgt, 3, 0, False)
+    ref = direct.direct_oracle(kernel, srcs, targs)
+    outs = {}
+    for mode in ("flat", "rows"):
+        cfg = CFG.replace(dtt_lists=mode)
+        plan = treecode.prepare(kernel, cfg, srcs, targs)
+        out, info = dtt.solve_dtt(kernel, cfg, plan)
+        assert int(info.overflow) == 0
+        assert rel_rms(out, ref) < 3e-3, rel_rms(out, ref)
+        outs[mode] = (np.asarray(out), int(info.n_valid))
+    assert outs["flat"][1] == outs["rows"][1]  # identical pair counts
+
+
 def test_theta_tightens_error():
     kernel = KERNELS["grav3d"]
     srcs, targs = _problem(kernel)
