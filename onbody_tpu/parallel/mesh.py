@@ -156,9 +156,7 @@ def _downward_local(out, nc_loc, ns_loc, pos_loc, order: int, levels: int,
     ndev = 1 << split
 
     def prolong(pts, pnc, pns, pu):
-        w = eq.bary_weights(pts, pnc, pns, order)
-        return jnp.einsum("npm,nmo->npo", w, pu,
-                          precision=jax.lax.Precision.HIGHEST)
+        return eq.prolong_factored(pts, pnc, pns, order, pu)
 
     # top levels: parents [2^(l-1), 2^l), children [2^l, 2^(l+1)) — all
     # replicated rows, identical on every device

@@ -55,9 +55,7 @@ def _downward(out, tree_nc, tree_ns, tgt_pos, order: int, levels: int,
 
         def level_add(args):
             cpts, cnc, cns, cu = args
-            w = eq.bary_weights(cpts, cnc, cns, order)
-            return jnp.einsum("npm,nmo->npo", w, cu,
-                              precision=jax.lax.Precision.HIGHEST)
+            return eq.prolong_factored(cpts, cnc, cns, order, cu)
 
         n_ch = 2 * np_l
         chunk = min(n_ch, 2048)   # bound the (nodes, P, M) weight tensor

@@ -110,6 +110,78 @@ def bary_weights(pts, nc, ns, order: int):
     return w * denom[..., None]
 
 
+def bary_factors(pts, nc, ns, order: int):
+    """Per-dimension NORMALIZED barycentric factor rows.
+
+    The full weight tensor factorizes over dimensions:
+        w[p, (i,j,k)] = f_0[p,i] * f_1[p,j] * f_2[p,k]
+    with f_d = amat_d / rowsum_d (the joint denominator of bary_weights
+    distributes across dims). Keeping the factors unexpanded turns the
+    (P, ncp^PD) weight build + einsum into a chain of (P, ncp)-sized
+    contractions — ~8x fewer flops and ~25x less memory traffic at
+    order 4 in 3D.
+
+    pts: (..., P, PD); nc/ns: (..., PD). Returns (..., P, PD, ncp).
+    Zero-rowsum rows (out-of-domain padding clones) get all-zero
+    factors, matching bary_weights' vanishing-normalizer guard.
+    """
+    dtype = pts.dtype
+    sk, wk = chebyshev_sk_wk(order, dtype)
+    lsk = nc[..., :, None] + 0.5 * sk * ns[..., :, None]
+    dist = pts[..., :, :, None] - lsk[..., None, :, :]
+    sing = jnp.abs(dist) < CLOSE_THRESH
+    has_sing = jnp.any(sing, axis=-1, keepdims=True)
+    safe = jnp.where(sing, 1.0, dist)
+    amat = wk / safe
+    amat = jnp.where(has_sing, sing.astype(dtype), amat)
+    rowsum = jnp.sum(amat, axis=-1, keepdims=True)
+    inv = jnp.where(jnp.abs(rowsum) > 1e-35, 1.0 / rowsum, 0.0)
+    return amat * inv
+
+
+def anterp_factored(pts, nc, ns, order: int, s):
+    """Upward anterpolation via per-dim factors: (n,P,SD) -> (n,M,SD).
+
+    M = ncp^PD flattened with dim 0 fastest (kidx convention,
+    BarycentricLagrange.hpp:311-319) — index (i,j,k) sits at
+    i + ncp*j + ncp^2*k, matching _grid_positions and bary_weights.
+    """
+    f = bary_factors(pts, nc, ns, order)            # (n, P, PD, ncp)
+    pd = pts.shape[-1]
+    hi = jax.lax.Precision.HIGHEST
+    if pd == 3:
+        t = jnp.einsum("npk,nps->npks", f[..., 2, :], s, precision=hi)
+        t = jnp.einsum("npj,npks->npjks", f[..., 1, :], t, precision=hi)
+        eq = jnp.einsum("npi,npjks->nkjis", f[..., 0, :], t,
+                        precision=hi)
+        n, ncp = eq.shape[0], eq.shape[1]
+        # (k, j, i) -> flat m with i fastest
+        return eq.reshape(n, ncp ** 3, s.shape[-1])
+    t = jnp.einsum("npj,nps->npjs", f[..., 1, :], s, precision=hi)
+    eq = jnp.einsum("npi,npjs->njis", f[..., 0, :], t, precision=hi)
+    n, ncp = eq.shape[0], eq.shape[1]
+    return eq.reshape(n, ncp ** 2, s.shape[-1])
+
+
+def prolong_factored(pts, nc, ns, order: int, U):
+    """Downward prolongation via per-dim factors: (n,M,OD) -> (n,P,OD)."""
+    f = bary_factors(pts, nc, ns, order)            # (n, P, PD, ncp)
+    pd = pts.shape[-1]
+    ncp = order + 1
+    hi = jax.lax.Precision.HIGHEST
+    n, M, od = U.shape
+    if pd == 3:
+        Uk = U.reshape(n, ncp, ncp, ncp, od)        # (n, k, j, i, o)
+        t = jnp.einsum("nkjio,npk->njiop", Uk, f[..., 2, :],
+                       precision=hi)
+        t = jnp.einsum("njiop,npj->niop", t, f[..., 1, :], precision=hi)
+        u = jnp.einsum("niop,npi->npo", t, f[..., 0, :], precision=hi)
+        return u
+    Uj = U.reshape(n, ncp, ncp, od)                 # (n, j, i, o)
+    t = jnp.einsum("njio,npj->niop", Uj, f[..., 1, :], precision=hi)
+    return jnp.einsum("niop,npi->npo", t, f[..., 0, :], precision=hi)
+
+
 def _grid_positions(nc, ns, order: int):
     """Tensor Chebyshev grid points for nodes: nc,ns (N, PD) -> (N, M, PD)."""
     ncp = order + 1
@@ -165,9 +237,7 @@ def _bary_impl(tree: Tree, x, r, s, order: int, width: int,
             src_str = child_str.reshape(nseg, 2 * M, sd)
         def anterp(args):
             cpos, cnc, cns, cstr = args
-            w = bary_weights(cpos, cnc, cns, order)      # (c, P, M)
-            return jnp.einsum("npm,nps->nms", w, cstr,
-                              precision=jax.lax.Precision.HIGHEST)
+            return anterp_factored(cpos, cnc, cns, order, cstr)
 
         # chunk the (nodes, P, M) weight tensor (7.8 GB unchunked at 1e7)
         chunk = min(nseg, 2048)

@@ -43,8 +43,9 @@ def main():
                              cap_groups_dtt=16), False),
         ("bs128 split", dict(block_size=128, list_width=512,
                              cap_groups_dtt=16), False),
-        ("bs256 fused", dict(block_size=256, list_width=320,
-                             cap_groups_dtt=16), True),
+        ("bs128 g32 split", dict(block_size=128, list_width=512,
+                                 cap_groups_dtt=16, pair_group=32),
+         False),
     ]
     for name, kw, fused in variants:
         cfg = SolverConfig(**{**base, **kw})
