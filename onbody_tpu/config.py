@@ -65,11 +65,14 @@ class SolverConfig:
     # more robust to strongly non-uniform source/target distributions)
     dtt_traversal: str = "level"
 
-    # candidate-list layout for the level traversal: 'flat' (one
-    # compacted (tgt, src) array per level — classification touches only
-    # real candidates; emits executor groups directly) or 'rows' (dense
-    # per-target frontier rows of frontier_width slots)
-    dtt_lists: str = "flat"
+    # candidate-list layout for the level traversal: 'rows' (dense
+    # per-target frontier rows of frontier_width slots — lane-dim
+    # compaction scans, fastest at every measured N) or 'flat' (one
+    # compacted (tgt, src) array per level; touches only real
+    # candidates, but its global 1-D scans and per-entry target
+    # gathers measured net-slower: 13.6 vs 12.8s at 1e7, 0.73 vs 0.67s
+    # at 1e6)
+    dtt_lists: str = "rows"
 
     # flat layout: per-target-row candidate budget (the level-l flat cap
     # is 2^l * this). Mean occupancy is ~67 at theta=1.4; overflow is
