@@ -264,13 +264,24 @@ def _bary_impl(tree: Tree, x, r, s, order: int, width: int,
     return pos, rad, st
 
 
+LANE = 128
+
+
+def _block_width(block_size: int, M: int) -> int:
+    """Unified block width: holds leaf particles AND proxies, rounded up
+    to a lane multiple (Mosaic requires last-dim slices aligned to 128;
+    a width of 125 = 5^3 fails to compile on real TPUs)."""
+    w = max(block_size, M)
+    return -(-w // LANE) * LANE
+
+
 def barycentric_blocks(tree: Tree, sorted_parts: Parts, order: int,
                        width: Optional[int] = None) -> Blocks:
     """Build the unified Blocks with barycentric-Lagrange interior proxies."""
     pd = sorted_parts.pd
     M = (order + 1) ** pd
     if width is None:
-        width = max(tree.block_size, M)
+        width = _block_width(tree.block_size, M)
     assert M <= width
     pos, rad, st = _bary_impl(tree, sorted_parts.x, sorted_parts.r,
                               sorted_parts.s, order, width,
@@ -336,11 +347,30 @@ def _pairmerge_impl(x, r, s, levels: int, block_size: int):
     return pos, rad, st
 
 
+def _pad_block_width(pos, rad, st, width: int):
+    """Pad blocks to a lane-aligned width with inert slots (zero
+    strength, radius 1, position = the block's slot-0 point so padded
+    slots never sit at a bogus in-domain origin)."""
+    nn, w0 = pos.shape[:2]
+    extra = width - w0
+    if extra <= 0:
+        return pos, rad, st
+    park = jnp.broadcast_to(pos[:, :1, :], (nn, extra, pos.shape[2]))
+    pos = jnp.concatenate([pos, park], axis=1)
+    rad = jnp.concatenate([rad, jnp.ones((nn, extra), rad.dtype)], axis=1)
+    if st is not None:
+        st = jnp.concatenate(
+            [st, jnp.zeros((nn, extra, st.shape[2]), st.dtype)], axis=1)
+    return pos, rad, st
+
+
 def pairmerge_blocks(tree: Tree, sorted_parts: Parts) -> Blocks:
     """Pair-merge equivalents (order<0 mode). Requires refine=True ordering."""
     pos, rad, st = _pairmerge_impl(sorted_parts.x, sorted_parts.r,
                                    sorted_parts.s, tree.levels,
                                    tree.block_size)
+    pos, rad, st = _pad_block_width(pos, rad, st,
+                                    _block_width(tree.block_size, 0))
     return Blocks(pos=pos, rad=rad, s=st)
 
 
@@ -396,7 +426,7 @@ def target_blocks(tree: Tree, sorted_targs: Parts, order: int,
     if order >= 0:
         M = (order + 1) ** pd
         if width is None:
-            width = max(bs, M)
+            width = _block_width(bs, M)
         pos, rad = _target_grid_impl(tree, sorted_targs.x, sorted_targs.r,
                                      order, width, tree.levels, bs)
         return Blocks(pos=pos, rad=rad, s=None)
@@ -404,4 +434,5 @@ def target_blocks(tree: Tree, sorted_targs: Parts, order: int,
     dummy_s = jnp.ones((sorted_targs.n, 1), sorted_targs.x.dtype)
     pos, rad, _ = _pairmerge_impl(sorted_targs.x, sorted_targs.r, dummy_s,
                                   tree.levels, bs)
+    pos, rad, _ = _pad_block_width(pos, rad, None, _block_width(bs, 0))
     return Blocks(pos=pos, rad=rad, s=None)
