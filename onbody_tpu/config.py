@@ -84,6 +84,12 @@ class SolverConfig:
     # per-step overheads at the cost of more padding waste on short runs
     pair_group: int = 8
 
+    # source fetch strategy inside the executor: 'pregather' (one XLA
+    # row-gather per chunk feeds the kernel a contiguous block per step)
+    # or 'dma' (GROUP small in-kernel row DMAs per step — measured
+    # ~3.8us/step of pure fetch latency, ~95% of step time)
+    pair_fetch: str = "pregather"
+
     # static interaction-list capacity, in 8-wide source groups per
     # emitted target row (keeps the solve path free of host syncs; the
     # pallas kernel skips padding-tail steps nearly for free, and

@@ -107,6 +107,82 @@ def _body(pt_ref, ps_ref, tgt_ref, src_hbm, prev_ref, out_ref,
         out_ref[0] = jnp.where(first, prev_ref[0], out_ref[0]) + tile_fm
 
 
+def _body_pre(pt_ref, tgt_ref, src_ref, prev_ref, out_ref, *,
+              kernel_name: str, core: str, accum_dtype, pd: int, od: int,
+              d2_mode: str, group: int, c: int):
+    """Pre-gathered variant: the step's GROUP source blocks arrive as ONE
+    contiguous (G*C, B) pipeline block — no manual DMAs, no transpose
+    (blocks stack along sublanes; the kernel loops sub-blocks and sums
+    their tiles, which distributes over the source concatenation).
+
+    The manual 16-small-DMA scheme measured ~3.8us/step of pure fetch
+    latency (95% of step time); a single large pipelined fetch amortizes
+    it away at the cost of one XLA row-gather pass outside the kernel.
+    """
+    p = pl.program_id(0)
+
+    @pl.when(pt_ref[p] != 0)
+    def _():
+        tg = tgt_ref[0]                                  # (8, B)
+        t = tg[:pd + 1].T
+        s = src_ref[0]                                   # (G*C, B)
+        tile = None
+        for j in range(group):
+            tj = TILE_FM[kernel_name](t[:, :pd], t[:, pd],
+                                      s[j * c:(j + 1) * c], core,
+                                      accum_dtype, d2_mode)
+            tile = tj if tile is None else tile + tj
+        od8 = out_ref.shape[1]
+        tile_fm = jnp.pad(tile.T, ((0, od8 - od), (0, 0)))
+        prev_t = pt_ref[jnp.maximum(p - 1, 0)]
+        first = jnp.logical_or(p == 0, prev_t != pt_ref[p])
+        out_ref[0] = jnp.where(first, prev_ref[0], out_ref[0]) + tile_fm
+
+
+@functools.partial(
+    jax.jit, static_argnames=("kernel", "core", "accum_dtype", "interpret",
+                              "d2_mode", "group"),
+    donate_argnums=(4,))
+def _exec_chunk_pre(kernel: Kernel, tgt_geo, src_gathered, pair_t, out,
+                    core: str, accum_dtype, interpret: bool,
+                    d2_mode: str = "outer", group: int = GROUP):
+    """src_gathered: (P, G*C, B) — this chunk's source blocks, already
+    gathered contiguous (stacked along sublanes, no transpose)."""
+    nn_t, _, b = tgt_geo.shape
+    p, gc, _ = src_gathered.shape
+    c = gc // group
+    od8 = -(-kernel.od // 8) * 8
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(p,),
+        in_specs=[
+            pl.BlockSpec((1, 8, b), lambda i, pt: (pt[i], 0, 0)),
+            pl.BlockSpec((1, gc, b), lambda i, pt: (i, 0, 0)),
+            pl.BlockSpec((1, od8, b), lambda i, pt: (pt[i], 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, od8, b),
+                               lambda i, pt: (pt[i], 0, 0)),
+    )
+    body = functools.partial(_body_pre, kernel_name=kernel.name,
+                             core=core, accum_dtype=accum_dtype,
+                             pd=kernel.pd, od=kernel.od, d2_mode=d2_mode,
+                             group=group, c=c)
+    flops_per_step = group * b * b * kernel.flops_fn(core)
+    return pl.pallas_call(
+        body,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nn_t, od8, b), accum_dtype),
+        # inputs: pair_t(0), tgt_geo(1), src_gathered(2), prev(3)
+        input_output_aliases={3: 0},
+        cost_estimate=pl.CostEstimate(
+            flops=flops_per_step * p,
+            bytes_accessed=p * (b * 8 + gc * b + 2 * b * od8) * 4,
+            transcendentals=p * group * b * b),
+        interpret=interpret,
+    )(pair_t, tgt_geo, src_gathered, out)
+
+
 @functools.partial(
     jax.jit, static_argnames=("kernel", "core", "accum_dtype", "interpret",
                               "d2_mode", "group"),
@@ -154,33 +230,61 @@ def _exec_chunk(kernel: Kernel, tgt_geo, src_fm, pair_t, pair_s, out,
     )(pair_t, pair_s.reshape(-1), tgt_geo, src_fm, out)
 
 
+def _pregather(src_fm, gs):
+    """One XLA row-gather: (P, G) block ids -> (P, G*C, B) contiguous
+    sublane-stacked source blocks (a pure reshape — no transpose)."""
+    p, g = gs.shape
+    nn, c, b = src_fm.shape
+    srcs = src_fm[gs.reshape(-1)]                # (P*G, C, B) row gather
+    return srcs.reshape(p, g * c, b)
+
+
 def exec_pairs_pallas(kernel: Kernel, tgt_geo: jax.Array,
                       src_fm: jax.Array, group_t: jax.Array,
                       group_s: jax.Array, core: str = "rm",
                       accum_dtype=jnp.float32,
                       interpret: bool = False,
                       d2_mode: str = "outer",
-                      group: int = GROUP) -> jax.Array:
+                      group: int = GROUP,
+                      fetch: str = "pregather") -> jax.Array:
     """tgt_geo (NN_t, B, PD+1), src_fm (NN_s, C, B), group_t (P,),
     group_s (P, GROUP) — groups ordered by target row. Returns
-    out (NN_t, B, OD); rows with no groups are zero."""
+    out (NN_t, B, OD); rows with no groups are zero.
+
+    fetch: 'pregather' (default — one XLA row-gather per chunk feeds the
+    kernel one contiguous (C, G*B) block per step) or 'dma' (the kernel
+    issues GROUP small row DMAs per step; measured ~3.8us/step of pure
+    fetch latency, ~10x the pregathered fixed cost)."""
     nn_t, _, b = tgt_geo.shape
     p = group_t.shape[0]
     od8 = -(-kernel.od // 8) * 8
     out = jnp.zeros((nn_t, od8, b), accum_dtype)
-    chunk = _chunk_groups(group)
+    c = src_fm.shape[1]
+    if fetch == "pregather":
+        # chunk so the gathered buffer stays ~256 MB
+        chunk = max(1024, (256 << 20) // (group * c * b * 4))
+        chunk = 1 << ((chunk).bit_length() - 1)
+    else:
+        chunk = _chunk_groups(group)
     if p > chunk:
         pad = -p % chunk
         group_t = jnp.pad(group_t, (0, pad))
         group_s = jnp.pad(group_s, ((0, pad), (0, 0)))
-        for i in range(0, p + pad, chunk):
-            out = _exec_chunk(kernel, tgt_geo, src_fm,
-                              group_t[i:i + chunk],
-                              group_s[i:i + chunk], out, core,
-                              accum_dtype, interpret, d2_mode, group)
+        steps = range(0, p + pad, chunk)
     else:
-        out = _exec_chunk(kernel, tgt_geo, src_fm, group_t, group_s, out,
-                          core, accum_dtype, interpret, d2_mode, group)
+        steps = [0]
+    for i in steps:
+        gt_c = group_t[i:i + chunk] if p > chunk else group_t
+        gs_c = group_s[i:i + chunk] if p > chunk else group_s
+        if fetch == "pregather":
+            src_c = _pregather(src_fm, gs_c)
+            out = _exec_chunk_pre(kernel, tgt_geo, src_c, gt_c, out,
+                                  core, accum_dtype, interpret, d2_mode,
+                                  group)
+        else:
+            out = _exec_chunk(kernel, tgt_geo, src_fm, gt_c, gs_c, out,
+                              core, accum_dtype, interpret, d2_mode,
+                              group)
     # back to the framework-standard (NN, B, OD) point-major layout
     return jnp.transpose(out[:, :kernel.od, :], (0, 2, 1))
 

@@ -98,7 +98,9 @@ def exec_groups(kernel: Kernel, cfg, plan, pg, interpret: bool = False):
         out = pp.exec_pairs_pallas(kernel, plan.tgt_geo, plan.src_fm,
                                    tgt, src, cfg.core_func,
                                    cfg.accum_dtype, interpret=interpret,
-                                   d2_mode=d2m, group=g)
+                                   d2_mode=d2m, group=g,
+                                   fetch=getattr(cfg, "pair_fetch",
+                                                 "pregather"))
         return out, pg
     pl = PairList(tgt=jnp.repeat(pg.tgt, g), src=pg.src.reshape(-1),
                   n_valid=pg.n_valid, overflow=pg.overflow)
@@ -146,7 +148,9 @@ def exec_pairs(kernel: Kernel, cfg, plan, raw: PairList, slot_width: int,
         out = pp.exec_pairs_pallas(kernel, plan.tgt_geo, plan.src_fm,
                                    pg.tgt, pg.src, cfg.core_func,
                                    cfg.accum_dtype, interpret=interpret,
-                                   d2_mode=d2m, group=g)
+                                   d2_mode=d2m, group=g,
+                                   fetch=getattr(cfg, "pair_fetch",
+                                                 "pregather"))
         return out, pg
     cap = max(1024, n_rows * cap_groups_per_row * 8)
     cap = min(cap, raw.tgt.shape[0])
