@@ -77,11 +77,12 @@ def main():
     if n >= 4_000_000:
         cfg = SolverConfig(block_size=256, order=4, theta_dtt=1.4,
                            frontier_width=256, list_width=320,
-                           cap_groups_dtt=16, pair_backend="pallas")
+                           cap_groups_dtt=16, pair_backend="pallas",
+                           pair_group=16)
     else:
         cfg = SolverConfig(block_size=128, order=4, theta_dtt=1.4,
                            frontier_width=256, list_width=512,
-                           pair_backend="pallas")
+                           pair_backend="pallas", pair_group=16)
     ks, kt = jax.random.split(jax.random.PRNGKey(12345))
     srcs = P.random_in_cube(ks, n, 3, 1, True)
     targs = P.random_in_cube(kt, n, 3, 0, False)

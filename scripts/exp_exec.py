@@ -39,12 +39,13 @@ def main():
                 frontier_width=256, list_width=512,
                 pair_backend="pallas", dtt_traversal="level")
     variants = [
-        ("g16 t1.40", dict(pair_group=16)),
-        ("g32 t1.40", dict(pair_group=32)),
-        ("g16 t1.35", dict(pair_group=16, theta_dtt=1.35)),
-        ("g16 t1.30", dict(pair_group=16, theta_dtt=1.30)),
-        ("g16 t1.35 W192", dict(pair_group=16, theta_dtt=1.35,
-                                frontier_width=192)),
+        ("g16 W256", dict(pair_group=16)),
+        ("g16 W192", dict(pair_group=16, frontier_width=192)),
+        ("g16 W160", dict(pair_group=16, frontier_width=160)),
+        ("g32 W256", dict(pair_group=32)),
+        ("g64 W256", dict(pair_group=64)),
+        ("g16 W192 cap12", dict(pair_group=16, frontier_width=192,
+                                cap_groups_dtt=12)),
     ]
     for name, kw in variants:
         cfg = SolverConfig(**{**base, **kw})
