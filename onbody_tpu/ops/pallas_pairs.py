@@ -230,6 +230,62 @@ def _exec_chunk(kernel: Kernel, tgt_geo, src_fm, pair_t, pair_s, out,
     )(pair_t, pair_s.reshape(-1), tgt_geo, src_fm, out)
 
 
+def _body_static(tgt_ref, src_ref, out_ref, *, kernel_name: str,
+                 core: str, accum_dtype, pd: int, od: int, d2_mode: str,
+                 group: int, c: int, kper: int):
+    """Fully-static pipeline: every index map is the grid index, so
+    Mosaic prefetches at full depth (dynamic scalar-prefetched index
+    maps measured a ~3.9us/step floor even with compute stubbed out).
+    Each step evaluates KPER groups; outputs go to per-step rows that
+    the caller segment-adds into the accumulator afterwards."""
+    for k in range(kper):
+        tg = tgt_ref[k]                                  # (8, B)
+        t = tg[:pd + 1].T
+        tile = None
+        for j in range(group):
+            tj = TILE_FM[kernel_name](t[:, :pd], t[:, pd],
+                                      src_ref[k, j * c:(j + 1) * c],
+                                      core, accum_dtype, d2_mode)
+            tile = tj if tile is None else tile + tj
+        od8 = out_ref.shape[1]
+        out_ref[k] = jnp.pad(tile.T, ((0, od8 - od), (0, 0)))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("kernel", "core", "accum_dtype", "interpret",
+                              "d2_mode", "group", "kper"))
+def _exec_chunk_static(kernel: Kernel, tgt_gathered, src_gathered,
+                       core: str, accum_dtype, interpret: bool,
+                       d2_mode: str = "outer", group: int = GROUP,
+                       kper: int = 8):
+    """tgt_gathered (P, 8, B); src_gathered (P, G*C, B); P % kper == 0.
+    Returns per-step output rows (P, od8, B)."""
+    p, _, b = tgt_gathered.shape
+    gc = src_gathered.shape[1]
+    c = gc // group
+    od8 = -(-kernel.od // 8) * 8
+    grid = (p // kper,)
+    body = functools.partial(_body_static, kernel_name=kernel.name,
+                             core=core, accum_dtype=accum_dtype,
+                             pd=kernel.pd, od=kernel.od, d2_mode=d2_mode,
+                             group=group, c=c, kper=kper)
+    return pl.pallas_call(
+        body,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((kper, 8, b), lambda i: (i, 0, 0)),
+            pl.BlockSpec((kper, gc, b), lambda i: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((kper, od8, b), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((p, od8, b), accum_dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=p * group * b * b * kernel.flops_fn(core),
+            bytes_accessed=p * (b * 8 + gc * b + b * od8) * 4,
+            transcendentals=p * group * b * b),
+        interpret=interpret,
+    )(tgt_gathered, src_gathered)
+
+
 def _pregather(src_fm, gs):
     """One XLA row-gather: (P, G) block ids -> (P, G*C, B) contiguous
     sublane-stacked source blocks (a pure reshape — no transpose)."""
@@ -258,8 +314,30 @@ def exec_pairs_pallas(kernel: Kernel, tgt_geo: jax.Array,
     nn_t, _, b = tgt_geo.shape
     p = group_t.shape[0]
     od8 = -(-kernel.od // 8) * 8
-    out = jnp.zeros((nn_t, od8, b), accum_dtype)
     c = src_fm.shape[1]
+    if fetch == "static":
+        # fully-static pipeline: gather BOTH sides per chunk, emit
+        # per-step rows, one segment scatter-add at the end
+        kper = 8
+        chunk = max(1024, (256 << 20) // (group * c * b * 4))
+        chunk = 1 << (chunk.bit_length() - 1)
+        pad = -p % chunk
+        gt_p = jnp.pad(group_t, (0, pad))
+        gs_p = jnp.pad(group_s, ((0, pad), (0, 0)))
+        rows = []
+        for i in range(0, p + pad, chunk):
+            gt_c = gt_p[i:i + chunk]
+            gs_c = gs_p[i:i + chunk]
+            src_c = _pregather(src_fm, gs_c)
+            tgt_c = tgt_geo[gt_c]
+            rows.append(_exec_chunk_static(kernel, tgt_c, src_c, core,
+                                           accum_dtype, interpret,
+                                           d2_mode, group, kper))
+        rows = jnp.concatenate(rows) if len(rows) > 1 else rows[0]
+        out = jnp.zeros((nn_t, od8, b), accum_dtype)
+        out = out.at[gt_p].add(rows)
+        return jnp.transpose(out[:, :kernel.od, :], (0, 2, 1))
+    out = jnp.zeros((nn_t, od8, b), accum_dtype)
     if fetch == "pregather":
         # chunk so the gathered buffer stays ~256 MB
         chunk = max(1024, (256 << 20) // (group * c * b * 4))

@@ -68,6 +68,69 @@ def exec_pairs_jnp(kernel: Kernel, tgt_blocks: Blocks, src_blocks: Blocks,
     return out
 
 
+@partial(jax.jit, static_argnames=("kernel", "core", "accum_dtype",
+                                   "d2_mode", "group", "chunk"),
+         donate_argnums=(4,))
+def _exec_groups_xla_chunked(kernel: Kernel, tgt_geo, src_fm, pairs, out,
+                             core: str, accum_dtype, d2_mode: str,
+                             group: int, chunk: int):
+    """Grouped executor as plain XLA: per chunk, row-gather the group's
+    source blocks and target blocks, evaluate all tiles batched, and
+    segment-add into the accumulator.
+
+    No Pallas: kernel attribution showed the Pallas pipeline costs
+    ~3.9us/step even with all arithmetic stubbed out (dynamic index
+    maps defeat prefetch), while XLA row-gathers run at ~120 GB/s —
+    so gather + vmapped compute + scatter-add is the faster schedule.
+    tgt_geo here is feature-major (NN, 8, B): [x.. | rad | 0..].
+    """
+    gt, gs = pairs
+    nn_t = out.shape[0]
+    b = tgt_geo.shape[2]
+    c = src_fm.shape[1]
+    pd = kernel.pd
+    from onbody_tpu.ops.kernels import TILE_FM
+
+    def tile_group(tg, sg):
+        # tg (8, B); sg (G*C, B)
+        t = tg[:pd + 1].T
+        acc = None
+        for j in range(group):
+            tj = TILE_FM[kernel.name](t[:, :pd], t[:, pd],
+                                      sg[j * c:(j + 1) * c], core,
+                                      accum_dtype, d2_mode)
+            acc = tj if acc is None else acc + tj
+        return acc                                    # (B, OD)
+
+    def step(acc, pr):
+        t_idx, s_idx = pr
+        tg = tgt_geo[t_idx]                           # (chunk, 8, B)
+        sg = src_fm[s_idx.reshape(-1)].reshape(
+            chunk, group * c, b)                      # (chunk, G*C, B)
+        tiles = jax.vmap(tile_group)(tg, sg)          # (chunk, B, OD)
+        return acc.at[t_idx].add(tiles), None
+
+    p = gt.shape[0]
+    pad = -p % chunk
+    gt = jnp.pad(gt, (0, pad))
+    gs = jnp.pad(gs, ((0, pad), (0, 0)))
+    out, _ = jax.lax.scan(step, out,
+                          (gt.reshape(-1, chunk),
+                           gs.reshape(-1, chunk, group)))
+    return out
+
+
+def exec_groups_xla(kernel: Kernel, cfg, plan, gt, gs, group: int):
+    """Pure-XLA grouped execution; returns out (NN_t, B, OD)."""
+    nn_t, _, b = plan.tgt_geo.shape
+    out = jnp.zeros((nn_t, b, kernel.od), cfg.accum_dtype)
+    d2m = "center" if cfg.d2_mode == "center" else "outer"
+    return _exec_groups_xla_chunked(
+        kernel, plan.tgt_geo, plan.src_fm, (gt, gs), out,
+        cfg.core_func, cfg.accum_dtype, d2m, group,
+        getattr(cfg, "xla_exec_chunk", 1024))
+
+
 def exec_groups(kernel: Kernel, cfg, plan, pg, interpret: bool = False):
     """Run pre-grouped interactions (flat-list builder output).
 
@@ -80,6 +143,9 @@ def exec_groups(kernel: Kernel, cfg, plan, pg, interpret: bool = False):
         backend = ("pallas" if jax.devices()[0].platform == "tpu"
                    else "jnp")
     g = pg.src.shape[1]
+    if backend == "xla":
+        out = exec_groups_xla(kernel, cfg, plan, pg.tgt, pg.src, g)
+        return out, pg
     if backend == "pallas":
         from onbody_tpu.ops import pallas_pairs as pp
         interpret = interpret or jax.devices()[0].platform == "cpu"
@@ -126,7 +192,7 @@ def exec_pairs(kernel: Kernel, cfg, plan, raw: PairList, slot_width: int,
     if backend == "auto":
         backend = ("pallas" if jax.devices()[0].platform == "tpu"
                    else "jnp")
-    if backend == "pallas":
+    if backend in ("pallas", "xla"):
         from onbody_tpu.ops import pallas_pairs as pp
         # CPU has no Mosaic backend: fall back to the interpreter so the
         # pallas path stays testable on the virtual mesh
@@ -144,6 +210,9 @@ def exec_pairs(kernel: Kernel, cfg, plan, raw: PairList, slot_width: int,
             pg = pg._replace(tgt=pg.tgt[:trim], src=pg.src[:trim])
         except jax.errors.ConcretizationTypeError:
             pass  # inside jit (fused path): keep static shapes
+        if backend == "xla":
+            out = exec_groups_xla(kernel, cfg, plan, pg.tgt, pg.src, g)
+            return out, pg
         d2m = "center" if cfg.d2_mode == "center" else "outer"
         out = pp.exec_pairs_pallas(kernel, plan.tgt_geo, plan.src_fm,
                                    pg.tgt, pg.src, cfg.core_func,

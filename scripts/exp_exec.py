@@ -39,13 +39,9 @@ def main():
                 frontier_width=256, list_width=512,
                 pair_backend="pallas", dtt_traversal="level")
     variants = [
-        ("g16 W256", dict(pair_group=16)),
-        ("g16 W192", dict(pair_group=16, frontier_width=192)),
-        ("g16 W160", dict(pair_group=16, frontier_width=160)),
-        ("g32 W256", dict(pair_group=32)),
-        ("g64 W256", dict(pair_group=64)),
-        ("g16 W192 cap12", dict(pair_group=16, frontier_width=192,
-                                cap_groups_dtt=12)),
+        ("W224 cap12", dict(pair_group=16, frontier_width=224,
+                            cap_groups_dtt=12)),
+        ("W256 cap12", dict(pair_group=16, cap_groups_dtt=12)),
     ]
     for name, kw in variants:
         cfg = SolverConfig(**{**base, **kw})

@@ -87,6 +87,24 @@ def main():
     _sync((gt, gs))
     print(f"groups: {n_groups} (trim {trim})", flush=True)
 
+    # isolate the XLA row-gather that feeds the pregather path
+    @jax.jit
+    def gather_only(src_fm, gs):
+        return pp._pregather(src_fm, gs)
+
+    r = gather_only(plan.src_fm, gs[:4096])
+    _sync(r)
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for i in range(0, trim - 4096, 4096):
+            r = gather_only(plan.src_fm, gs[i:i + 4096])
+        _sync(r)
+        ts.append(time.perf_counter() - t0)
+    nbytes = (trim - 4096) * g * plan.src_fm.shape[1] * 128 * 4
+    print(f"row-gather alone: {min(ts):.4f}s "
+          f"({nbytes / min(ts) / 1e9:.0f} GB/s eff)", flush=True)
+
     orig = K.TILE_FM["grav3d"]
     for name, fn in VARIANTS.items():
         K.TILE_FM["grav3d"] = fn
