@@ -57,7 +57,8 @@ def run(n, cfg, fused):
 
 def main():
     cfg6 = SolverConfig(block_size=128, order=4, theta_dtt=1.4,
-                        frontier_width=256, list_width=512,
+                        frontier_width=224, list_width=512,
+                        cap_groups_dtt=12,
                         pair_backend="pallas", pair_group=16)
     run(1_000_000, cfg6, fused=True)
     cfg7 = SolverConfig(block_size=256, order=4, theta_dtt=1.4,
