@@ -37,8 +37,8 @@ def main():
     base = dict(block_size=256, order=4, theta_dtt=1.4, list_width=320,
                 cap_groups_dtt=16, pair_backend="pallas", pair_group=16)
     for name, kw in [
-        ("W224 dma", dict(frontier_width=224, pair_fetch="dma")),
-        ("W256 dma", dict(frontier_width=256, pair_fetch="dma")),
+        ("W192 dma", dict(frontier_width=192, pair_fetch="dma")),
+        ("W208 dma", dict(frontier_width=208, pair_fetch="dma")),
     ]:
         cfg = SolverConfig(**{**base, **kw})
         plan = treecode.prepare(kernel, cfg, srcs, targs)
