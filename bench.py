@@ -55,7 +55,7 @@ def main():
         # larger blocks at scale: halves node count and list memory
         # (HBM is 16GB on this chip); accuracy is equal or better
         cfg = SolverConfig(block_size=256, order=4, theta_dtt=1.4,
-                           frontier_width=224, list_width=320,
+                           frontier_width=192, list_width=320,
                            cap_groups_dtt=16, pair_backend="pallas",
                            pair_group=16, pair_fetch="dma")
     else:
