@@ -6,17 +6,23 @@ consecutive steps hitting the same target keep the accumulator resident
 in VMEM (output revisiting) — the Pallas analogue of the reference's
 per-leaf-block accumulation in treecode3_block (barneshut.hpp:244-287).
 
-Source blocks: the feature-major array stays resident in HBM
-(memory_space ANY, passed ONCE — passing it per-group as separate
-pipeline inputs made XLA allocate GROUP copies, a 33 GB compile OOM at
-N=1e7) and the kernel DMAs the GROUP blocks of each step into a
-double-buffered VMEM scratch, overlapping the next step's fetches with
-the current tile's compute.
+Source fetch (pair_fetch):
+* 'pregather' (default): one XLA row-gather per chunk packs the step's
+  GROUP source blocks into a contiguous sublane-stacked (G*C, B) buffer;
+  the pipeline issues ONE large fetch per step and the kernel loops the
+  sub-blocks. Measured fastest at N<=1e6.
+* 'dma': the feature-major array stays resident in HBM (memory_space
+  ANY) and the kernel issues GROUP double-buffered row DMAs per step.
+  Measured fastest at N=1e7/block 256 (bigger rows amortize the DMA
+  latency; the pregather write+readback costs more than it saves).
+Both schedules are compute-identical; per-step cost is dominated by the
+pipeline itself (~3.9us/step with all arithmetic stubbed out — see
+docs/PERF.md), so group size has a flat response beyond 16.
 
-Grouping GROUP=8 source blocks per step turns the work item into a
-(B, 8B) = (128, 1024) tile: the distance matrix is lane/sublane broadcast
-on the VPU at full width, the far-field reduction is one MXU contraction,
-and per-grid-step fixed costs are amortized 8x.
+Grouping GROUP source blocks per step turns the work item into a
+(B, G*B) tile: the distance matrix is lane/sublane broadcast on the VPU
+at full width, the far-field reduction is one MXU contraction, and
+per-grid-step fixed costs are amortized G-fold.
 
 Layout: targets point-major (B, PD+1) [pos | radius]; sources
 feature-major (C, B) with precomputed feature rows (ops/kernels.py

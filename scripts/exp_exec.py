@@ -39,9 +39,8 @@ def main():
                 frontier_width=256, list_width=512,
                 pair_backend="pallas", dtt_traversal="level")
     variants = [
-        ("W224 cap12", dict(pair_group=16, frontier_width=224,
+        ("W208 cap12", dict(pair_group=16, frontier_width=208,
                             cap_groups_dtt=12)),
-        ("W256 cap12", dict(pair_group=16, cap_groups_dtt=12)),
     ]
     for name, kw in variants:
         cfg = SolverConfig(**{**base, **kw})
