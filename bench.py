@@ -60,7 +60,7 @@ def main():
                            pair_group=16, pair_fetch="dma")
     else:
         cfg = SolverConfig(block_size=128, order=4, theta_dtt=1.4,
-                           frontier_width=224, list_width=512,
+                           frontier_width=208, list_width=512,
                            cap_groups_dtt=12,
                            pair_backend="pallas", pair_group=16)
     ks, kt = jax.random.split(jax.random.PRNGKey(12345))
