@@ -76,9 +76,9 @@ def main():
     kernel = get_kernel("grav3d")
     if n >= 4_000_000:
         cfg = SolverConfig(block_size=256, order=4, theta_dtt=1.4,
-                           frontier_width=256, list_width=320,
+                           frontier_width=192, list_width=320,
                            cap_groups_dtt=16, pair_backend="pallas",
-                           pair_group=16)
+                           pair_group=16, pair_fetch="dma")
     else:
         cfg = SolverConfig(block_size=128, order=4, theta_dtt=1.4,
                            frontier_width=256, list_width=512,
