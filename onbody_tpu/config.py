@@ -39,13 +39,22 @@ class SolverConfig:
     # (compact exponential) — ref CoreFunc2d.hpp:11-12, CoreFunc3d.hpp:11-12
     core_func: str = "rm"
 
-    # tree construction: 'median' (VAMsplit-equivalent) or 'morton'
-    # (single space-filling-curve sort; ~10x faster build, slightly
-    # fatter boxes)
+    # tree construction: 'median' (VAMsplit-equivalent, one sort per
+    # level), 'span' (one sort per tree_span levels via 2^span-way
+    # single-axis splits — exact counts, non-overlapping boxes, ~span-x
+    # fewer sorts; see tree/build.py build_tree), or 'morton' (single
+    # space-filling-curve sort; fastest, overlapping boxes — overflows
+    # DTT frontiers, treecode-only)
     tree_mode: str = "median"
+    tree_span: int = 2
+    tree_span_top: int = 6
 
-    # storage / accumulation dtypes (ref README.md:107-110 documents the
-    # fp32-storage + fp64-accumulation accuracy upgrade)
+    # storage / accumulation dtypes — the reference's STORE/ACCUM template
+    # pair (ongrav3d.cpp:7-8). prepare() casts incoming particles to
+    # storage_dtype; accum_dtype=float64 promotes the whole per-pair chain
+    # (mycast semantics, MathHelper.hpp:50-59) for the ~4e-7-RMS accuracy
+    # tier (README.md:107-110; forces the jnp executor — Mosaic has no
+    # fp64). Tested in tests/test_precision.py.
     storage_dtype: jnp.dtype = jnp.float32
     accum_dtype: jnp.dtype = jnp.float32
 
@@ -100,6 +109,17 @@ class SolverConfig:
 
     # compute d2 via centered Gram matmul (MXU) or elementwise broadcast
     d2_mode: str = "exact"
+
+    # MAC classify geometry fetch: 'quant' (one c64 gather of 16-bit
+    # grid-quantized cm+nr per candidate — half the gather traffic,
+    # <0.2% MAC-distance jitter) or 'f32' (two c64 gathers, exact)
+    mac_geometry: str = "quant"
+
+    # lean plan: build ONLY the feature-major executor arrays (src_fm /
+    # tgt_geo, unpadded feature rows), no point-major Blocks — the HBM
+    # diet that fits N=1e8 on one 16 GB chip. Requires order >= 0 and
+    # the pallas/xla pair backend with fetch='pregather'.
+    lean_plan: bool = False
 
     def replace(self, **kw) -> "SolverConfig":
         return dataclasses.replace(self, **kw)

@@ -33,12 +33,26 @@ def _parse_flags(argv: List[str], progname: str, defaults: dict) -> dict:
     def usage():
         print(f"Usage: {progname} [-h] [-n=<nparticles>] [-t=<theta>] "
               f"[-t1..4=<theta>] [-o=<order>] [-b=<blocksize>] "
-              f"[-i=<iterations>]", file=sys.stderr)
+              f"[-i=<iterations>] [-g] [-test=n,t1,t2,t3,f] "
+              f"[-justtrees]", file=sys.stderr)
         raise SystemExit(1)
 
     for a in argv:
         if a.startswith("-n="):
             vals["n"] = int(float(a[3:]))
+        elif a == "-g":
+            # galaxy initial condition: central star + disk of orbiters
+            # (random_in_disk, ongrav3d.cpp:579-583)
+            vals["galaxy"] = True
+        elif a.startswith("-test="):
+            # stage toggles {naive, tree1, tree2, tree3, fast} — the
+            # reference's test_iterations fixture (ongrav3d.cpp:470)
+            vals["test_iterations"] = tuple(
+                int(v) for v in a[6:].split(","))
+        elif a == "-justtrees":
+            # build trees/equivalents, skip all evaluation
+            # (just_build_trees, ongrav3d.cpp:471,727)
+            vals["just_build_trees"] = True
         elif a.startswith("-t1="):
             vals["theta1"] = float(a[4:])
         elif a.startswith("-t2="):
@@ -66,12 +80,16 @@ def _parse_flags(argv: List[str], progname: str, defaults: dict) -> dict:
 
 def run_driver(kernel_name: str, progname: str, argv: List[str],
                test_iterations=(1, 1, 1, 1, 1), use_charges: bool = True,
-               defaults: Optional[dict] = None) -> None:
+               defaults: Optional[dict] = None,
+               cfg_overrides: Optional[dict] = None) -> None:
     base = dict(n=10000, order=-1, block_size=128, iters=1,
-                theta1=2.0, theta2=1.05, theta3=1.0, theta4=1.35)
+                theta1=2.0, theta2=1.05, theta3=1.0, theta4=1.35,
+                galaxy=False, test_iterations=test_iterations,
+                just_build_trees=False)
     if defaults:
         base.update(defaults)
     vals = _parse_flags(argv, progname, base)
+    test_iterations = vals["test_iterations"]
 
     kernel = get_kernel(kernel_name)
     n = vals["n"]
@@ -79,7 +97,8 @@ def run_driver(kernel_name: str, progname: str, argv: List[str],
                        theta_treecode1=vals["theta1"],
                        theta_pointwise=vals["theta2"],
                        theta_boxwise=vals["theta3"],
-                       theta_dtt=vals["theta4"])
+                       theta_dtt=vals["theta4"],
+                       **(cfg_overrides or {}))
 
     echonum = 1
     withwhat = ("equivalent particles" if cfg.order < 0
@@ -96,7 +115,10 @@ def run_driver(kernel_name: str, progname: str, argv: List[str],
     timer = PhaseTimer()
     ks, kt = jax.random.split(jax.random.PRNGKey(12345))
     with timer.phase("init parts time"):
-        srcs = P.random_in_cube(ks, n, kernel.pd, kernel.sd, True)
+        if vals["galaxy"]:
+            srcs = P.random_in_disk(ks, n, kernel.pd, kernel.sd, True)
+        else:
+            srcs = P.random_in_cube(ks, n, kernel.pd, kernel.sd, True)
         if kernel_name == "grav3d" and not use_charges:
             import dataclasses
             import jax.numpy as jnp
@@ -116,6 +138,10 @@ def run_driver(kernel_name: str, progname: str, argv: List[str],
           f"{plan.stree.nleaf} leaves")
     timer.report()
     treetime = timer.total("build trees+equivs")
+
+    if vals["just_build_trees"]:
+        print("\nDone (just_build_trees).")
+        return
 
     results = {}
     kflops = kernel.flops_fn(cfg.core_func)
@@ -161,6 +187,24 @@ def run_driver(kernel_name: str, progname: str, argv: List[str],
             dt = time.perf_counter() - t0
             print(f"  this run time:\t\t[{dt:.4f}] seconds")
             best = min(best, dt)
+        # two-phase count/fill recovery: never report a truncated sum
+        # (mirrors the API layer, api/solver.py:_solve_boxwise)
+        wide = cfg
+        for _ in range(3):
+            if int(pl.overflow) == 0:
+                break
+            print(f"  interaction list overflow ({int(pl.overflow)}) — "
+                  f"retrying with 4x widths")
+            wide = wide.replace(
+                frontier_width=wide.frontier_width * 4,
+                list_width=wide.list_width * 4,
+                cap_groups_dtt=wide.cap_groups_dtt * 4,
+                cap_groups_treecode=wide.cap_groups_treecode * 4)
+            t0 = time.perf_counter()
+            out, pl = fn(kernel, wide, plan, theta=theta)
+            out = jax.block_until_ready(out)
+            best = time.perf_counter() - t0
+        assert int(pl.overflow) == 0, "interaction lists kept overflowing"
         flops = pair_flops(int(pl.n_valid), cfg.block_size, kflops)
         print(f"[{progname} {name}]:\t\t[{best:.4f}] seconds")
         print(f"  GFlop: {flops * 1e-9:.3f} and GFlop/s: "
@@ -170,9 +214,6 @@ def run_driver(kernel_name: str, progname: str, argv: List[str],
         for i in range(echonum):
             print(f"  particle {i * ntskip} vel "
                   + " ".join(f"{v:g}" for v in outv[i * ntskip]))
-        if int(pl.overflow) > 0:
-            print(f"  WARNING: interaction list overflow "
-                  f"({int(pl.overflow)}) — increase list widths")
         results[name] = outv
 
         if naive_ref is not None:

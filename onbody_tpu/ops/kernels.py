@@ -43,6 +43,21 @@ def _dot(a, b, accum_dtype):
                    precision=lax.Precision.HIGHEST)
 
 
+def _pm(accum_dtype, *arrays):
+    """Promote inputs to the accumulator dtype (the mycast<S,A> contract,
+    MathHelper.hpp:50-59): with accum_dtype=float64 the whole per-pair
+    chain — distances, core function, weights, reductions — runs in fp64
+    over fp32-stored particles, the reference's documented accuracy
+    upgrade (README.md:107-110, ~4e-7 RMS floor vs ~6e-6 for fp32).
+    Upcasting before the subtraction is exact (every fp32 is an fp64),
+    so this is >= the reference's subtract-then-cast accuracy. No-op
+    when storage == accumulation dtype."""
+    if arrays[0].dtype == jnp.dtype(accum_dtype):
+        return arrays if len(arrays) > 1 else arrays[0]
+    out = tuple(a.astype(accum_dtype) for a in arrays)
+    return out if len(out) > 1 else out[0]
+
+
 def dist2(tx, sx, mode: str = "exact"):
     """Squared distances (T,S) between target and source positions.
 
@@ -96,6 +111,7 @@ def _grav3d_pairwise(tx, tr, sx, sr, ss, core="rm"):
 
 def _grav3d_tile(tx, tr, sx, sr, ss, core="rm",
                  accum_dtype=jnp.float32, d2_mode="exact"):
+    tx, sx, sr, ss = _pm(accum_dtype, tx, sx, sr, ss)
     d2 = dist2(tx, sx, d2_mode)
     r2 = d2 + (sr * sr)[None, :]
     rinv = lax.rsqrt(r2)
@@ -122,6 +138,7 @@ def _vort2d_pairwise(tx, tr, sx, sr, ss, core="rm"):
 
 def _vort2d_tile(tx, tr, sx, sr, ss, core="rm",
                  accum_dtype=jnp.float32, d2_mode="exact"):
+    tx, tr, sx, sr, ss = _pm(accum_dtype, tx, tr, sx, sr, ss)
     d2 = dist2(tx, sx, d2_mode)
     c = cf.core_2d(core)(d2, sr[None, :], tr[:, None])
     w = ss[None, :, 0] * c                       # (T,S)
@@ -147,6 +164,7 @@ def _vort3d_pairwise(tx, tr, sx, sr, ss, core="rm"):
 
 def _vort3d_tile(tx, tr, sx, sr, ss, core="rm",
                  accum_dtype=jnp.float32, d2_mode="exact"):
+    tx, sx, sr, ss = _pm(accum_dtype, tx, sx, sr, ss)
     d2 = dist2(tx, sx, d2_mode)
     c = cf.core_3d(core)(d2, sr[None, :])        # (T,S)
     e = _cross(ss, sx)                           # omega_j x s_j, (S,3)
@@ -189,6 +207,7 @@ def _vortgrad3d_pairwise(tx, tr, sx, sr, ss, core="rm"):
 
 def _vortgrad3d_tile(tx, tr, sx, sr, ss, core="rm",
                      accum_dtype=jnp.float32, d2_mode="exact"):
+    tx, sx, sr, ss = _pm(accum_dtype, tx, sx, sr, ss)
     d2 = dist2(tx, sx, d2_mode)
     r3, bbb = cf.core_3d_grads(core)(d2, sr[None, :])
     e = _cross(ss, sx)                           # (S,3)
@@ -240,12 +259,14 @@ FM_ROWS = {  # used rows of the feature-major source block, per kernel
 }
 
 
-def featurize(name: str, pos, rad, s):
+def featurize(name: str, pos, rad, s, pad8: bool = True):
     """Build the (C, B) feature-major block from point-major arrays.
 
     pos (B, PD), rad (B,), s (B, SD) -> (C, B) with C padded to a
-    multiple of 8 (Mosaic requires DMA sublane slices aligned to the
-    f32 tile). Works batched over leading dims via vmap at the call site.
+    multiple of 8 when pad8 (Mosaic requires DMA sublane slices aligned
+    to the f32 tile; the pregather fetch pads per chunk instead, so
+    lean storage can keep the raw row count — 5 vs 8 for grav3d is
+    3.2 GB of HBM at N=1e8). Works batched via vmap at the call site.
     """
     if name in ("grav3d", "vort2d"):
         out = jnp.concatenate([pos.T, rad[None, :], s.T], axis=0)
@@ -261,7 +282,7 @@ def featurize(name: str, pos, rad, s):
     else:
         raise KeyError(name)
     pad = -out.shape[0] % 8
-    if pad:
+    if pad and pad8:
         out = jnp.pad(out, ((0, pad), (0, 0)))
     return out
 
@@ -306,6 +327,7 @@ def _rowsum(w, accum_dtype):
 
 def _grav3d_tile_fm(tpos, trad, srcT, core="rm",
                     accum_dtype=jnp.float32, d2_mode="outer"):
+    tpos, srcT = _pm(accum_dtype, tpos, srcT)
     d2 = _d2_fm(tpos, srcT, 3, d2_mode)
     sr = srcT[3:4, :]
     m = srcT[4:5, :]
@@ -318,6 +340,7 @@ def _grav3d_tile_fm(tpos, trad, srcT, core="rm",
 
 def _vort2d_tile_fm(tpos, trad, srcT, core="rm",
                     accum_dtype=jnp.float32, d2_mode="outer"):
+    tpos, trad, srcT = _pm(accum_dtype, tpos, trad, srcT)
     d2 = _d2_fm(tpos, srcT, 2, d2_mode)
     sr = srcT[2:3, :]
     ss = srcT[3:4, :]
@@ -333,6 +356,7 @@ def _vort2d_tile_fm(tpos, trad, srcT, core="rm",
 
 def _vort3d_tile_fm(tpos, trad, srcT, core="rm",
                     accum_dtype=jnp.float32, d2_mode="outer"):
+    tpos, srcT = _pm(accum_dtype, tpos, srcT)
     d2 = _d2_fm(tpos, srcT, 3, d2_mode)
     sr = srcT[3:4, :]
     c = cf.core_3d(core)(d2, sr)
@@ -369,6 +393,7 @@ def _vortgrad_combine(oR, oB, txa):
 
 def _vortgrad3d_tile_fm(tpos, trad, srcT, core="rm",
                         accum_dtype=jnp.float32, d2_mode="outer"):
+    tpos, srcT = _pm(accum_dtype, tpos, srcT)
     d2 = _d2_fm(tpos, srcT, 3, d2_mode)
     sr = srcT[3:4, :]
     r3, bbb = cf.core_3d_grads(core)(d2, sr)

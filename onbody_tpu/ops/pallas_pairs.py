@@ -293,12 +293,20 @@ def _exec_chunk_static(kernel: Kernel, tgt_gathered, src_gathered,
 
 
 def _pregather(src_fm, gs):
-    """One XLA row-gather: (P, G) block ids -> (P, G*C, B) contiguous
-    sublane-stacked source blocks (a pure reshape — no transpose)."""
+    """One XLA row-gather: (P, G) block ids -> (P, G*C8, B) contiguous
+    sublane-stacked source blocks (a pure reshape — no transpose).
+
+    Unaligned feature counts (lean storage without the pad-to-8 rows,
+    e.g. grav3d's true 5) are padded to the f32 sublane tile HERE, per
+    chunk — XLA gathers don't care about alignment, only the Pallas
+    pipeline block does."""
     p, g = gs.shape
     nn, c, b = src_fm.shape
     srcs = src_fm[gs.reshape(-1)]                # (P*G, C, B) row gather
-    return srcs.reshape(p, g * c, b)
+    c8 = -(-c // 8) * 8
+    if c8 != c:
+        srcs = jnp.pad(srcs, ((0, 0), (0, c8 - c), (0, 0)))
+    return srcs.reshape(p, g * c8, b)
 
 
 def exec_pairs_pallas(kernel: Kernel, tgt_geo: jax.Array,
@@ -320,7 +328,10 @@ def exec_pairs_pallas(kernel: Kernel, tgt_geo: jax.Array,
     nn_t, _, b = tgt_geo.shape
     p = group_t.shape[0]
     od8 = -(-kernel.od // 8) * 8
-    c = src_fm.shape[1]
+    c = -(-src_fm.shape[1] // 8) * 8     # pregather pads unaligned rows
+    if fetch == "dma" and src_fm.shape[1] % 8:
+        raise ValueError("dma fetch needs sublane-aligned feature rows; "
+                         "use fetch='pregather' with lean fm storage")
     if fetch == "static":
         # fully-static pipeline: gather BOTH sides per chunk, emit
         # per-step rows, one segment scatter-add at the end

@@ -166,6 +166,16 @@ def pad_to(p: Parts, n_pad: int) -> Parts:
     return Parts(x=x, r=r, s=s, n_real=p.n_real)
 
 
+def astype(p: Parts, dtype) -> Parts:
+    """Cast a particle set to a storage dtype (SolverConfig.storage_dtype,
+    the reference's STORE template parameter, ongrav3d.cpp:7)."""
+    if p.x.dtype == jnp.dtype(dtype):
+        return p
+    return Parts(x=p.x.astype(dtype), r=p.r.astype(dtype),
+                 s=None if p.s is None else p.s.astype(dtype),
+                 n_real=p.n_real)
+
+
 def from_arrays(x, r=None, s=None) -> Parts:
     """Build a Parts from plain arrays (library-API entry)."""
     x = jnp.asarray(x)

@@ -1,0 +1,133 @@
+"""Subtree-chunked DTT solve: N=1e8-scale evaluation on one 16 GB chip.
+
+The owner-major subtree decomposition of parallel/mesh.py, run
+SEQUENTIALLY on a single device: the full (lean, feature-major) source
+block array stays resident while target-side geometry, interaction
+lists, pair execution, and the downward prolongation are materialized
+one level-`split` target subtree at a time. Peak HBM is
+
+    src_fm (5 rows x 2*n_pad slots)  +  sorted target particles
+    + ONE subtree's tgt_geo/out/lists  (~1/n_chunks of the full arrays)
+
+which at N=1e8 / B=256 / 8 chunks is ~9 GB instead of the ~30 GB the
+monolithic plan would need. The top target levels (< split) are
+descended once (lists._dtt_lists_top); every chunk re-executes the few
+top-level pairs so its replicated top rows carry the same partial sums
+the downward pass expects — the same trick the multi-chip path uses
+(parallel/mesh.py), with ppermute ring stages replaced by the resident
+global source array.
+
+Reference scale anchor: the reference reaches N=1e8 in 114 s (DTT,
+README.md:89) and N=1e9 via the same O(N) method on a 128 GB host
+(README.md:90); this module is the 16 GB-HBM counterpart.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from onbody_tpu.config import SolverConfig
+from onbody_tpu.ops.kernels import Kernel
+from onbody_tpu.parts import Parts
+from onbody_tpu.tree import build as tree_build
+from onbody_tpu.tree import equivalents as eq
+from onbody_tpu.traverse import lists
+from onbody_tpu.parallel.mesh import _downward_local, local_rows
+
+
+def solve_dtt_chunked(kernel: Kernel, cfg: SolverConfig, srcs: Parts,
+                      targs: Parts, n_chunks: int = 8,
+                      theta: Optional[float] = None):
+    """Full DTT evaluation with target subtrees processed sequentially.
+
+    Returns (out (n_real, OD), info PairList-like with n_valid/overflow).
+    Requires order >= 0 (lean fm path) and 2^split < nleaf_t.
+    """
+    assert cfg.order >= 0, "chunked solve uses the lean barycentric path"
+    theta = cfg.theta_dtt if theta is None else theta
+    split = int(np.log2(n_chunks))
+    assert 1 << split == n_chunks
+
+    stree, ss, sg = tree_build.build_tree(
+        srcs, cfg.block_size, mode=cfg.tree_mode,
+        span=cfg.tree_span, span_top=cfg.tree_span_top)
+    src_fm = eq.barycentric_fm(stree, ss, cfg.order, kernel.name,
+                               pad8=False)
+    del ss, sg  # sources live only as feature-major blocks now
+
+    ttree, ts, tg = tree_build.build_tree(
+        targs, cfg.block_size, mode=cfg.tree_mode,
+        span=cfg.tree_span, span_top=cfg.tree_span_top)
+    levels_t = ttree.levels
+    assert levels_t > split, "need more target leaves than chunks"
+    bs = ttree.block_size
+    nleaf = ttree.nleaf
+    pd = kernel.pd
+
+    top_t, top_s, cand_roots, ov_top = lists._dtt_lists_top(
+        stree, ttree, theta, stree.levels, split, cfg.frontier_width,
+        cfg.mac_geometry)
+
+    _, local = local_rows(levels_t, n_chunks)
+    loc = jnp.asarray(local)
+    wleaf = 1 << (levels_t - split)
+    leaf0_loc = n_chunks + wleaf - 1
+    W = cfg.frontier_width
+    g = cfg.pair_group
+    # static group capacity per chunk (overflow-checked)
+    rows_chunk = (2 << (levels_t - split)) - 1 + n_chunks
+    cap = max(1024, rows_chunk * (cfg.cap_groups_dtt * 8 // g))
+
+    out_leaf = jnp.zeros((nleaf * bs, kernel.od), cfg.accum_dtype)
+    total_valid = jnp.sum(top_s != 0, dtype=jnp.int32)
+    overflow = ov_top
+    from onbody_tpu.parallel.mesh import (_exec_groups_slab,
+                                          _resolve_shard_backend)
+    backend = _resolve_shard_backend(cfg)
+    glob_all, _ = local_rows(levels_t, n_chunks)
+
+    for c in range(n_chunks):
+        root = jnp.int32(n_chunks + c)
+        sub_t, sub_s, nv, ovc = lists._dtt_lists_sub(
+            stree, ttree, theta, cand_roots[c:c + 1], root,
+            stree.levels, levels_t, split, W, cfg.mac_geometry)
+        total_valid = total_valid + nv
+        overflow = overflow + ovc
+
+        # groups: top pairs target ids are global ids < n_chunks == the
+        # replicated slab rows; subtree ids translate through `loc`.
+        # Both segments are W-slots-per-target (W % g == 0), so group
+        # chunks never straddle a target boundary.
+        tl = jnp.concatenate([top_t, loc[sub_t]])
+        sl = jnp.concatenate([top_s, sub_s])
+        pl = lists.PairList(tgt=tl, src=sl, n_valid=nv,
+                            overflow=jnp.int32(0))
+        pg = lists.group_pairs(pl, cap, g, W)
+        overflow = overflow + pg.overflow
+
+        geo = eq.target_geo_slab(ttree, ts, root, cfg.order, split)
+        out = jnp.zeros((geo.shape[0], bs, kernel.od), cfg.accum_dtype)
+        out = _exec_groups_slab(kernel, cfg, geo, src_fm, pg.tgt,
+                                pg.src, out, backend)
+        # downward on the slab; nc/ns slabs are tiny gathers
+        glob_c = jnp.asarray(glob_all[c])
+        nc_l = ttree.nc[glob_c]
+        ns_l = ttree.ns[glob_c]
+        pos_l = jnp.transpose(geo[:, :pd, :], (0, 2, 1))
+        out = _downward_local(out, nc_l, ns_l, pos_l, cfg.order,
+                              levels_t, split, bs, jnp.int32(c))
+        leaf = out[leaf0_loc:leaf0_loc + wleaf, :bs, :]
+        out_leaf = jax.lax.dynamic_update_slice_in_dim(
+            out_leaf, leaf.reshape(wleaf * bs, kernel.od),
+            c * wleaf * bs, axis=0)
+
+    res = jnp.zeros((targs.n_real, kernel.od), out_leaf.dtype)
+    res = res.at[tg].set(out_leaf, mode="drop")
+    info = lists.PairList(tgt=jnp.zeros((0,), jnp.int32),
+                          src=jnp.zeros((0,), jnp.int32),
+                          n_valid=total_valid, overflow=overflow)
+    return res, info

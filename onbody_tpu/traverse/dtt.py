@@ -31,13 +31,15 @@ from onbody_tpu.traverse.treecode import Plan, _leaf_outputs
 
 
 @partial(jax.jit, static_argnames=("order", "levels", "block_size"))
-def _downward(out, tree_nc, tree_ns, tgt_pos, order: int, levels: int,
+def _downward(out, tree_nc, tree_ns, tgt_geo, order: int, levels: int,
               block_size: int):
     """Prolong accumulated equivalent-target outputs down the tree.
 
     out: (NN, B, OD). For each level top-down, children's points (proxies
     or leaf particles) receive the parent's equivalent outputs through
-    barycentric interpolation on the parent grid.
+    barycentric interpolation on the parent grid. Points come from the
+    feature-major tgt_geo (NN, 8, B) — the only target geometry the lean
+    plan materializes; per-level transposes are level-sized.
     """
     pd = tree_nc.shape[-1]
     ncp = order + 1
@@ -46,9 +48,9 @@ def _downward(out, tree_nc, tree_ns, tgt_pos, order: int, levels: int,
         np_l = 1 << (l - 1)                    # parents at level l-1
         par = slice(np_l, 2 * np_l)
         chl = slice(2 * np_l, 4 * np_l)
-        pts = tgt_pos[chl]                     # (2*np_l, B, pd)
         width = block_size if l == levels else M
-        pts = pts[:, :width]
+        pts = jnp.transpose(tgt_geo[chl, :pd, :width],
+                            (0, 2, 1))         # (2*np_l, width, pd)
         parent_nc = jnp.repeat(tree_nc[par], 2, axis=0)
         parent_ns = jnp.repeat(tree_ns[par], 2, axis=0)
         parent_u = jnp.repeat(out[par, :M], 2, axis=0)         # (2np,M,OD)
@@ -149,7 +151,8 @@ def solve_dtt(kernel: Kernel, cfg: SolverConfig, plan: Plan,
     else:
         if cfg.dtt_traversal == "level":
             pl = lists.build_dtt_pairs_level(plan.stree, plan.ttree,
-                                             theta, cfg.frontier_width)
+                                             theta, cfg.frontier_width,
+                                             cfg.mac_geometry)
             slot_width = cfg.frontier_width
         else:
             pl = lists.build_dtt_pairs(plan.stree, plan.ttree, theta,
@@ -159,7 +162,7 @@ def solve_dtt(kernel: Kernel, cfg: SolverConfig, plan: Plan,
                                      cfg.cap_groups_dtt)
     if cfg.order >= 0:
         out = _downward(out, plan.ttree.nc, plan.ttree.ns,
-                        plan.tgt_blocks.pos, cfg.order, plan.ttree.levels,
+                        plan.tgt_geo, cfg.order, plan.ttree.levels,
                         plan.ttree.block_size)
     else:
         out = _downward_copy(out, plan.ttree.levels, plan.ttree.block_size)

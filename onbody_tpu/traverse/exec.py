@@ -142,6 +142,8 @@ def exec_groups(kernel: Kernel, cfg, plan, pg, interpret: bool = False):
     if backend == "auto":
         backend = ("pallas" if jax.devices()[0].platform == "tpu"
                    else "jnp")
+    if jnp.dtype(cfg.accum_dtype) == jnp.float64:
+        backend = "jnp"   # Mosaic has no fp64; the accuracy tier is jnp
     g = pg.src.shape[1]
     if backend == "xla":
         out = exec_groups_xla(kernel, cfg, plan, pg.tgt, pg.src, g)
@@ -192,6 +194,8 @@ def exec_pairs(kernel: Kernel, cfg, plan, raw: PairList, slot_width: int,
     if backend == "auto":
         backend = ("pallas" if jax.devices()[0].platform == "tpu"
                    else "jnp")
+    if jnp.dtype(cfg.accum_dtype) == jnp.float64:
+        backend = "jnp"   # Mosaic has no fp64; the accuracy tier is jnp
     if backend in ("pallas", "xla"):
         from onbody_tpu.ops import pallas_pairs as pp
         # CPU has no Mosaic backend: fall back to the interpreter so the

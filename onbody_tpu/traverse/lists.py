@@ -373,9 +373,73 @@ def build_dtt_pairs(stree: Tree, ttree: Tree, theta,
     return PairList(tgt=tgt, src=src, n_valid=nv, overflow=ov)
 
 
-@partial(jax.jit, static_argnames=("levels_s", "levels_t", "frontier_width"))
+def _quant_pack_u16(vals):
+    """Pack four grid-unit f32 arrays into one complex64 of 4x uint16.
+
+    The MAC classifier's per-candidate cost is dominated by random
+    gathers of source-node geometry (docs/PERF.md: gathers are the
+    enemy). Quantizing (cm_x, cm_y, cm_z, nr) onto a shared 16-bit grid
+    packs a node's whole MAC geometry into 8 bytes -> ONE c64 gather per
+    candidate instead of two (half the bytes, half the gather elements).
+    Grid resolution is (domain+pad extent)/65535 ~ 1e-4 of the domain, a
+    <0.2% perturbation of leaf-level MAC distances — two orders below
+    the theta=1.40-vs-1.35 accuracy margin.
+    """
+    u = [jnp.clip(jnp.round(v), 0.0, 65535.0).astype(jnp.uint16)
+         for v in vals]
+    st = jnp.stack(u, axis=-1)                         # (NN, 4) u16
+    f2 = jax.lax.bitcast_convert_type(
+        st.reshape(-1, 2, 2), jnp.float32)             # (NN, 2) f32
+    return jax.lax.complex(f2[:, 0], f2[:, 1])
+
+
+def _quant_unpack_u16(g):
+    """(..., ) c64 -> four (...,) f32 grid-unit components."""
+    f2 = jnp.stack([g.real, g.imag], axis=-1)          # (..., 2)
+    u = jax.lax.bitcast_convert_type(f2, jnp.uint16)   # (..., 2, 2)
+    f = u.astype(jnp.float32)
+    return f[..., 0, 0], f[..., 0, 1], f[..., 1, 0], f[..., 1, 1]
+
+
+def _quant_grid(stree: Tree, ttree: Tree, pd: int):
+    """Shared quantization grid covering both trees' CMs (including the
+    out-of-domain padding cluster — clipping pad nodes into the real
+    domain would make them look near, never separate, and overflow the
+    frontier) and the node-radius range. Returns (lo (pd,), scale ())."""
+    lo = jnp.minimum(jnp.min(stree.x, axis=0), jnp.min(ttree.x, axis=0))
+    hi = jnp.maximum(jnp.max(stree.x, axis=0), jnp.max(ttree.x, axis=0))
+    ext = jnp.max(hi - lo)
+    nr_max = jnp.maximum(jnp.max(stree.nr), jnp.max(ttree.nr))
+    scale = jnp.maximum(ext, nr_max) / 65534.0
+    scale = jnp.maximum(scale, 1e-30)
+    return lo, scale
+
+
+def level_width(l: int, levels_t: int, W: int) -> int:
+    """Frontier/slot width for target level l — uniform.
+
+    Measured per-level occupancy (docs/PERF.md r2: max candidates/row at
+    N=1e6, theta 1.4, median build) plateaus from ~6 levels below the
+    root to the leaves (140-206 slots at W192-208 configs): the frontier
+    requirement is flat across the row-heavy levels, so a uniform width
+    is within ~8%% of the per-level optimum and keeps every slot run
+    group-aligned. The hook stays so schedules remain a one-line
+    experiment."""
+    return W
+
+
+def top_prefix_len(split: int, levels_t: int, W: int) -> int:
+    """Flat pair-list length of target levels 0..split-1 (the replicated
+    'top' prefix of the sharded/chunked decompositions)."""
+    return sum((1 << l) * level_width(l, levels_t, W)
+               for l in range(split))
+
+
+@partial(jax.jit, static_argnames=("levels_s", "levels_t", "frontier_width",
+                                   "mac_geometry"))
 def _dtt_lists_level(stree: Tree, ttree: Tree, theta,
-                     levels_s: int, levels_t: int, frontier_width: int):
+                     levels_s: int, levels_t: int, frontier_width: int,
+                     mac_geometry: str = "quant"):
     """Simultaneous-descent dual-tree traversal: ONE MAC classification
     per target level.
 
@@ -398,31 +462,49 @@ def _dtt_lists_level(stree: Tree, ttree: Tree, theta,
     nleaf_s = 1 << levels_s
     W = frontier_width
     pd = stree.nc.shape[1]
-    theta = jnp.asarray(theta, stree.nc.dtype)
+    theta = jnp.asarray(theta, jnp.float32)
 
-    # complex64-packed source geometry: (x0+i*x1, x2+i*nr) halves the
-    # number of random gathers per classification (the dominant list
-    # cost at scale; c64 gathers measured ~25% cheaper than 2x f32)
-    if pd == 3:
-        sg1 = jax.lax.complex(stree.x[:, 0], stree.x[:, 1])
-        sg2 = jax.lax.complex(stree.x[:, 2], stree.nr)
+    if mac_geometry == "quant":
+        # ONE c64 gather per candidate: 16-bit grid-quantized geometry
+        # (see _quant_pack_u16); target side stays exact f32 (sliced,
+        # never gathered)
+        lo, scale = _quant_grid(stree, ttree, pd)
+        inv = 1.0 / scale
+        comps = [(stree.x[:, d] - lo[d]) * inv for d in range(pd)]
+        comps.append(stree.nr * inv)
+        while len(comps) < 4:
+            comps.append(jnp.zeros_like(comps[0]))
+        sq = _quant_pack_u16(comps)
     else:
+        # complex64-packed f32 geometry: (x0+i*x1, x2+i*nr) — two
+        # gathers per candidate
+        lo = jnp.zeros((pd,), stree.x.dtype)
+        inv = jnp.asarray(1.0, stree.x.dtype)
         sg1 = jax.lax.complex(stree.x[:, 0], stree.x[:, 1])
-        sg2 = stree.nr
+        if pd == 3:
+            sg2 = jax.lax.complex(stree.x[:, 2], stree.nr)
+        else:
+            sg2 = stree.nr
 
     all_tgt = []
     all_src = []
     total_valid = jnp.int32(0)
     overflow = jnp.int32(0)
 
-    cand = jnp.zeros((1, W), jnp.int32).at[0, 0].set(1)  # root vs root
+    W0 = level_width(0, levels_t, W)
+    cand = jnp.zeros((1, W0), jnp.int32).at[0, 0].set(1)  # root vs root
 
     for l in range(levels_t + 1):
         nt = 1 << l
+        Wl = level_width(l, levels_t, W)
         tgt_ids = jnp.arange(nt, 2 * nt, dtype=jnp.int32)
         t_is_leaf = (l == levels_t)
         tnr = ttree.nr[nt:2 * nt]
         tcm = ttree.x[nt:2 * nt]
+        if mac_geometry == "quant":
+            # target geometry in grid units (f32, unrounded)
+            tcm_u = (tcm - lo[None, :]) * inv
+            tnr_u = tnr * inv
         # dead target subtrees (pure padding — 40% of all leaves at
         # N=1e7) produce no pairs and starve immediately: their outputs
         # are discarded, so killing the row loses nothing
@@ -431,18 +513,30 @@ def _dtt_lists_level(stree: Tree, ttree: Tree, theta,
         def classify(cand):
             valid = cand != 0
             s_is_leaf = cand >= nleaf_s
-            g1 = _g(sg1, cand)
-            g2 = _g(sg2, cand)
-            dx = g1.real - tcm[:, None, 0]
-            dy = g1.imag - tcm[:, None, 1]
-            if pd == 3:
-                dz = g2.real - tcm[:, None, 2]
-                snr = g2.imag
-                d2 = dx * dx + dy * dy + dz * dz
+            if mac_geometry == "quant":
+                x0, x1, x2, snr = _quant_unpack_u16(_g(sq, cand))
+                dx = x0 - tcm_u[:, None, 0]
+                dy = x1 - tcm_u[:, None, 1]
+                if pd == 3:
+                    dz = x2 - tcm_u[:, None, 2]
+                    d2 = dx * dx + dy * dy + dz * dz
+                else:
+                    snr = x2
+                    d2 = dx * dx + dy * dy
+                sep = d2 > (theta * (snr + tnr_u[:, None])) ** 2
             else:
-                snr = g2
-                d2 = dx * dx + dy * dy
-            sep = d2 > (theta * (snr + tnr[:, None])) ** 2
+                g1 = _g(sg1, cand)
+                g2 = _g(sg2, cand)
+                dx = g1.real - tcm[:, None, 0]
+                dy = g1.imag - tcm[:, None, 1]
+                if pd == 3:
+                    dz = g2.real - tcm[:, None, 2]
+                    snr = g2.imag
+                    d2 = dx * dx + dy * dy + dz * dz
+                else:
+                    snr = g2
+                    d2 = dx * dx + dy * dy
+                sep = d2 > (theta * (snr + tnr[:, None])) ** 2
             accept = valid & ((s_is_leaf & t_is_leaf) | sep)
             if t_is_leaf:
                 expand = valid & ~accept & ~s_is_leaf
@@ -474,11 +568,12 @@ def _dtt_lists_level(stree: Tree, ttree: Tree, theta,
             out = out_ext[:, :W]
             total_valid = total_valid + jnp.sum(out_cnt, dtype=jnp.int32)
         else:
-            out, ovc = _compact_rows(out, W)
+            out, ovc = _compact_rows(out, Wl)
             overflow = overflow + ovc + jnp.sum(expand, dtype=jnp.int32)
             total_valid = total_valid + jnp.sum(out != 0, dtype=jnp.int32)
 
-        all_tgt.append(jnp.broadcast_to(tgt_ids[:, None], (nt, W)).reshape(-1))
+        all_tgt.append(jnp.broadcast_to(tgt_ids[:, None],
+                                        (nt, out.shape[1])).reshape(-1))
         all_src.append(out.reshape(-1))
 
         if l < levels_t:
@@ -492,7 +587,7 @@ def _dtt_lists_level(stree: Tree, ttree: Tree, theta,
                 [jnp.where(split, 2 * cand, 0),
                  jnp.where(split, 2 * cand + 1, 0),
                  jnp.where(keep_leaf, cand, 0)], axis=1)
-            nxt, ovc = _compact_rows(kids, W)
+            nxt, ovc = _compact_rows(kids, level_width(l + 1, levels_t, W))
             overflow = overflow + ovc
             cand = jnp.repeat(nxt, 2, axis=0)
 
@@ -501,11 +596,212 @@ def _dtt_lists_level(stree: Tree, ttree: Tree, theta,
     return tgt, src, total_valid, overflow
 
 
+def _mk_classifier(stree: Tree, ttree: Tree, theta, pd: int,
+                   nleaf_s: int, mac_geometry: str):
+    """Shared MAC classifier over dense candidate rows, parameterized by
+    the per-level target slice. Returns (classify, prep_level) where
+    prep_level(tcm, tnr) precomputes the level's target-side geometry."""
+    theta = jnp.asarray(theta, jnp.float32)
+    if mac_geometry == "quant":
+        lo, scale = _quant_grid(stree, ttree, pd)
+        inv = 1.0 / scale
+        comps = [(stree.x[:, d] - lo[d]) * inv for d in range(pd)]
+        comps.append(stree.nr * inv)
+        while len(comps) < 4:
+            comps.append(jnp.zeros_like(comps[0]))
+        sq = _quant_pack_u16(comps)
+
+        def prep(tcm, tnr):
+            return (tcm - lo[None, :]) * inv, tnr * inv
+
+        def classify(cand, tgeo, t_is_leaf):
+            tcm_u, tnr_u = tgeo
+            valid = cand != 0
+            s_is_leaf = cand >= nleaf_s
+            x0, x1, x2, snr = _quant_unpack_u16(_g(sq, cand))
+            dx = x0 - tcm_u[:, None, 0]
+            dy = x1 - tcm_u[:, None, 1]
+            if pd == 3:
+                dz = x2 - tcm_u[:, None, 2]
+                d2 = dx * dx + dy * dy + dz * dz
+            else:
+                snr = x2
+                d2 = dx * dx + dy * dy
+            sep = d2 > (theta * (snr + tnr_u[:, None])) ** 2
+            accept = valid & ((s_is_leaf & t_is_leaf) | sep)
+            if t_is_leaf:
+                expand = valid & ~accept & ~s_is_leaf
+                defer = jnp.zeros_like(valid)
+            else:
+                expand = jnp.zeros_like(valid)
+                defer = valid & ~accept
+            return accept, expand, defer
+        return classify, prep
+
+    sg1 = jax.lax.complex(stree.x[:, 0], stree.x[:, 1])
+    sg2 = (jax.lax.complex(stree.x[:, 2], stree.nr) if pd == 3
+           else stree.nr)
+
+    def prep(tcm, tnr):
+        return tcm, tnr
+
+    def classify(cand, tgeo, t_is_leaf):
+        tcm, tnr = tgeo
+        valid = cand != 0
+        s_is_leaf = cand >= nleaf_s
+        g1 = _g(sg1, cand)
+        g2 = _g(sg2, cand)
+        dx = g1.real - tcm[:, None, 0]
+        dy = g1.imag - tcm[:, None, 1]
+        if pd == 3:
+            dz = g2.real - tcm[:, None, 2]
+            snr = g2.imag
+            d2 = dx * dx + dy * dy + dz * dz
+        else:
+            snr = g2
+            d2 = dx * dx + dy * dy
+        sep = d2 > (theta * (snr + tnr[:, None])) ** 2
+        accept = valid & ((s_is_leaf & t_is_leaf) | sep)
+        if t_is_leaf:
+            expand = valid & ~accept & ~s_is_leaf
+            defer = jnp.zeros_like(valid)
+        else:
+            expand = jnp.zeros_like(valid)
+            defer = valid & ~accept
+        return accept, expand, defer
+    return classify, prep
+
+
+@partial(jax.jit, static_argnames=("levels_s", "split", "frontier_width",
+                                   "mac_geometry"))
+def _dtt_lists_top(stree: Tree, ttree: Tree, theta, levels_s: int,
+                   split: int, frontier_width: int,
+                   mac_geometry: str = "quant"):
+    """Simultaneous descent of target levels 0..split-1 only.
+
+    The shared prefix of the subtree-chunked solve (traverse/chunked.py):
+    returns the accepted pairs of the top levels plus the deferred
+    candidate rows for every level-`split` subtree root (2^split, W) —
+    each chunk continues its own descent from its row. Requires
+    split < levels_t (roots must not be leaves).
+    """
+    W = frontier_width
+    levels_t = ttree.levels
+    pd = stree.nc.shape[1]
+    nleaf_s = 1 << levels_s
+    classify, prep = _mk_classifier(stree, ttree, theta, pd, nleaf_s,
+                                    mac_geometry)
+    all_tgt, all_src = [], []
+    overflow = jnp.int32(0)
+    cand = jnp.zeros((1, level_width(0, levels_t, W)),
+                     jnp.int32).at[0, 0].set(1)
+    for l in range(split):
+        nt = 1 << l
+        Wl = level_width(l, levels_t, W)
+        tgeo = prep(ttree.x[nt:2 * nt], ttree.nr[nt:2 * nt])
+        cand = jnp.where(ttree.alive[nt:2 * nt][:, None], cand, 0)
+        accept, expand, defer = classify(cand, tgeo, False)
+        out, ovc = _compact_rows(jnp.where(accept, cand, 0), Wl)
+        overflow = overflow + ovc + jnp.sum(expand, dtype=jnp.int32)
+        all_tgt.append(jnp.broadcast_to(
+            jnp.arange(nt, 2 * nt, dtype=jnp.int32)[:, None],
+            (nt, Wl)).reshape(-1))
+        all_src.append(out.reshape(-1))
+        s_leaf = cand >= nleaf_s
+        keep_leaf = defer & s_leaf
+        split_m = defer & ~s_leaf
+        kids = jnp.concatenate(
+            [jnp.where(split_m, 2 * cand, 0),
+             jnp.where(split_m, 2 * cand + 1, 0),
+             jnp.where(keep_leaf, cand, 0)], axis=1)
+        nxt, ovc = _compact_rows(kids, level_width(l + 1, levels_t, W))
+        overflow = overflow + ovc
+        cand = jnp.repeat(nxt, 2, axis=0)
+    return (jnp.concatenate(all_tgt), jnp.concatenate(all_src),
+            cand, overflow)
+
+
+@partial(jax.jit, static_argnames=("levels_s", "levels_t", "split",
+                                   "frontier_width", "mac_geometry"))
+def _dtt_lists_sub(stree: Tree, ttree: Tree, theta, cand0, root,
+                   levels_s: int, levels_t: int, split: int,
+                   frontier_width: int, mac_geometry: str = "quant"):
+    """Continue the descent for ONE target subtree rooted at traced node
+    id `root` (level `split`), from its deferred row cand0 (1, W).
+
+    Emits GLOBAL (tgt, src) pairs for levels split..levels_t of the
+    subtree. One compilation serves every chunk (root is traced; target
+    slices are dynamic_slice_in_dim)."""
+    W = frontier_width
+    pd = stree.nc.shape[1]
+    nleaf_s = 1 << levels_s
+    classify, prep = _mk_classifier(stree, ttree, theta, pd, nleaf_s,
+                                    mac_geometry)
+    all_tgt, all_src = [], []
+    total_valid = jnp.int32(0)
+    overflow = jnp.int32(0)
+    cand = cand0
+    for l in range(split, levels_t + 1):
+        w = 1 << (l - split)
+        Wl = level_width(l, levels_t, W)
+        id0 = root << (l - split)
+        tgt_ids = id0 + jnp.arange(w, dtype=jnp.int32)
+        t_is_leaf = (l == levels_t)
+        tcm = jax.lax.dynamic_slice_in_dim(ttree.x, id0, w)
+        tnr = jax.lax.dynamic_slice_in_dim(ttree.nr, id0, w)
+        alive = jax.lax.dynamic_slice_in_dim(ttree.alive, id0, w)
+        tgeo = prep(tcm, tnr)
+        cand = jnp.where(alive[:, None], cand, 0)
+        accept, expand, defer = classify(cand, tgeo, t_is_leaf)
+        out = jnp.where(accept, cand, 0)
+        if t_is_leaf and levels_s > levels_t:
+            out_ext = jnp.zeros((w, W + 1), jnp.int32)
+            out_cnt = jnp.zeros((w,), jnp.int32)
+            out_ext, out_cnt, ov0 = _append_rows(out_ext, out_cnt, out)
+            overflow = overflow + ov0
+            for _ in range(levels_s - levels_t):
+                kids = jnp.concatenate(
+                    [jnp.where(expand, 2 * cand, 0),
+                     jnp.where(expand, 2 * cand + 1, 0)], axis=1)
+                cand, ovc = _compact_rows(kids, W)
+                overflow = overflow + ovc
+                accept, expand, defer = classify(cand, tgeo, t_is_leaf)
+                out_ext, out_cnt, ovc = _append_rows(
+                    out_ext, out_cnt, jnp.where(accept, cand, 0))
+                overflow = overflow + ovc
+            overflow = overflow + jnp.sum(expand, dtype=jnp.int32)
+            out = out_ext[:, :W]
+            total_valid = total_valid + jnp.sum(out_cnt, dtype=jnp.int32)
+        else:
+            out, ovc = _compact_rows(out, Wl)
+            overflow = overflow + ovc + jnp.sum(expand, dtype=jnp.int32)
+            total_valid = total_valid + jnp.sum(out != 0,
+                                               dtype=jnp.int32)
+        all_tgt.append(jnp.where(out != 0, tgt_ids[:, None], 0
+                                 ).reshape(-1))
+        all_src.append(out.reshape(-1))
+        if l < levels_t:
+            s_leaf = cand >= nleaf_s
+            keep_leaf = defer & s_leaf
+            split_m = defer & ~s_leaf
+            kids = jnp.concatenate(
+                [jnp.where(split_m, 2 * cand, 0),
+                 jnp.where(split_m, 2 * cand + 1, 0),
+                 jnp.where(keep_leaf, cand, 0)], axis=1)
+            nxt, ovc = _compact_rows(kids, level_width(l + 1, levels_t, W))
+            overflow = overflow + ovc
+            cand = jnp.repeat(nxt, 2, axis=0)
+    return (jnp.concatenate(all_tgt), jnp.concatenate(all_src),
+            total_valid, overflow)
+
+
 def build_dtt_pairs_level(stree: Tree, ttree: Tree, theta,
-                          frontier_width: int = 128) -> PairList:
+                          frontier_width: int = 128,
+                          mac_geometry: str = "quant") -> PairList:
     """Simultaneous-descent DTT pair list; slot width == frontier_width."""
     tgt, src, nv, ov = _dtt_lists_level(stree, ttree, theta, stree.levels,
-                                        ttree.levels, frontier_width)
+                                        ttree.levels, frontier_width,
+                                        mac_geometry)
     return PairList(tgt=tgt, src=src, n_valid=nv, overflow=ov)
 
 

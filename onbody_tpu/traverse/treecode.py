@@ -51,22 +51,40 @@ def prepare(kernel: Kernel, cfg: SolverConfig, srcs: Parts,
     """Build both trees and the unified block arrays (the setup phase the
     reference times as 'build tree' + 'calc equivalents',
     ongrav3d.cpp:600-725)."""
+    from onbody_tpu import parts as P
+    srcs = P.astype(srcs, cfg.storage_dtype)
+    targs = P.astype(targs, cfg.storage_dtype)
     refine = cfg.order < 0
     stree, ss, sg = tree_build.build_tree(srcs, cfg.block_size,
                                           refine=refine,
-                                          mode=cfg.tree_mode)
+                                          mode=cfg.tree_mode,
+                                          span=cfg.tree_span, span_top=cfg.tree_span_top)
     ttree, ts, tg = tree_build.build_tree(targs, cfg.block_size,
                                           refine=refine,
-                                          mode=cfg.tree_mode)
-    if cfg.order >= 0:
-        sblocks = eq.barycentric_blocks(stree, ss, cfg.order)
-        tblocks = eq.target_blocks(ttree, ts, cfg.order)
+                                          mode=cfg.tree_mode,
+                                          span=cfg.tree_span, span_top=cfg.tree_span_top)
+    lean = getattr(cfg, "lean_plan", False)
+    if lean and cfg.order >= 0:
+        # feature-major arrays built directly, no point-major Blocks:
+        # drops ~5.4 GB of never-read intermediates at N=1e8 (the
+        # Pallas executor consumes only src_fm/tgt_geo). pad8=False
+        # stores the true feature rows; the pregather fetch pads per
+        # chunk (grav3d: 5 rows stored instead of 8).
+        src_fm = eq.barycentric_fm(stree, ss, cfg.order, kernel.name,
+                                   pad8=False)
+        tgt_geo = eq.target_geo_fm(ttree, ts, cfg.order)
+        sblocks = tblocks = None
     else:
-        sblocks = eq.pairmerge_blocks(stree, ss)
-        tblocks = eq.target_blocks(ttree, ts, cfg.order)
-    from onbody_tpu.ops import pallas_pairs as pp
-    src_fm = pp.build_fm_blocks(kernel, sblocks.pos, sblocks.rad, sblocks.s)
-    tgt_geo = pp.build_tgt_geo(tblocks.pos, tblocks.rad)
+        if cfg.order >= 0:
+            sblocks = eq.barycentric_blocks(stree, ss, cfg.order)
+            tblocks = eq.target_blocks(ttree, ts, cfg.order)
+        else:
+            sblocks = eq.pairmerge_blocks(stree, ss)
+            tblocks = eq.target_blocks(ttree, ts, cfg.order)
+        from onbody_tpu.ops import pallas_pairs as pp
+        src_fm = pp.build_fm_blocks(kernel, sblocks.pos, sblocks.rad,
+                                    sblocks.s)
+        tgt_geo = pp.build_tgt_geo(tblocks.pos, tblocks.rad)
     tgt_inv = jnp.zeros((targs.n_real,), jnp.int32).at[tg].set(
         jnp.arange(tg.shape[0], dtype=jnp.int32), mode="drop")
     return Plan(stree=stree, ttree=ttree, src_sorted=ss, tgt_sorted=ts,

@@ -350,16 +350,35 @@ def _build_morton(cols, n_real, levels: int, block_size: int, sd: int,
 
 
 def build_tree(p: Parts, block_size: int = 128, refine: bool = False,
-               mode: str = "median") -> Tuple[Tree, Parts, jax.Array]:
+               mode: str = "median", span: int = 2,
+               span_top: int = 6) -> Tuple[Tree, Parts, jax.Array]:
     """Build the tree; returns (tree, reordered+padded parts, gidx).
 
     gidx[i] = original index of the particle now in slot i (the
     un-scrambling permutation the C-ABI layer needs,
     interface2dvort.cpp:301-304). Padded slots have gidx >= n_real.
 
-    mode: 'median' (VAMsplit-equivalent per-level median splits, one
-    variadic sort per level) or 'morton' (one global space-filling-curve
-    sort; faster build, slightly fatter boxes).
+    mode:
+    * 'median' — VAMsplit-equivalent per-level median splits, one
+      variadic sort per level.
+    * 'span' — for the top `span_top` levels, one variadic sort serves
+      `span` consecutive levels as a 2^span-way equal split along the
+      level's longest axis (the padded tree is fully balanced, so every
+      VAMsplit point is an exact quantile of the sorted segment); exact
+      per-level median splits below. Boxes stay non-overlapping with
+      exact counts — the property the rejected Morton-hybrid build
+      lacked (curve-segment boxes overlap siblings; measured +31%
+      accepted pairs and frontier overflow at N=1e6). Top levels are
+      where the segmented bitonic sorts are most expensive (cost ~
+      log^2(segment)) and where boxes are far too large to separate at
+      any practical theta, so the elongated intermediate boxes (aspect
+      up to 2^span along the split axis) cost nothing: by the depth
+      where MAC separation begins, median splits have restored cubish
+      boxes. Full-depth span measured 55k frontier overflows at N=1e6
+      (W208); span_top=8 measured zero with nvalid == median's.
+    * 'morton' — one global space-filling-curve sort; fastest build,
+      fatter overlapping boxes (measured to overflow DTT frontiers at
+      theta=1.4 — fine for treecodes, not the production DTT choice).
     """
     levels, n_pad = plan(p.n_real, block_size)
     pp = pad_to(p, n_pad)
@@ -383,8 +402,12 @@ def build_tree(p: Parts, block_size: int = 128, refine: bool = False,
         sorted_parts = Parts(x=x, r=r, s=s, n_real=p.n_real)
         return tree, sorted_parts, gidx
 
-    # median mode: one donated jit step per split level (a single
-    # unrolled program makes XLA keep every level's temporaries live)
+    # median/span mode: one donated jit step per SORT level (a single
+    # unrolled program makes XLA keep every level's temporaries live);
+    # span mode skips the sort on levels already ordered by the previous
+    # multi-way split and only captures their boxes
+    q = span if mode == "span" else 1
+    assert q >= 1
     sort_levels = levels if not refine else int(np.log2(n_pad))
     lows, highs = [], []
     l = 0
@@ -401,6 +424,16 @@ def build_tree(p: Parts, block_size: int = 128, refine: bool = False,
             lows.append(lo)
             highs.append(hi)
         l += 1
+        # levels served by the sort above (already in order): box-only
+        if l <= span_top:
+            for _ in range(q - 1):
+                if l == sort_levels or (n_pad >> l) < 2:
+                    break
+                if l <= levels:
+                    lo, hi = _box_step(cols, n_real, l, pd)
+                    lows.append(lo)
+                    highs.append(hi)
+                l += 1
 
     tree, x, r, s, gidx = _finish_median(
         cols, n_real, tuple(lows), tuple(highs), levels, block_size, sd,

@@ -374,6 +374,205 @@ def pairmerge_blocks(tree: Tree, sorted_parts: Parts) -> Blocks:
     return Blocks(pos=pos, rad=rad, s=st)
 
 
+# ------------------------------------------------- lean feature-major path
+#
+# At N=1e8 the point-major Blocks intermediates ((NN, B, PD) etc.) cost
+# ~5.4 GB that the Pallas executor never reads — it consumes only the
+# feature-major (NN, C, B) array. These builders emit fm/geo layouts
+# DIRECTLY, level by level, so peak HBM is the output plus one level's
+# temporaries (SolverConfig.lean_plan).
+
+@partial(jax.jit, static_argnames=("order", "levels", "block_size",
+                                   "kernel_name", "pad8"))
+def _bary_fm_impl(tree: Tree, x, r, s, order: int, levels: int,
+                  block_size: int, kernel_name: str, pad8: bool):
+    from onbody_tpu.ops.kernels import featurize
+    pd = x.shape[1]
+    sd = s.shape[1]
+    dtype = x.dtype
+    ncp = order + 1
+    M = ncp ** pd
+    assert M <= block_size, "lean fm path requires (order+1)^pd <= B"
+    nleaf = 1 << levels
+    nn = 2 * nleaf
+    n_pad = x.shape[0]
+    width = block_size
+
+    def feat(pos, rad, st):
+        return jax.vmap(lambda p, rr, ss2: featurize(
+            kernel_name, p, rr, ss2, pad8))(pos, rad, st)
+
+    c_out = feat(jnp.zeros((1, width, pd), dtype),
+                 jnp.ones((1, width), dtype),
+                 jnp.zeros((1, width, sd), dtype)).shape[1]
+    fm = jnp.zeros((nn, c_out, width), dtype)
+    fm = fm.at[nleaf:].set(feat(x.reshape(nleaf, width, pd),
+                                r.reshape(nleaf, width),
+                                s.reshape(nleaf, width, sd)))
+
+    child_pos = None
+    child_str = None
+    for l in range(levels - 1, -1, -1):
+        nseg = 1 << l
+        sl = tree.level_slice(l)
+        nc_l = tree.nc[sl]
+        ns_l = tree.ns[sl]
+        grid = _grid_positions(nc_l, ns_l, order)        # (nseg, M, pd)
+        if l == levels - 1:
+            m = n_pad >> l
+            src_pos = x.reshape(nseg, m, pd)
+            src_str = s.reshape(nseg, m, sd)
+        else:
+            src_pos = child_pos.reshape(nseg, 2 * M, pd)
+            src_str = child_str.reshape(nseg, 2 * M, sd)
+
+        def anterp(args):
+            cpos, cnc, cns, cstr = args
+            return anterp_factored(cpos, cnc, cns, order, cstr)
+
+        chunk = min(nseg, 2048)
+        if nseg > chunk:
+            def resh(a):
+                return a.reshape((nseg // chunk, chunk) + a.shape[1:])
+            eq_s = jax.lax.map(anterp, (resh(src_pos), resh(nc_l),
+                                        resh(ns_l), resh(src_str)))
+            eq_s = eq_s.reshape((nseg,) + eq_s.shape[2:])
+        else:
+            eq_s = anterp((src_pos, nc_l, ns_l, src_str))
+
+        pos_w = jnp.concatenate(
+            [grid, jnp.broadcast_to(nc_l[:, None, :],
+                                    (nseg, width - M, pd))], axis=1)
+        st_w = jnp.concatenate(
+            [eq_s, jnp.zeros((nseg, width - M, sd), dtype)], axis=1)
+        r_first = r.reshape(nseg, n_pad >> l)[:, 0]
+        rad_w = jnp.broadcast_to(r_first[:, None], (nseg, width))
+        fm = fm.at[sl].set(feat(pos_w, rad_w, st_w))
+        child_pos, child_str = grid, eq_s
+    return fm
+
+
+def barycentric_fm(tree: Tree, sorted_parts: Parts, order: int,
+                   kernel_name: str, pad8: bool = True) -> jax.Array:
+    """Feature-major source blocks with barycentric proxies, built
+    without point-major intermediates. Requires M <= block_size (true
+    for order<=4 at B>=128)."""
+    return _bary_fm_impl(tree, sorted_parts.x, sorted_parts.r,
+                         sorted_parts.s, order, tree.levels,
+                         tree.block_size, kernel_name, pad8)
+
+
+@partial(jax.jit, static_argnames=("order", "levels", "block_size"))
+def _target_geo_fm_impl(tree: Tree, x, r, order: int, levels: int,
+                        block_size: int):
+    pd = x.shape[1]
+    dtype = x.dtype
+    ncp = order + 1
+    M = ncp ** pd
+    assert M <= block_size
+    nleaf = 1 << levels
+    nn = 2 * nleaf
+    n_pad = x.shape[0]
+    width = block_size
+
+    geo = jnp.zeros((nn, 8, width), dtype)
+    leaf = jnp.concatenate(
+        [jnp.transpose(x.reshape(nleaf, width, pd), (0, 2, 1)),
+         r.reshape(nleaf, 1, width)], axis=1)
+    geo = geo.at[nleaf:, :pd + 1].set(leaf)
+    for l in range(levels - 1, -1, -1):
+        nseg = 1 << l
+        sl = tree.level_slice(l)
+        nc_l = tree.nc[sl]
+        grid = _grid_positions(nc_l, tree.ns[sl], order)
+        pos_w = jnp.concatenate(
+            [grid, jnp.broadcast_to(nc_l[:, None, :],
+                                    (nseg, width - M, pd))], axis=1)
+        r_first = r.reshape(nseg, n_pad >> l)[:, 0]
+        row = jnp.concatenate(
+            [jnp.transpose(pos_w, (0, 2, 1)),
+             jnp.broadcast_to(r_first[:, None, None], (nseg, 1, width))],
+            axis=1)
+        geo = geo.at[sl, :pd + 1].set(row)
+    return geo
+
+
+def target_geo_fm(tree: Tree, sorted_targs: Parts,
+                  order: int) -> jax.Array:
+    """(NN, 8, B) target geometry [pos | radius | 0..] built directly —
+    the lean-path replacement for target_blocks + build_tgt_geo."""
+    return _target_geo_fm_impl(tree, sorted_targs.x, sorted_targs.r,
+                               order, tree.levels, tree.block_size)
+
+
+@partial(jax.jit, static_argnames=("order", "levels", "split",
+                                   "block_size"))
+def _target_geo_slab_impl(tree: Tree, x, r, root, order: int, levels: int,
+                          split: int, block_size: int):
+    """Owner-major target-geometry slab for ONE level-`split` subtree.
+
+    Row layout matches parallel.mesh.local_rows: rows [0, 2^split) are
+    the global top nodes (replicated geometry), then the subtree's
+    levels split..levels in order. `root` is traced — one compilation
+    serves every chunk of traverse/chunked.py.
+    """
+    pd = x.shape[1]
+    dtype = x.dtype
+    ncp = order + 1
+    M = ncp ** pd
+    nleaf = 1 << levels
+    width = block_size
+    ndev = 1 << split
+
+    def grid_rows(nc_l, ns_l, rad):
+        nseg = nc_l.shape[0]
+        grid = _grid_positions(nc_l, ns_l, order)
+        pos_w = jnp.concatenate(
+            [grid, jnp.broadcast_to(nc_l[:, None, :],
+                                    (nseg, width - M, pd))], axis=1)
+        row = jnp.concatenate(
+            [jnp.transpose(pos_w, (0, 2, 1)),
+             jnp.broadcast_to(rad[:, None, None], (nseg, 1, width))],
+            axis=1)
+        return jnp.pad(row, ((0, 0), (0, 8 - pd - 1), (0, 0)))
+
+    rows = []
+    # top rows: nodes 0..ndev-1 (node 0 inert — its grid is junk but its
+    # row is never read: pair lists never reference local row 0's output
+    # and node 0 has no geometry)
+    r_top = jnp.full((ndev,), jnp.mean(r), dtype)
+    rows.append(grid_rows(tree.nc[:ndev], jnp.maximum(tree.ns[:ndev],
+                                                      1e-20), r_top))
+    for l in range(split, levels + 1):
+        w = 1 << (l - split)
+        id0 = root << (l - split)
+        if l == levels:
+            p0 = (id0 - nleaf) * block_size
+            xs = jax.lax.dynamic_slice_in_dim(x, p0, w * block_size)
+            rs = jax.lax.dynamic_slice_in_dim(r, p0, w * block_size)
+            leaf = jnp.concatenate(
+                [jnp.transpose(xs.reshape(w, width, pd), (0, 2, 1)),
+                 rs.reshape(w, 1, width)], axis=1)
+            rows.append(jnp.pad(leaf, ((0, 0), (0, 8 - pd - 1), (0, 0))))
+        else:
+            nc_l = jax.lax.dynamic_slice_in_dim(tree.nc, id0, w)
+            ns_l = jax.lax.dynamic_slice_in_dim(tree.ns, id0, w)
+            n_lvl = x.shape[0] >> l
+            p0 = (id0 - (1 << l)) * n_lvl
+            # per-node first-particle radius (matches _target_grid_impl)
+            r_first = r[p0 + jnp.arange(w, dtype=jnp.int32) * n_lvl]
+            rows.append(grid_rows(nc_l, ns_l, r_first))
+    return jnp.concatenate(rows, axis=0)
+
+
+def target_geo_slab(tree: Tree, sorted_targs: Parts, root, order: int,
+                    split: int) -> jax.Array:
+    """(R, 8, B) owner-major target-geometry slab for subtree `root`."""
+    return _target_geo_slab_impl(tree, sorted_targs.x, sorted_targs.r,
+                                 jnp.asarray(root, jnp.int32), order,
+                                 tree.levels, split, tree.block_size)
+
+
 # ----------------------------------------------------- target-side blocks
 
 @partial(jax.jit, static_argnames=("order", "width", "levels", "block_size"))

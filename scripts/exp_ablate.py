@@ -63,7 +63,7 @@ def staged(kernel, cfg, sx, sr, ss, tx, tr, n: int, stage: int):
                                 cfg.core_func, cfg.accum_dtype, group=g)
     if stage == 4:
         return outb
-    outb = dtt._downward(outb, ttree.nc, ttree.ns, tblocks.pos, cfg.order,
+    outb = dtt._downward(outb, ttree.nc, ttree.ns, tgt_geo, cfg.order,
                          ttree.levels, ttree.block_size)
     nleaf = ttree.nleaf
     bs = ttree.block_size

@@ -106,7 +106,7 @@ def main():
             kernel, plan.tgt_geo, plan.src_fm, pg.tgt, pg.src,
             cfg.core_func, cfg.accum_dtype, group=g))
         outb = run("downward", lambda: dtt._downward(
-            outb, ttree.nc, ttree.ns, tblocks.pos, cfg.order,
+            outb, ttree.nc, ttree.ns, plan.tgt_geo, cfg.order,
             ttree.levels, ttree.block_size))
         res = run("unscramble", lambda: treecode._leaf_outputs(
             outb, plan, kernel, targs.n_real))

@@ -1,0 +1,93 @@
+"""The storage/accumulation precision contract (SURVEY.md §7 hard part b).
+
+The reference documents three accuracy tiers (README.md:99-110):
+fp32 storage + fp32 accumulation floors at ~6e-6 RMS; fp32 storage +
+fp64 accumulation (ACCUM=double, mycast semantics MathHelper.hpp:50-59)
+reaches ~4e-7; full fp64 goes lower. These tests demonstrate the same
+tiers end-to-end: the fp64-accumulation chain must beat the fp32 floor
+by an order of magnitude on identical fp32-stored inputs.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from onbody_tpu import parts as P
+from onbody_tpu.config import SolverConfig
+from onbody_tpu.ops.kernels import KERNELS
+from onbody_tpu.traverse import direct, dtt, treecode
+
+
+def rel_rms(out, ref):
+    out = np.asarray(out, np.float64)
+    ref = np.asarray(ref, np.float64)
+    return np.linalg.norm(out - ref) / np.linalg.norm(ref)
+
+
+def _problem(kernel, n=4096, seed=7):
+    ks, kt = jax.random.split(jax.random.PRNGKey(seed))
+    srcs = P.random_in_cube(ks, n, kernel.pd, kernel.sd, True)
+    targs = P.random_in_cube(kt, n, kernel.pd, 0, False)
+    return srcs, targs
+
+
+def test_direct_accum_tiers():
+    """Tiled direct sum: fp64 accumulation over fp32 storage must land
+    ~at the oracle; fp32 accumulation shows the documented rounding
+    floor. This isolates the mycast promotion from any tree error."""
+    kernel = KERNELS["grav3d"]
+    srcs, targs = _problem(kernel)
+    ref = direct.direct_oracle(kernel, srcs, targs)
+    e32 = rel_rms(direct.direct(kernel, srcs, targs,
+                                accum_dtype=jnp.float32), ref)
+    e64 = rel_rms(direct.direct(kernel, srcs, targs,
+                                accum_dtype=jnp.float64), ref)
+    # fp64 accumulation leaves only the fp32 storage quantization of the
+    # inputs themselves; it must beat the fp32-accum chain by >=10x
+    assert e64 < 1e-6, e64
+    assert e64 < e32 / 10.0, (e32, e64)
+
+
+def test_dtt_fp64_accum_tier():
+    """Full DTT pipeline at a tight MAC: fp32 storage + fp64 accumulation
+    reaches <=1e-6 rel-RMS (reference envelope ~4e-7, README.md:107-110),
+    while the identical fp32-accum solve sits above it."""
+    kernel = KERNELS["grav3d"]
+    srcs, targs = _problem(kernel, n=4096)
+    ref = direct.direct_oracle(kernel, srcs, targs)
+    cfg = SolverConfig(block_size=64, order=7, theta_dtt=2.5,
+                       frontier_width=512, list_width=1024,
+                       cap_groups_dtt=128, accum_dtype=jnp.float64)
+    plan = treecode.prepare(kernel, cfg, srcs, targs)
+    out64, info = dtt.solve_dtt(kernel, cfg, plan)
+    assert int(info.overflow) == 0
+    e64 = rel_rms(out64, ref)
+    assert e64 <= 1e-6, e64
+
+    cfg32 = cfg.replace(accum_dtype=jnp.float32)
+    plan32 = treecode.prepare(kernel, cfg32, srcs, targs)
+    out32, _ = dtt.solve_dtt(kernel, cfg32, plan32)
+    e32 = rel_rms(out32, ref)
+    assert e64 < e32, (e32, e64)
+
+
+def test_storage_dtype_wired():
+    """storage_dtype is honored: prepare() casts inputs, and a full-fp64
+    solve (storage+accum) beats the fp32-storage tier."""
+    kernel = KERNELS["grav3d"]
+    srcs, targs = _problem(kernel, n=2048)
+    ref = direct.direct_oracle(kernel, srcs, targs)
+    cfg = SolverConfig(block_size=64, order=7, theta_dtt=2.5,
+                       frontier_width=512, list_width=1024,
+                       cap_groups_dtt=128,
+                       storage_dtype=jnp.float64,
+                       accum_dtype=jnp.float64)
+    plan = treecode.prepare(kernel, cfg, srcs, targs)
+    assert plan.src_sorted.x.dtype == jnp.float64
+    assert plan.src_blocks.pos.dtype == jnp.float64
+    out, info = dtt.solve_dtt(kernel, cfg, plan)
+    assert int(info.overflow) == 0
+    assert rel_rms(out, ref) < 3e-7, rel_rms(out, ref)

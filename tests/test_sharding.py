@@ -54,3 +54,84 @@ def test_dtt_sharded_matches():
     out, _ = pmesh.solve_dtt_sharded(kernel, CFG, mesh, plan)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-5, atol=1e-8)
+
+
+def test_partition_groups_device_matches_host():
+    """On-device partitioning covers exactly the valid pairs the host
+    bucketing covers (same multiset of (local tgt, local src))."""
+    kernel = KERNELS["grav3d"]
+    plan = _plan(kernel)
+    from onbody_tpu.traverse import lists
+    cfg = CFG
+    pl = lists.build_dtt_pairs_level(plan.stree, plan.ttree,
+                                     cfg.theta_dtt, cfg.frontier_width,
+                                     cfg.mac_geometry)
+    ndev = 8
+    levels = plan.ttree.levels
+    levels_s = plan.stree.levels
+    g = cfg.pair_group
+    caps = (4096,) * ndev
+    top_t, top_s, gt, gs, ov = pmesh.partition_groups_device(
+        pl.tgt, pl.src, levels, levels_s, ndev, cfg.frontier_width, g,
+        caps)
+    assert int(ov) == 0
+    # every valid builder pair appears exactly once: per-device owned
+    # pairs + top pairs replicated once in top arrays
+    n_owned = int(np.sum(np.asarray(gs) != 0))
+    n_top = int(np.sum(np.asarray(top_s) != 0))
+    split = 3
+    tgt = np.asarray(pl.tgt)
+    src = np.asarray(pl.src)
+    valid = src != 0
+    lev = np.zeros_like(tgt)
+    lev[tgt > 0] = np.floor(np.log2(tgt[tgt > 0])).astype(tgt.dtype)
+    is_top = valid & (lev < split)
+    assert n_top == int(is_top.sum())
+    assert n_owned == int((valid & ~is_top).sum())
+
+
+def test_dtt_sharded_stream_matches():
+    """Streamed sharded DTT == single-device DTT, with each device
+    holding only 1/D of the source blocks (ring ppermute)."""
+    kernel = KERNELS["grav3d"]
+    plan = _plan(kernel)
+    mesh = pmesh.make_mesh(8)
+    ref, _ = dtt.solve_dtt(kernel, CFG, plan)
+    out, info = pmesh.solve_dtt_sharded_stream(kernel, CFG, mesh, plan)
+    assert int(np.asarray(info.overflow)) == 0
+    # atol covers fp32 summation-order noise: ring staging executes the
+    # same pair set in a different order (measured max |diff| ~2e-7)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+    # provably sharded sources: the per-device source slab row count is
+    # ~NN_s/D + D, far below the full 2*nleaf rows
+    glob_s, _ = pmesh.local_rows(plan.stree.levels, 8)
+    assert glob_s.shape[1] < plan.src_fm.shape[0] // 4
+
+
+def test_dtt_sharded_stream_vort3d():
+    """Non-grav kernel (3-component strengths) through the mesh."""
+    kernel = KERNELS["vort3d"]
+    plan = _plan(kernel)
+    mesh = pmesh.make_mesh(8)
+    ref, _ = dtt.solve_dtt(kernel, CFG, plan)
+    out, info = pmesh.solve_dtt_sharded_stream(kernel, CFG, mesh, plan)
+    assert int(np.asarray(info.overflow)) == 0
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_dtt_sharded_order_neg_copy_prolongation():
+    """order<0 sharded DTT: pair-merge equivalents + the side-aware copy
+    prolongation (_downward_copy_local) must match single-device."""
+    kernel = KERNELS["grav3d"]
+    cfg = CFG.replace(order=-1)
+    ks, kt = jax.random.split(jax.random.PRNGKey(0))
+    srcs = P.random_in_cube(ks, 1024, 3, 1, True)
+    targs = P.random_in_cube(kt, 1024, 3, 0, False)
+    plan = treecode.prepare(kernel, cfg, srcs, targs)
+    mesh = pmesh.make_mesh(8)
+    ref, _ = dtt.solve_dtt(kernel, cfg, plan)
+    out, info = pmesh.solve_dtt_sharded_stream(kernel, cfg, mesh, plan)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)

@@ -67,8 +67,14 @@ def test_treecode1_accuracy():
     assert rel_rms(out, ref) < 5e-2, rel_rms(out, ref)
 
 
-@pytest.mark.parametrize("name", ["grav3d", "vort3d"])
+@pytest.mark.parametrize("name", ["grav3d", "vort2d", "vort3d",
+                                  "vortgrad3d"])
 def test_dtt_accuracy(name):
+    """DTT accuracy for all four workloads. vort2d DTT mirrors
+    onvort2d.cpp:194; vortgrad3d DTT is a capability the reference ships
+    disabled (onvortgrad3d.cpp:264 has no nbody_fastsumm) — here it is a
+    first-class path (docs/PARITY.md deviation 4) and must validate like
+    the rest."""
     kernel = KERNELS[name]
     srcs, targs = _problem(kernel)
     ref = direct.direct_oracle(kernel, srcs, targs)
@@ -121,7 +127,9 @@ def test_dtt_flat_lists(nsrc, ntgt):
     ref = direct.direct_oracle(kernel, srcs, targs)
     outs = {}
     for mode in ("flat", "rows"):
-        cfg = CFG.replace(dtt_lists=mode)
+        # pin exact f32 MAC geometry: the bit-identical-pairs contract
+        # is between the two list LAYOUTS, not the quantized classifier
+        cfg = CFG.replace(dtt_lists=mode, mac_geometry="f32")
         plan = treecode.prepare(kernel, cfg, srcs, targs)
         out, info = dtt.solve_dtt(kernel, cfg, plan)
         assert int(info.overflow) == 0
@@ -155,3 +163,68 @@ def test_unsorted_targets_roundtrip():
     err = np.abs(np.asarray(out) - np.asarray(ref)).max(axis=1)
     scale = np.abs(np.asarray(ref)).max()
     assert (err < 0.05 * scale).mean() > 0.99
+
+
+def test_mac_geometry_quant_matches_f32():
+    """Quantized MAC geometry (one u16x4 c64 gather) produces the same
+    accuracy envelope as exact f32 geometry, with near-identical pair
+    volume and zero overflow. Pair sets may differ on razor-edge MAC
+    decisions (<0.2% distance jitter), never in validity."""
+    kernel = KERNELS["grav3d"]
+    srcs, targs = _problem(kernel, n=6000)
+    ref = direct.direct_oracle(kernel, srcs, targs)
+    res = {}
+    for mg in ("quant", "f32"):
+        cfg = CFG.replace(dtt_traversal="level", frontier_width=160,
+                          mac_geometry=mg)
+        plan = treecode.prepare(kernel, cfg, srcs, targs)
+        out, info = dtt.solve_dtt(kernel, cfg, plan)
+        assert int(info.overflow) == 0
+        assert rel_rms(out, ref) < 3e-3, (mg, rel_rms(out, ref))
+        res[mg] = int(info.n_valid)
+    # pair volumes within 1% of each other
+    assert abs(res["quant"] - res["f32"]) <= max(20, res["f32"] // 100)
+
+
+def test_lean_plan_matches_full():
+    """lean_plan (direct fm/geo builds, unpadded feature rows, no
+    point-major Blocks) produces the same DTT results as the full plan."""
+    kernel = KERNELS["grav3d"]
+    srcs, targs = _problem(kernel, n=3000)
+    # order 3: lean fm requires (order+1)^pd <= block_size (64 here)
+    cfg = CFG.replace(pair_backend="xla", order=3)
+    plan = treecode.prepare(kernel, cfg, srcs, targs)
+    ref, _ = dtt.solve_dtt(kernel, cfg, plan)
+
+    lean_cfg = cfg.replace(lean_plan=True)
+    lp = treecode.prepare(kernel, lean_cfg, srcs, targs)
+    assert lp.src_blocks is None and lp.tgt_blocks is None
+    assert lp.src_fm.shape[1] == 5      # grav3d true rows, unpadded
+    out, info = dtt.solve_dtt(kernel, lean_cfg, lp)
+    assert int(info.overflow) == 0
+    # atol covers fp32 op-ordering noise: the lean builders evaluate the
+    # same proxy math with different reduction/chunk shapes (~4e-8 max)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_chunked_solve_matches_plain():
+    """Subtree-chunked DTT (the 1e8 memory path: lean fm + sequential
+    target slabs) matches the monolithic solve."""
+    from onbody_tpu.traverse import chunked
+    kernel = KERNELS["grav3d"]
+    srcs, targs = _problem(kernel, n=8192)
+    cfg = SolverConfig(block_size=64, order=3, frontier_width=192,
+                       list_width=512, pair_backend="xla",
+                       cap_groups_dtt=32)
+    plan = treecode.prepare(kernel, cfg, srcs, targs)
+    ref, rinfo = dtt.solve_dtt(kernel, cfg, plan)
+    assert int(rinfo.overflow) == 0
+    out, info = chunked.solve_dtt_chunked(kernel, cfg, srcs, targs,
+                                          n_chunks=4)
+    assert int(np.asarray(info.overflow)) == 0
+    # fp32 accumulation-order differences (per-chunk executor order) sit
+    # around 1e-7 absolute; this compares far below the 1e-4 physics
+    # accuracy envelope
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-6)

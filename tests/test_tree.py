@@ -222,3 +222,64 @@ def test_morton_mode_boxes_and_order():
     rel = (np.linalg.norm(np.asarray(out) - np.asarray(ref)) /
            np.linalg.norm(np.asarray(ref)))
     assert rel < 5e-3, rel
+
+
+def test_span_mode_boxes_and_dtt():
+    """Span build (one sort per 2 levels, 4-way single-axis splits):
+    boxes contain their particles and never overlap siblings, gidx is a
+    permutation, every split is an exact quantile along the sort axis,
+    and the DTT stays inside the accuracy envelope with zero overflow."""
+    from onbody_tpu.config import SolverConfig
+    from onbody_tpu.ops.kernels import KERNELS
+    from onbody_tpu.traverse import direct, dtt, treecode
+
+    p = _srcs(5000)
+    tree, sp, gidx = build.build_tree(p, block_size=64, mode="span",
+                                      span=2)
+    x = np.asarray(sp.x)
+    real = np.asarray(gidx) < p.n_real
+    n_pad = x.shape[0]
+    for node in range(1, 2 * tree.nleaf):
+        l = int(np.log2(node))
+        k = node - (1 << l)
+        m = n_pad >> l
+        seg = x[k * m:(k + 1) * m][real[k * m:(k + 1) * m]]
+        if not len(seg):
+            continue
+        nc = np.asarray(tree.nc[node])
+        ns = np.asarray(tree.ns[node])
+        assert np.all(seg >= nc - ns / 2 - 1e-6)
+        assert np.all(seg <= nc + ns / 2 + 1e-6)
+    assert sorted(np.asarray(gidx).tolist()) == list(range(n_pad))
+
+    # sorted levels (even): the 4-way split must be exact quantiles
+    # along the level's longest REAL axis — children along that axis
+    # are disjoint (non-overlapping boxes, the VAMsplit contract)
+    for l in (0, 2):
+        nseg = 1 << l
+        m = n_pad >> l
+        for k in range(nseg):
+            seg = x[k * m:(k + 1) * m]
+            seg_real = seg[real[k * m:(k + 1) * m]]
+            if not len(seg_real):
+                continue
+            ax = int(np.argmax(seg_real.max(0) - seg_real.min(0)))
+            quarts = [seg[j * m // 4:(j + 1) * m // 4, ax]
+                      for j in range(4)]
+            for a, b in zip(quarts[:-1], quarts[1:]):
+                assert a.max() <= b.min() + 1e-6
+
+    kernel = KERNELS["grav3d"]
+    cfg = SolverConfig(block_size=64, order=4, tree_mode="span",
+                       frontier_width=256,
+                       list_width=1024, cap_groups_dtt=64)
+    ks, kt = jax.random.split(jax.random.PRNGKey(2))
+    srcs = P.random_in_cube(ks, 5000, 3, 1, True)
+    targs = P.random_in_cube(kt, 5000, 3, 0, False)
+    ref = direct.direct_oracle(kernel, srcs, targs)
+    plan = treecode.prepare(kernel, cfg, srcs, targs)
+    out, info = dtt.solve_dtt(kernel, cfg, plan)
+    assert int(info.overflow) == 0
+    rel = (np.linalg.norm(np.asarray(out) - np.asarray(ref)) /
+           np.linalg.norm(np.asarray(ref)))
+    assert rel < 3e-3, rel
