@@ -110,6 +110,13 @@ class SolverConfig:
     # compute d2 via centered Gram matmul (MXU) or elementwise broadcast
     d2_mode: str = "exact"
 
+    # MXU pass count for the source-contraction matmuls (the (B, G*B) x
+    # (G*B, F) reductions in ops/kernels.py tile_fm): 'highest' = full
+    # f32 (6 bf16 passes), 'high' = bf16_3x (~1.5e-5 rel error — below
+    # the fp32 pair-chain floor), 'default' = one bf16 pass. The
+    # distance pipeline is unaffected (always exact f32 on the VPU).
+    mxu_precision: str = "highest"
+
     # MAC classify geometry fetch: 'quant' (one c64 gather of 16-bit
     # grid-quantized cm+nr per candidate — half the gather traffic,
     # <0.2% MAC-distance jitter) or 'f32' (two c64 gathers, exact)

@@ -313,12 +313,22 @@ def _d2_fm(tpos, srcT, pd, mode: str = "outer"):
     return jnp.maximum(t2 - 2.0 * g + s2, 0.0)
 
 
-def _dotg_fm(w, rows, accum_dtype):
-    """(B_t, B_s) x (F, B_s) -> (B_t, F), contracting the source axis."""
+_PRECS = {
+    "highest": lax.Precision.HIGHEST,   # full f32 (6 bf16 MXU passes)
+    "high": lax.Precision.HIGH,         # bf16_3x: ~2^-16 rel error
+    "default": lax.Precision.DEFAULT,   # one bf16 pass
+}
+
+
+def _dotg_fm(w, rows, accum_dtype, precision: str = "highest"):
+    """(B_t, B_s) x (F, B_s) -> (B_t, F), contracting the source axis.
+
+    The F outputs lane-pad to 128 on the MXU, so pass count — not FLOPs
+    — is the cost; see SolverConfig.mxu_precision for the knob."""
     return lax.dot_general(
         w, rows, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=accum_dtype,
-        precision=lax.Precision.HIGHEST)
+        precision=_PRECS[precision])
 
 
 def _rowsum(w, accum_dtype):
@@ -326,42 +336,72 @@ def _rowsum(w, accum_dtype):
 
 
 def _grav3d_tile_fm(tpos, trad, srcT, core="rm",
-                    accum_dtype=jnp.float32, d2_mode="outer"):
+                    accum_dtype=jnp.float32, d2_mode="outer",
+                    precision: str = "highest"):
     tpos, srcT = _pm(accum_dtype, tpos, srcT)
     d2 = _d2_fm(tpos, srcT, 3, d2_mode)
     sr = srcT[3:4, :]
     m = srcT[4:5, :]
     rinv = lax.rsqrt(d2 + sr * sr)
     w = m * rinv * rinv * rinv
-    o = _dotg_fm(w, srcT[0:3, :], accum_dtype)       # (B, 3)
+    txa = tpos.astype(accum_dtype)
+    xs = srcT[0:3, :]
+    if precision != "highest":
+        # center coords on the target tile mean: sum_j w*(x_j - c) and
+        # (x_i - c) have interaction-scale magnitude, so the bf16 pass
+        # truncation stays relative to the local scale rather than the
+        # domain scale (the sum_j w*x_j vs x_i*sum_j w cancellation)
+        c = jnp.mean(txa, axis=0)
+        xs = xs - c[:, None]
+        txa = txa - c[None, :]
+    o = _dotg_fm(w, xs, accum_dtype, precision)      # (B, 3)
     o1 = _rowsum(w, accum_dtype)
-    return o - o1 * tpos.astype(accum_dtype)
+    return o - o1 * txa
 
 
 def _vort2d_tile_fm(tpos, trad, srcT, core="rm",
-                    accum_dtype=jnp.float32, d2_mode="outer"):
+                    accum_dtype=jnp.float32, d2_mode="outer",
+                    precision: str = "highest"):
     tpos, trad, srcT = _pm(accum_dtype, tpos, trad, srcT)
     d2 = _d2_fm(tpos, srcT, 2, d2_mode)
     sr = srcT[2:3, :]
     ss = srcT[3:4, :]
     c = cf.core_2d(core)(d2, sr, trad[:, None])
     w = ss * c
-    o = _dotg_fm(w, srcT[0:2, :], accum_dtype)       # (B, 2): W@sx, W@sy
-    o1 = _rowsum(w, accum_dtype)[:, 0]
     txa = tpos.astype(accum_dtype)
+    xs = srcT[0:2, :]
+    if precision != "highest":
+        cc = jnp.mean(txa, axis=0)      # see _grav3d_tile_fm
+        xs = xs - cc[:, None]
+        txa = txa - cc[None, :]
+    o = _dotg_fm(w, xs, accum_dtype, precision)      # (B, 2): W@sx, W@sy
+    o1 = _rowsum(w, accum_dtype)[:, 0]
     u = o[:, 1] - o1 * txa[:, 1]
     v = o1 * txa[:, 0] - o[:, 0]
     return jnp.stack([u, v], axis=-1)
 
 
 def _vort3d_tile_fm(tpos, trad, srcT, core="rm",
-                    accum_dtype=jnp.float32, d2_mode="outer"):
+                    accum_dtype=jnp.float32, d2_mode="outer",
+                    precision: str = "highest"):
     tpos, srcT = _pm(accum_dtype, tpos, srcT)
     d2 = _d2_fm(tpos, srcT, 3, d2_mode)
     sr = srcT[3:4, :]
     c = cf.core_3d(core)(d2, sr)
-    o = _dotg_fm(c, srcT[4:10, :], accum_dtype)      # (B, 6): C@w, C@e
     txa = tpos.astype(accum_dtype)
+    rows = srcT[4:10, :]
+    if precision != "highest":
+        # centered identity: e' = w x (s - cc) = e - w x cc; then
+        # vel = C@e' - (C@w) x (t - cc) (see _grav3d_tile_fm)
+        cc = jnp.mean(txa, axis=0)
+        w3 = srcT[4:7, :]
+        e_c = srcT[7:10, :] - jnp.stack(
+            [w3[1] * cc[2] - w3[2] * cc[1],
+             w3[2] * cc[0] - w3[0] * cc[2],
+             w3[0] * cc[1] - w3[1] * cc[0]])
+        rows = jnp.concatenate([w3, e_c], axis=0)
+        txa = txa - cc[None, :]
+    o = _dotg_fm(c, rows, accum_dtype, precision)    # (B, 6): C@w, C@e
     return o[:, 3:6] - _cross(o[:, 0:3], txa)
 
 
@@ -392,7 +432,13 @@ def _vortgrad_combine(oR, oB, txa):
 
 
 def _vortgrad3d_tile_fm(tpos, trad, srcT, core="rm",
-                        accum_dtype=jnp.float32, d2_mode="outer"):
+                        accum_dtype=jnp.float32, d2_mode="outer",
+                        precision: str = "highest"):
+    # reduced mxu_precision is NOT applied here: the gradient features
+    # (w(x)s, e(x)s outer products) carry domain-scale magnitudes whose
+    # centered re-expression needs per-tile row recombination; until
+    # that identity is implemented and validated, this kernel always
+    # contracts at full f32.
     tpos, srcT = _pm(accum_dtype, tpos, srcT)
     d2 = _d2_fm(tpos, srcT, 3, d2_mode)
     sr = srcT[3:4, :]

@@ -66,7 +66,8 @@ def _chunk_groups(group: int) -> int:
 
 def _body(pt_ref, ps_ref, tgt_ref, src_hbm, prev_ref, out_ref,
           scratch, sems, *, kernel_name: str, core: str, accum_dtype,
-          pd: int, od: int, d2_mode: str, group: int):
+          pd: int, od: int, d2_mode: str, group: int,
+          precision: str = "highest"):
     p = pl.program_id(0)
     n = pl.num_programs(0)
 
@@ -105,7 +106,8 @@ def _body(pt_ref, ps_ref, tgt_ref, src_hbm, prev_ref, out_ref,
         s = jnp.concatenate([scratch[bank, j] for j in range(group)],
                             axis=1)                      # (C, G*B)
         tile = TILE_FM[kernel_name](t[:, :pd], t[:, pd], s, core,
-                                    accum_dtype, d2_mode)
+                                    accum_dtype, d2_mode,
+                                    precision=precision)
         od8 = out_ref.shape[1]
         tile_fm = jnp.pad(tile.T, ((0, od8 - od), (0, 0)))
         prev_t = pt_ref[jnp.maximum(p - 1, 0)]
@@ -115,7 +117,8 @@ def _body(pt_ref, ps_ref, tgt_ref, src_hbm, prev_ref, out_ref,
 
 def _body_pre(pt_ref, tgt_ref, src_ref, prev_ref, out_ref, *,
               kernel_name: str, core: str, accum_dtype, pd: int, od: int,
-              d2_mode: str, group: int, c: int):
+              d2_mode: str, group: int, c: int,
+              precision: str = "highest"):
     """Pre-gathered variant: the step's GROUP source blocks arrive as ONE
     contiguous (G*C, B) pipeline block — no manual DMAs, no transpose
     (blocks stack along sublanes; the kernel loops sub-blocks and sums
@@ -136,7 +139,8 @@ def _body_pre(pt_ref, tgt_ref, src_ref, prev_ref, out_ref, *,
         for j in range(group):
             tj = TILE_FM[kernel_name](t[:, :pd], t[:, pd],
                                       s[j * c:(j + 1) * c], core,
-                                      accum_dtype, d2_mode)
+                                      accum_dtype, d2_mode,
+                                      precision=precision)
             tile = tj if tile is None else tile + tj
         od8 = out_ref.shape[1]
         tile_fm = jnp.pad(tile.T, ((0, od8 - od), (0, 0)))
@@ -147,11 +151,12 @@ def _body_pre(pt_ref, tgt_ref, src_ref, prev_ref, out_ref, *,
 
 @functools.partial(
     jax.jit, static_argnames=("kernel", "core", "accum_dtype", "interpret",
-                              "d2_mode", "group"),
+                              "d2_mode", "group", "precision"),
     donate_argnums=(4,))
 def _exec_chunk_pre(kernel: Kernel, tgt_geo, src_gathered, pair_t, out,
                     core: str, accum_dtype, interpret: bool,
-                    d2_mode: str = "outer", group: int = GROUP):
+                    d2_mode: str = "outer", group: int = GROUP,
+                    precision: str = "highest"):
     """src_gathered: (P, G*C, B) — this chunk's source blocks, already
     gathered contiguous (stacked along sublanes, no transpose)."""
     nn_t, _, b = tgt_geo.shape
@@ -173,7 +178,7 @@ def _exec_chunk_pre(kernel: Kernel, tgt_geo, src_gathered, pair_t, out,
     body = functools.partial(_body_pre, kernel_name=kernel.name,
                              core=core, accum_dtype=accum_dtype,
                              pd=kernel.pd, od=kernel.od, d2_mode=d2_mode,
-                             group=group, c=c)
+                             group=group, c=c, precision=precision)
     flops_per_step = group * b * b * kernel.flops_fn(core)
     return pl.pallas_call(
         body,
@@ -191,11 +196,12 @@ def _exec_chunk_pre(kernel: Kernel, tgt_geo, src_gathered, pair_t, out,
 
 @functools.partial(
     jax.jit, static_argnames=("kernel", "core", "accum_dtype", "interpret",
-                              "d2_mode", "group"),
+                              "d2_mode", "group", "precision"),
     donate_argnums=(5,))
 def _exec_chunk(kernel: Kernel, tgt_geo, src_fm, pair_t, pair_s, out,
                 core: str, accum_dtype, interpret: bool,
-                d2_mode: str = "outer", group: int = GROUP):
+                d2_mode: str = "outer", group: int = GROUP,
+                precision: str = "highest"):
     nn_t, _, b = tgt_geo.shape
     c = src_fm.shape[1]
     p = pair_t.shape[0]
@@ -219,7 +225,8 @@ def _exec_chunk(kernel: Kernel, tgt_geo, src_fm, pair_t, pair_s, out,
     )
     body = functools.partial(_body, kernel_name=kernel.name, core=core,
                              accum_dtype=accum_dtype, pd=pd, od=kernel.od,
-                             d2_mode=d2_mode, group=group)
+                             d2_mode=d2_mode, group=group,
+                             precision=precision)
     flops_per_step = group * b * b * kernel.flops_fn(core)
     return pl.pallas_call(
         body,
@@ -238,7 +245,8 @@ def _exec_chunk(kernel: Kernel, tgt_geo, src_fm, pair_t, pair_s, out,
 
 def _body_static(tgt_ref, src_ref, out_ref, *, kernel_name: str,
                  core: str, accum_dtype, pd: int, od: int, d2_mode: str,
-                 group: int, c: int, kper: int):
+                 group: int, c: int, kper: int,
+                 precision: str = "highest"):
     """Fully-static pipeline: every index map is the grid index, so
     Mosaic prefetches at full depth (dynamic scalar-prefetched index
     maps measured a ~3.9us/step floor even with compute stubbed out).
@@ -251,7 +259,8 @@ def _body_static(tgt_ref, src_ref, out_ref, *, kernel_name: str,
         for j in range(group):
             tj = TILE_FM[kernel_name](t[:, :pd], t[:, pd],
                                       src_ref[k, j * c:(j + 1) * c],
-                                      core, accum_dtype, d2_mode)
+                                      core, accum_dtype, d2_mode,
+                                      precision=precision)
             tile = tj if tile is None else tile + tj
         od8 = out_ref.shape[1]
         out_ref[k] = jnp.pad(tile.T, ((0, od8 - od), (0, 0)))
@@ -259,11 +268,11 @@ def _body_static(tgt_ref, src_ref, out_ref, *, kernel_name: str,
 
 @functools.partial(
     jax.jit, static_argnames=("kernel", "core", "accum_dtype", "interpret",
-                              "d2_mode", "group", "kper"))
+                              "d2_mode", "group", "kper", "precision"))
 def _exec_chunk_static(kernel: Kernel, tgt_gathered, src_gathered,
                        core: str, accum_dtype, interpret: bool,
                        d2_mode: str = "outer", group: int = GROUP,
-                       kper: int = 8):
+                       kper: int = 8, precision: str = "highest"):
     """tgt_gathered (P, 8, B); src_gathered (P, G*C, B); P % kper == 0.
     Returns per-step output rows (P, od8, B)."""
     p, _, b = tgt_gathered.shape
@@ -274,7 +283,8 @@ def _exec_chunk_static(kernel: Kernel, tgt_gathered, src_gathered,
     body = functools.partial(_body_static, kernel_name=kernel.name,
                              core=core, accum_dtype=accum_dtype,
                              pd=kernel.pd, od=kernel.od, d2_mode=d2_mode,
-                             group=group, c=c, kper=kper)
+                             group=group, c=c, kper=kper,
+                             precision=precision)
     return pl.pallas_call(
         body,
         grid=grid,
@@ -316,7 +326,8 @@ def exec_pairs_pallas(kernel: Kernel, tgt_geo: jax.Array,
                       interpret: bool = False,
                       d2_mode: str = "outer",
                       group: int = GROUP,
-                      fetch: str = "pregather") -> jax.Array:
+                      fetch: str = "pregather",
+                      precision: str = "highest") -> jax.Array:
     """tgt_geo (NN_t, B, PD+1), src_fm (NN_s, C, B), group_t (P,),
     group_s (P, GROUP) — groups ordered by target row. Returns
     out (NN_t, B, OD); rows with no groups are zero.
@@ -349,7 +360,8 @@ def exec_pairs_pallas(kernel: Kernel, tgt_geo: jax.Array,
             tgt_c = tgt_geo[gt_c]
             rows.append(_exec_chunk_static(kernel, tgt_c, src_c, core,
                                            accum_dtype, interpret,
-                                           d2_mode, group, kper))
+                                           d2_mode, group, kper,
+                                           precision))
         rows = jnp.concatenate(rows) if len(rows) > 1 else rows[0]
         out = jnp.zeros((nn_t, od8, b), accum_dtype)
         out = out.at[gt_p].add(rows)
@@ -375,11 +387,11 @@ def exec_pairs_pallas(kernel: Kernel, tgt_geo: jax.Array,
             src_c = _pregather(src_fm, gs_c)
             out = _exec_chunk_pre(kernel, tgt_geo, src_c, gt_c, out,
                                   core, accum_dtype, interpret, d2_mode,
-                                  group)
+                                  group, precision)
         else:
             out = _exec_chunk(kernel, tgt_geo, src_fm, gt_c, gs_c, out,
                               core, accum_dtype, interpret, d2_mode,
-                              group)
+                              group, precision)
     # back to the framework-standard (NN, B, OD) point-major layout
     return jnp.transpose(out[:, :kernel.od, :], (0, 2, 1))
 

@@ -344,12 +344,15 @@ def _exec_groups_slab(kernel: Kernel, cfg, tgt_geo, src_fm, gt, gs,
                                    interpret=interpret, d2_mode=d2m,
                                    group=gs.shape[1],
                                    fetch=getattr(cfg, "pair_fetch",
-                                                 "pregather"))
+                                                 "pregather"),
+                                   precision=getattr(cfg, "mxu_precision",
+                                                     "highest"))
         return out + add
     return pexec._exec_groups_xla_chunked(
         kernel, tgt_geo, src_fm, (gt, gs), out, cfg.core_func,
         cfg.accum_dtype, d2m, gs.shape[1],
-        getattr(cfg, "xla_exec_chunk", 1024))
+        getattr(cfg, "xla_exec_chunk", 1024),
+        getattr(cfg, "mxu_precision", "highest"))
 
 
 def solve_dtt_sharded_stream(kernel: Kernel, cfg: SolverConfig,

@@ -69,11 +69,13 @@ def exec_pairs_jnp(kernel: Kernel, tgt_blocks: Blocks, src_blocks: Blocks,
 
 
 @partial(jax.jit, static_argnames=("kernel", "core", "accum_dtype",
-                                   "d2_mode", "group", "chunk"),
+                                   "d2_mode", "group", "chunk",
+                                   "precision"),
          donate_argnums=(4,))
 def _exec_groups_xla_chunked(kernel: Kernel, tgt_geo, src_fm, pairs, out,
                              core: str, accum_dtype, d2_mode: str,
-                             group: int, chunk: int):
+                             group: int, chunk: int,
+                             precision: str = "highest"):
     """Grouped executor as plain XLA: per chunk, row-gather the group's
     source blocks and target blocks, evaluate all tiles batched, and
     segment-add into the accumulator.
@@ -98,7 +100,8 @@ def _exec_groups_xla_chunked(kernel: Kernel, tgt_geo, src_fm, pairs, out,
         for j in range(group):
             tj = TILE_FM[kernel.name](t[:, :pd], t[:, pd],
                                       sg[j * c:(j + 1) * c], core,
-                                      accum_dtype, d2_mode)
+                                      accum_dtype, d2_mode,
+                                      precision=precision)
             acc = tj if acc is None else acc + tj
         return acc                                    # (B, OD)
 
@@ -128,7 +131,8 @@ def exec_groups_xla(kernel: Kernel, cfg, plan, gt, gs, group: int):
     return _exec_groups_xla_chunked(
         kernel, plan.tgt_geo, plan.src_fm, (gt, gs), out,
         cfg.core_func, cfg.accum_dtype, d2m, group,
-        getattr(cfg, "xla_exec_chunk", 1024))
+        getattr(cfg, "xla_exec_chunk", 1024),
+        getattr(cfg, "mxu_precision", "highest"))
 
 
 def exec_groups(kernel: Kernel, cfg, plan, pg, interpret: bool = False):
@@ -168,7 +172,9 @@ def exec_groups(kernel: Kernel, cfg, plan, pg, interpret: bool = False):
                                    cfg.accum_dtype, interpret=interpret,
                                    d2_mode=d2m, group=g,
                                    fetch=getattr(cfg, "pair_fetch",
-                                                 "pregather"))
+                                                 "pregather"),
+                                   precision=getattr(cfg, "mxu_precision",
+                                                     "highest"))
         return out, pg
     pl = PairList(tgt=jnp.repeat(pg.tgt, g), src=pg.src.reshape(-1),
                   n_valid=pg.n_valid, overflow=pg.overflow)
@@ -223,7 +229,9 @@ def exec_pairs(kernel: Kernel, cfg, plan, raw: PairList, slot_width: int,
                                    cfg.accum_dtype, interpret=interpret,
                                    d2_mode=d2m, group=g,
                                    fetch=getattr(cfg, "pair_fetch",
-                                                 "pregather"))
+                                                 "pregather"),
+                                   precision=getattr(cfg, "mxu_precision",
+                                                     "highest"))
         return out, pg
     cap = max(1024, n_rows * cap_groups_per_row * 8)
     cap = min(cap, raw.tgt.shape[0])

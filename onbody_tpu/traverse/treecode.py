@@ -70,8 +70,11 @@ def prepare(kernel: Kernel, cfg: SolverConfig, srcs: Parts,
         # Pallas executor consumes only src_fm/tgt_geo). pad8=False
         # stores the true feature rows; the pregather fetch pads per
         # chunk (grav3d: 5 rows stored instead of 8).
+        # the dma fetch DMAs whole fm rows and needs sublane-aligned
+        # feature counts; pregather pads per chunk so raw rows are fine
+        pad8 = getattr(cfg, "pair_fetch", "pregather") == "dma"
         src_fm = eq.barycentric_fm(stree, ss, cfg.order, kernel.name,
-                                   pad8=False)
+                                   pad8=pad8)
         tgt_geo = eq.target_geo_fm(ttree, ts, cfg.order)
         sblocks = tblocks = None
     else:

@@ -49,18 +49,17 @@ def main():
     # variant serves every theta — the (theta, order) accuracy/time
     # Pareto (speedtest.pl analogue) rides along for free
     variants = [
-        ("b256 span2+quant o4", dict(**b256, tree_mode="span"),
-         (1.4, 1.2, 1.1, 1.0)),
-        ("b256 span2 o4 W160", {**b256, "tree_mode": "span", "frontier_width": 160}, (1.4, 1.1)),
-        ("b256 span2 o4 W128", {**b256, "tree_mode": "span", "frontier_width": 128}, (1.4, 1.1)),
-        ("b256 span2 o5", dict(**b256, tree_mode="span", order=5),
-         (1.4, 1.2, 1.1, 1.0, 0.9)),
-        ("b256 span3 o4", dict(**b256, tree_mode="span", tree_span=3),
-         (1.4,)),
-        ("b256 span2 o4 d2c", dict(**b256, tree_mode="span",
-                                   d2_mode="center"), (1.4, 1.1)),
-        ("b128 span2 o4", dict(**b128, tree_mode="span"), (1.4, 1.1)),
-        ("b128 span2 g32", {**b128, "tree_mode": "span", "pair_group": 32, "frontier_width": 224}, (1.4,)),
+        # round-2 sweep B: o5 at bs128 (half the leaf-leaf pair volume of
+        # bs256 for 2x the rows); lean plan and fetch schedule at the
+        # current best (b256 o5 t=1.2 = 8.26s, exp_r2c)
+        ("b128 span2 o5", dict(**b128, tree_mode="span", order=5),
+         (1.4, 1.2, 1.1)),
+        ("b128 span2 o5 W192", {**b128, "tree_mode": "span", "order": 5,
+                                "frontier_width": 192}, (1.2,)),
+        ("b256 span2 o5 lean", dict(**b256, tree_mode="span", order=5,
+                                    lean_plan=True), (1.2,)),
+        ("b256 span2 o5 preg", dict(**b256, tree_mode="span", order=5,
+                                    pair_fetch="pregather"), (1.2,)),
     ]
     for name, kw, thetas in variants:
         cfg = SolverConfig(**{**base, **kw})

@@ -1,12 +1,12 @@
 """Per-phase timing breakdown of the headline DTT pipeline on the TPU.
 
-Times each stage separately (tree builds, equivalents, feature-major
+Times each stage separately (tree builds, equivalents/feature-major
 packing, DTT list build, grouping, pair execution, downward pass,
 unscramble) with a device sync after each, so optimization effort goes
 where the time is. Stage-level syncs add overhead the fused bench does
 not have — totals here are an upper bound on bench.py's number.
 
-Usage: python scripts/profile_phases.py [N]
+Usage: python scripts/profile_phases.py [N] [theta]
 """
 
 import os
@@ -42,25 +42,28 @@ def sync(x):
 
 def main():
     n = int(float(sys.argv[1])) if len(sys.argv) > 1 else 1_000_000
+    theta = float(sys.argv[2]) if len(sys.argv) > 2 else None
     kernel = get_kernel("grav3d")
     if n >= 4_000_000:
-        cfg = SolverConfig(block_size=256, order=4, theta_dtt=1.4,
-                           frontier_width=256, list_width=320,
-                           cap_groups_dtt=16, pair_backend="pallas")
+        # bench.py's 1e7 configuration (docs/PERF.md r2)
+        cfg = SolverConfig(block_size=256, order=5, theta_dtt=1.2,
+                           frontier_width=192, cap_groups_dtt=16,
+                           tree_mode="span", pair_backend="pallas",
+                           dtt_traversal="level", pair_fetch="dma",
+                           lean_plan=True)
     else:
         cfg = SolverConfig(block_size=128, order=4, theta_dtt=1.4,
-                           frontier_width=256, list_width=512,
-                           pair_backend="pallas")
-    cfg = cfg.replace(dtt_traversal="level")
+                           frontier_width=208, cap_groups_dtt=12,
+                           tree_mode="span", pair_backend="pallas",
+                           dtt_traversal="level", lean_plan=True)
+    if theta is None:
+        theta = cfg.theta_dtt
     ks, kt = jax.random.split(jax.random.PRNGKey(12345))
     srcs = P.random_in_cube(ks, n, 3, 1, True)
     targs = P.random_in_cube(kt, n, 3, 0, False)
     sync((srcs.x, targs.x))
 
-    from onbody_tpu.ops import pallas_pairs as pp
-
     def stages():
-        out = {}
         t = {}
 
         def run(name, fn):
@@ -70,49 +73,34 @@ def main():
             return r
 
         stree, ss, sg = run("src tree", lambda: tb.build_tree(
-            srcs, cfg.block_size, refine=cfg.order < 0, mode=cfg.tree_mode))
+            srcs, cfg.block_size, refine=cfg.order < 0, mode=cfg.tree_mode,
+            span=cfg.tree_span, span_top=cfg.tree_span_top))
         ttree, ts, tg = run("tgt tree", lambda: tb.build_tree(
-            targs, cfg.block_size, refine=cfg.order < 0, mode=cfg.tree_mode))
-        sblocks = run("src equivs", lambda: eq.barycentric_blocks(
-            stree, ss, cfg.order))
-        tblocks = run("tgt equivs", lambda: eq.target_blocks(
+            targs, cfg.block_size, refine=cfg.order < 0, mode=cfg.tree_mode,
+            span=cfg.tree_span, span_top=cfg.tree_span_top))
+        src_fm = run("src fm", lambda: eq.barycentric_fm(
+            stree, ss, cfg.order, kernel.name, pad8=False))
+        tgt_geo = run("tgt geo", lambda: eq.target_geo_fm(
             ttree, ts, cfg.order))
-        src_fm = run("featurize", lambda: pp.build_fm_blocks(
-            kernel, sblocks.pos, sblocks.rad, sblocks.s))
-        tgt_geo = run("tgt geo", lambda: pp.build_tgt_geo(
-            tblocks.pos, tblocks.rad))
         tgt_inv = run("tgt inv", lambda: jnp.zeros(
             (targs.n_real,), jnp.int32).at[tg].set(
             jnp.arange(tg.shape[0], dtype=jnp.int32), mode="drop"))
         plan = treecode.Plan(stree=stree, ttree=ttree, src_sorted=ss,
-                             tgt_sorted=ts, src_blocks=sblocks,
-                             tgt_blocks=tblocks, src_gidx=sg, tgt_gidx=tg,
+                             tgt_sorted=ts, src_blocks=None,
+                             tgt_blocks=None, src_gidx=sg, tgt_gidx=tg,
                              src_fm=src_fm, tgt_geo=tgt_geo, tgt_inv=tgt_inv)
-        if cfg.dtt_traversal == "level":
-            slot = cfg.frontier_width
-            pl_raw = run("dtt lists", lambda: lists.build_dtt_pairs_level(
-                stree, ttree, cfg.theta_dtt, cfg.frontier_width))
-        else:
-            slot = cfg.list_width
-            pl_raw = run("dtt lists", lambda: lists.build_dtt_pairs(
-                stree, ttree, cfg.theta_dtt, cfg.frontier_width,
-                cfg.list_width))
-        g = cfg.pair_group
-        n_rows = pl_raw.tgt.shape[0] // slot
-        cap = max(1024, n_rows * cfg.cap_groups_dtt * pp.GROUP // g)
-        pg = run("group pairs", lambda: lists.group_pairs(
-            pl_raw, cap, g, slot))
-        outb = run("pair exec", lambda: pp.exec_pairs_pallas(
-            kernel, plan.tgt_geo, plan.src_fm, pg.tgt, pg.src,
-            cfg.core_func, cfg.accum_dtype, group=g))
+        pl = run("dtt lists", lambda: lists.build_dtt_pairs_level(
+            stree, ttree, theta, cfg.frontier_width, cfg.mac_geometry))
+        outb, info = run("pair exec", lambda: pexec.exec_pairs(
+            kernel, cfg, plan, pl, cfg.frontier_width, cfg.cap_groups_dtt))
         outb = run("downward", lambda: dtt._downward(
             outb, ttree.nc, ttree.ns, plan.tgt_geo, cfg.order,
             ttree.levels, ttree.block_size))
         res = run("unscramble", lambda: treecode._leaf_outputs(
             outb, plan, kernel, targs.n_real))
         t["TOTAL"] = sum(t.values())
-        t["n_groups"] = int(np.asarray(pg.n_valid)) / g
-        t["overflow"] = int(np.asarray(pg.overflow))
+        t["n_valid"] = int(np.asarray(info.n_valid))
+        t["overflow"] = int(np.asarray(info.overflow))
         return t, res
 
     stages()  # warmup/compile

@@ -74,6 +74,60 @@ def test_dtt_fp64_accum_tier():
     assert e64 < e32, (e32, e64)
 
 
+@pytest.mark.parametrize("name", ["grav3d", "vort2d", "vort3d"])
+def test_mxu_precision_centered_identity(name):
+    """mxu_precision != 'highest' switches the tile kernels to the
+    tile-centered contraction (an exact algebraic identity; on TPU it
+    additionally drops MXU passes). On an offset domain the centered
+    form must be at least as close to the fp64 oracle as the uncentered
+    one — centering bounds the sum_j w*x_j vs x_i*sum_j w cancellation
+    by the local interaction scale."""
+    from onbody_tpu.ops.kernels import TILE_FM, featurize
+    kernel = KERNELS[name]
+    rng = np.random.default_rng(3)
+    B = 64
+    tpos = rng.uniform(-1, 1, (B, kernel.pd)).astype(np.float32) + 5.0
+    trad = rng.uniform(0.01, 0.02, (B,)).astype(np.float32)
+    spos = rng.uniform(-1, 1, (B, kernel.pd)).astype(np.float32) + 5.0
+    srad = rng.uniform(0.01, 0.02, (B,)).astype(np.float32)
+    ss = rng.uniform(-1, 1, (B, kernel.sd)).astype(np.float32)
+    pw = kernel.pairwise(jnp.asarray(tpos, jnp.float64),
+                         jnp.asarray(trad, jnp.float64),
+                         jnp.asarray(spos, jnp.float64),
+                         jnp.asarray(srad, jnp.float64),
+                         jnp.asarray(ss, jnp.float64), "rm")
+    ref = np.asarray(jnp.sum(pw, axis=1))
+    srcT = featurize(name, jnp.asarray(spos), jnp.asarray(srad),
+                     jnp.asarray(ss))
+    errs = {}
+    for prec in ("highest", "high", "default"):
+        o = TILE_FM[name](jnp.asarray(tpos), jnp.asarray(trad), srcT,
+                          "rm", jnp.float32, "outer", precision=prec)
+        errs[prec] = rel_rms(o, ref)
+    # centered forms must not be worse than the full-precision one
+    # (on CPU the precision hint itself is a no-op, so this isolates
+    # the centering algebra)
+    assert errs["high"] <= errs["highest"] * 1.5, errs
+    assert errs["default"] <= errs["highest"] * 1.5, errs
+    assert errs["high"] < 1e-4, errs
+
+
+def test_mxu_precision_end_to_end():
+    """Full DTT solve with mxu_precision='high' matches the oracle at the
+    same envelope as 'highest' (the knob must not disturb accuracy on
+    CPU, where it only toggles the centered identity)."""
+    kernel = KERNELS["grav3d"]
+    srcs, targs = _problem(kernel, n=4096)
+    ref = direct.direct_oracle(kernel, srcs, targs)
+    for prec in ("highest", "high"):
+        cfg = SolverConfig(block_size=64, order=4,
+                           mxu_precision=prec)
+        plan = treecode.prepare(kernel, cfg, srcs, targs)
+        out, info = dtt.solve_dtt(kernel, cfg, plan)
+        assert int(info.overflow) == 0
+        assert rel_rms(out, ref) < 3e-4, (prec, rel_rms(out, ref))
+
+
 def test_storage_dtype_wired():
     """storage_dtype is honored: prepare() casts inputs, and a full-fp64
     solve (storage+accum) beats the fp32-storage tier."""
