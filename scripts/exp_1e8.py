@@ -1,0 +1,69 @@
+"""N=1e8 single-chip DTT evaluation via the subtree-chunked solver.
+
+The monolithic plan needs ~30 GB at N=1e8; solve_dtt_chunked keeps only
+the lean feature-major source blocks resident and materializes one
+target subtree at a time (traverse/chunked.py). Reference anchor: the
+12-core CPU baseline runs N=1e8 DTT in 114 s (README.md:89).
+
+Usage: python scripts/exp_1e8.py [N] [n_chunks] [theta]
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
+import jax
+import numpy as np
+
+from onbody_tpu import parts as P
+from onbody_tpu.config import SolverConfig
+from onbody_tpu.ops.kernels import get_kernel
+from onbody_tpu.traverse import direct, chunked
+
+
+def _sync(x):
+    return float(np.asarray(jax.tree_util.tree_leaves(x)[0].ravel()[0]))
+
+
+def main():
+    n = int(float(sys.argv[1])) if len(sys.argv) > 1 else 100_000_000
+    n_chunks = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+    theta = float(sys.argv[3]) if len(sys.argv) > 3 else 1.2
+    kernel = get_kernel("grav3d")
+    cfg = SolverConfig(block_size=256, order=5, theta_dtt=theta,
+                       frontier_width=192, cap_groups_dtt=16,
+                       tree_mode="span", pair_backend="pallas",
+                       dtt_traversal="level", pair_fetch="pregather",
+                       pair_group=16, lean_plan=True)
+    ks, kt = jax.random.split(jax.random.PRNGKey(12345))
+    srcs = P.random_in_cube(ks, n, 3, 1, True)
+    targs = P.random_in_cube(kt, n, 3, 0, False)
+    _sync((srcs.x, targs.x))
+
+    # spot-check error on a small stratified target subsample
+    nt_skip = max(1, n // 10000)
+    sub = P.Parts(x=targs.x[::nt_skip], r=targs.r[::nt_skip], s=None,
+                  n_real=int(targs.x[::nt_skip].shape[0]))
+    t0 = time.perf_counter()
+    ref = np.asarray(direct.direct(kernel, srcs, sub))
+    print(f"direct subsample ref: {time.perf_counter() - t0:.1f}s",
+          flush=True)
+
+    for it in range(2):
+        t0 = time.perf_counter()
+        out, info = chunked.solve_dtt_chunked(kernel, cfg, srcs, targs,
+                                              n_chunks=n_chunks)
+        _sync(out)
+        dt = time.perf_counter() - t0
+        rms = (np.linalg.norm(np.asarray(out)[::nt_skip] - ref)
+               / np.linalg.norm(ref))
+        print(f"chunked N={n:.0e} c={n_chunks} t={theta}: t={dt:.2f}s "
+              f"rms={rms:.2e} nvalid={int(info.n_valid)} "
+              f"overflow={int(info.overflow)}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
