@@ -48,18 +48,22 @@ def main():
     # theta is traced through the whole pipeline: one compile per
     # variant serves every theta — the (theta, order) accuracy/time
     # Pareto (speedtest.pl analogue) rides along for free
+    # round-2 sweep C: mxu_precision + frontier width at the best config
+    # (b256 span2 o5 theta=1.2 dma = 8.26s; b128+o5 measured dead —
+    # M=216 proxy slots overflow 128-wide blocks, 13.7-18s)
+    best = dict(**b256, tree_mode="span", order=5)
     variants = [
-        # round-2 sweep B: o5 at bs128 (half the leaf-leaf pair volume of
-        # bs256 for 2x the rows); lean plan and fetch schedule at the
-        # current best (b256 o5 t=1.2 = 8.26s, exp_r2c)
-        ("b128 span2 o5", dict(**b128, tree_mode="span", order=5),
-         (1.4, 1.2, 1.1)),
-        ("b128 span2 o5 W192", {**b128, "tree_mode": "span", "order": 5,
-                                "frontier_width": 192}, (1.2,)),
-        ("b256 span2 o5 lean", dict(**b256, tree_mode="span", order=5,
-                                    lean_plan=True), (1.2,)),
-        ("b256 span2 o5 preg", dict(**b256, tree_mode="span", order=5,
-                                    pair_fetch="pregather"), (1.2,)),
+        ("o5 prec=high", dict(**best, mxu_precision="high"), (1.2,)),
+        ("o5 prec=default", dict(**best, mxu_precision="default"), (1.2,)),
+        ("o5 high W160", {**best, "mxu_precision": "high",
+                          "frontier_width": 160}, (1.2,)),
+        ("o5 high W144", {**best, "mxu_precision": "high",
+                          "frontier_width": 144}, (1.2,)),
+        ("o5 high lean preg", dict(**best, mxu_precision="high",
+                                   lean_plan=True,
+                                   pair_fetch="pregather"), (1.2,)),
+        ("o5 high g32", {**best, "mxu_precision": "high",
+                         "pair_group": 32}, (1.2,)),
     ]
     for name, kw, thetas in variants:
         cfg = SolverConfig(**{**base, **kw})
