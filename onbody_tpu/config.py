@@ -111,9 +111,13 @@ class SolverConfig:
     d2_mode: str = "exact"
 
     # MXU pass count for the source-contraction matmuls (the (B, G*B) x
-    # (G*B, F) reductions in ops/kernels.py tile_fm): 'highest' = full
-    # f32 (6 bf16 passes), 'high' = bf16_3x (~1.5e-5 rel error — below
-    # the fp32 pair-chain floor), 'default' = one bf16 pass. The
+    # (G*B, F) reductions in ops/kernels.py tile_fm; measured ~0.4s per
+    # pass at N=1e7 — 'highest' spends ~2.5s of an 8.3s solve there):
+    # 'highest' = full f32 (6 bf16 passes); '3x' = manual bf16-split of
+    # both operands, 3 passes, ~2^-16 rel (below the fp32 pair-chain
+    # floor); 'w2x' = split only the weight matrix, 2 passes, rows in
+    # one bf16 pass over tile-CENTERED coordinates; 'default' = one
+    # bf16 pass (measured 9e-3 rel-RMS at 1e7 — experiments only). The
     # distance pipeline is unaffected (always exact f32 on the VPU).
     mxu_precision: str = "highest"
 

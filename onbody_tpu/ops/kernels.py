@@ -313,22 +313,51 @@ def _d2_fm(tpos, srcT, pd, mode: str = "outer"):
     return jnp.maximum(t2 - 2.0 * g + s2, 0.0)
 
 
-_PRECS = {
-    "highest": lax.Precision.HIGHEST,   # full f32 (6 bf16 MXU passes)
-    "high": lax.Precision.HIGH,         # bf16_3x: ~2^-16 rel error
-    "default": lax.Precision.DEFAULT,   # one bf16 pass
-}
+def _split_bf16(a):
+    """Split f32 into a hi+lo bf16 pair (hi carries the top 8 mantissa
+    bits, lo the next 8): a ~= hi + lo to ~2^-16 relative."""
+    hi = a.astype(jnp.bfloat16)
+    lo = (a - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
 
 
 def _dotg_fm(w, rows, accum_dtype, precision: str = "highest"):
     """(B_t, B_s) x (F, B_s) -> (B_t, F), contracting the source axis.
 
     The F outputs lane-pad to 128 on the MXU, so pass count — not FLOPs
-    — is the cost; see SolverConfig.mxu_precision for the knob."""
-    return lax.dot_general(
-        w, rows, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=accum_dtype,
-        precision=_PRECS[precision])
+    — is the cost (measured ~0.4s/pass at N=1e7: 'highest' spends ~2.5s
+    of an 8.3s solve in this contraction). Mosaic supports only
+    HIGHEST/DEFAULT dot precisions, so the intermediate tiers are built
+    manually from bf16-split operands:
+
+      'highest' — true f32 (6 bf16 passes).
+      '3x'      — split both operands, drop lo*lo: 3 passes, ~2^-16
+                  relative — below the fp32 per-pair chain floor.
+      'w2x'     — split only the weight matrix, rows in one bf16 pass:
+                  2 passes; rows (tile-CENTERED coordinates, see the
+                  kernel call sites) carry ~2^-8 of the LOCAL tile
+                  scale, averaging down over the source lanes.
+      'default' — one bf16 pass (measured 9e-3 rel-RMS at 1e7: too
+                  coarse for the 1e-4 envelope; kept for experiments).
+    """
+    def dot(a, b, prec):
+        return lax.dot_general(
+            a, b, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=accum_dtype, precision=prec)
+
+    if precision == "highest":
+        return dot(w, rows, lax.Precision.HIGHEST)
+    if precision == "default":
+        return dot(w, rows, lax.Precision.DEFAULT)
+    d = lax.Precision.DEFAULT
+    wh, wl = _split_bf16(w)
+    if precision == "w2x":
+        rb = rows.astype(jnp.bfloat16)
+        return dot(wh, rb, d) + dot(wl, rb, d)
+    if precision == "3x":
+        rh, rl = _split_bf16(rows)
+        return dot(wh, rh, d) + dot(wh, rl, d) + dot(wl, rh, d)
+    raise ValueError(f"unknown mxu_precision {precision!r}")
 
 
 def _rowsum(w, accum_dtype):

@@ -373,6 +373,9 @@ def solve_dtt_sharded_stream(kernel: Kernel, cfg: SolverConfig,
     fully overlappable with compute on real ICI.
     """
     theta = cfg.theta_dtt if theta is None else theta
+    assert eq.n_eq_parts(plan.tgt_geo.shape[-1], cfg.order,
+                         kernel.pd) == 1, \
+        "sharded solve does not support split equivalent rows (M > B)"
     ndev = mesh.devices.size
     levels = plan.ttree.levels
     levels_s = plan.stree.levels
@@ -459,6 +462,9 @@ def solve_dtt_sharded(kernel: Kernel, cfg: SolverConfig, mesh: Mesh,
     sources stop fitting replicated).
     """
     theta = cfg.theta_dtt if theta is None else theta
+    assert eq.n_eq_parts(plan.tgt_blocks.width, cfg.order,
+                         plan.ttree.nc.shape[-1]) == 1, \
+        "sharded solve does not support split equivalent rows (M > B)"
     if cfg.dtt_traversal == "level":
         pl = lists.build_dtt_pairs_level(plan.stree, plan.ttree, theta,
                                          cfg.frontier_width,
@@ -623,6 +629,9 @@ def solve_treecode3_sharded(kernel: Kernel, cfg: SolverConfig, mesh: Mesh,
                             plan: Plan, theta: Optional[float] = None):
     """Boxwise treecode with target subtrees sharded over the mesh."""
     theta = cfg.theta_boxwise if theta is None else theta
+    assert eq.n_eq_parts(plan.tgt_blocks.width, cfg.order,
+                         plan.ttree.nc.shape[-1]) == 1, \
+        "sharded solve does not support split equivalent rows (M > B)"
     pl = lists.build_treecode_pairs(plan.stree, plan.ttree, theta,
                                     "boxwise", cfg.frontier_width,
                                     cfg.list_width)

@@ -48,6 +48,8 @@ def solve_dtt_chunked(kernel: Kernel, cfg: SolverConfig, srcs: Parts,
     Requires order >= 0 (lean fm path) and 2^split < nleaf_t.
     """
     assert cfg.order >= 0, "chunked solve uses the lean barycentric path"
+    assert eq.n_eq_parts(cfg.block_size, cfg.order, kernel.pd) == 1, \
+        "chunked solve does not support split equivalent rows (M > B)"
     theta = cfg.theta_dtt if theta is None else theta
     split = int(np.log2(n_chunks))
     assert 1 << split == n_chunks

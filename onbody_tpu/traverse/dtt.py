@@ -30,30 +30,62 @@ from onbody_tpu.traverse import lists
 from onbody_tpu.traverse.treecode import Plan, _leaf_outputs
 
 
-@partial(jax.jit, static_argnames=("order", "levels", "block_size"))
+@partial(jax.jit, static_argnames=("order", "levels", "block_size",
+                                   "parts"))
 def _downward(out, tree_nc, tree_ns, tgt_geo, order: int, levels: int,
-              block_size: int):
+              block_size: int, parts: int = 1):
     """Prolong accumulated equivalent-target outputs down the tree.
 
-    out: (NN, B, OD). For each level top-down, children's points (proxies
-    or leaf particles) receive the parent's equivalent outputs through
-    barycentric interpolation on the parent grid. Points come from the
-    feature-major tgt_geo (NN, 8, B) — the only target geometry the lean
-    plan materializes; per-level transposes are level-sized.
+    out: (NN + (parts-1)*nleaf, B, OD). For each level top-down,
+    children's points (proxies or leaf particles) receive the parent's
+    equivalent outputs through barycentric interpolation on the parent
+    grid. Points come from the feature-major tgt_geo (rows, 8, B) — the
+    only target geometry the lean plan materializes; per-level
+    transposes are level-sized. With split equivalent rows (parts > 1,
+    equivalents.n_eq_parts) a node's M grid slots are reassembled from
+    its main row plus extension rows (j+1)*nleaf + i before prolonging,
+    and the children's interpolated additions are scattered back across
+    the same split.
     """
     pd = tree_nc.shape[-1]
     ncp = order + 1
     M = ncp ** pd
+    nleaf = 1 << levels
+    B = tgt_geo.shape[-1]
+
+    def part_rows(j, lo_node, hi_node):
+        return slice((j + 1) * nleaf + lo_node, (j + 1) * nleaf + hi_node)
+
     for l in range(1, levels + 1):
         np_l = 1 << (l - 1)                    # parents at level l-1
         par = slice(np_l, 2 * np_l)
         chl = slice(2 * np_l, 4 * np_l)
-        width = block_size if l == levels else M
-        pts = jnp.transpose(tgt_geo[chl, :pd, :width],
-                            (0, 2, 1))         # (2*np_l, width, pd)
+        # parent equivalent outputs: reassemble the M grid slots
+        if parts == 1:
+            parent_u = out[par, :M]
+        else:
+            pieces = [out[par, :min(M, B)]]
+            for j in range(1, parts):
+                m_j = min(M, (j + 1) * B) - j * B
+                pieces.append(out[part_rows(j, np_l, 2 * np_l), :m_j])
+            parent_u = jnp.concatenate(pieces, axis=1)
+        # child points: leaf particles, or the M grid slots across parts
+        if l == levels:
+            width = block_size
+            pts = jnp.transpose(tgt_geo[chl, :pd, :width], (0, 2, 1))
+        elif parts == 1:
+            width = M
+            pts = jnp.transpose(tgt_geo[chl, :pd, :width], (0, 2, 1))
+        else:
+            ppcs = [tgt_geo[chl, :pd, :min(M, B)]]
+            for j in range(1, parts):
+                m_j = min(M, (j + 1) * B) - j * B
+                ppcs.append(tgt_geo[part_rows(j, 2 * np_l, 4 * np_l),
+                                    :pd, :m_j])
+            pts = jnp.transpose(jnp.concatenate(ppcs, axis=2), (0, 2, 1))
         parent_nc = jnp.repeat(tree_nc[par], 2, axis=0)
         parent_ns = jnp.repeat(tree_ns[par], 2, axis=0)
-        parent_u = jnp.repeat(out[par, :M], 2, axis=0)         # (2np,M,OD)
+        parent_u = jnp.repeat(parent_u, 2, axis=0)             # (2np,M,OD)
 
         def level_add(args):
             cpts, cnc, cns, cu = args
@@ -69,7 +101,14 @@ def _downward(out, tree_nc, tree_ns, tgt_geo, order: int, levels: int,
             add = add.reshape((n_ch,) + add.shape[2:])
         else:
             add = level_add((pts, parent_nc, parent_ns, parent_u))
-        out = out.at[chl, :width].add(add)
+        if l == levels or parts == 1:
+            out = out.at[chl, :pts.shape[1]].add(add)
+        else:
+            out = out.at[chl, :min(M, B)].add(add[:, :min(M, B)])
+            for j in range(1, parts):
+                m_j = min(M, (j + 1) * B) - j * B
+                out = out.at[part_rows(j, 2 * np_l, 4 * np_l), :m_j].add(
+                    add[:, j * B:j * B + m_j])
     return out
 
 
@@ -103,8 +142,9 @@ def fastsumm_stats(raw: lists.PairList, nleaf_s: int, nleaf_t: int):
     deterministic reductions over the pair list.
     """
     valid = raw.src != 0
-    s_leaf = raw.src >= nleaf_s
-    t_leaf = raw.tgt >= nleaf_t
+    # extension rows (ids >= 2*nleaf, split proxy rows) are interior
+    s_leaf = (raw.src >= nleaf_s) & (raw.src < 2 * nleaf_s)
+    t_leaf = (raw.tgt >= nleaf_t) & (raw.tgt < 2 * nleaf_t)
     def cnt(m):
         return jnp.sum(valid & m, dtype=jnp.int32)
     return {
@@ -143,7 +183,13 @@ def solve_dtt(kernel: Kernel, cfg: SolverConfig, plan: Plan,
               theta: Optional[float] = None) -> Tuple[jax.Array,
                                                       lists.PairList]:
     theta = cfg.theta_dtt if theta is None else theta
+    # split equivalent rows (order grids wider than the block row,
+    # equivalents.n_eq_parts): both trees share block_size/order, so
+    # source and target splits agree
+    parts = eq.n_eq_parts(plan.tgt_geo.shape[-1], cfg.order, kernel.pd)
     if cfg.dtt_traversal == "level" and cfg.dtt_lists == "flat":
+        assert parts == 1, ("flat DTT lists do not support split "
+                            "equivalent rows; use dtt_lists='rows'")
         pg = lists.build_dtt_groups_flat(plan.stree, plan.ttree, theta,
                                          cfg.flat_row_cap,
                                          cfg.pair_group)
@@ -152,18 +198,21 @@ def solve_dtt(kernel: Kernel, cfg: SolverConfig, plan: Plan,
         if cfg.dtt_traversal == "level":
             pl = lists.build_dtt_pairs_level(plan.stree, plan.ttree,
                                              theta, cfg.frontier_width,
-                                             cfg.mac_geometry)
+                                             cfg.mac_geometry,
+                                             src_parts=parts,
+                                             tgt_parts=parts)
             slot_width = cfg.frontier_width
         else:
             pl = lists.build_dtt_pairs(plan.stree, plan.ttree, theta,
-                                       cfg.frontier_width, cfg.list_width)
+                                       cfg.frontier_width, cfg.list_width,
+                                       src_parts=parts, tgt_parts=parts)
             slot_width = cfg.list_width
         out, info = pexec.exec_pairs(kernel, cfg, plan, pl, slot_width,
                                      cfg.cap_groups_dtt)
     if cfg.order >= 0:
         out = _downward(out, plan.ttree.nc, plan.ttree.ns,
                         plan.tgt_geo, cfg.order, plan.ttree.levels,
-                        plan.ttree.block_size)
+                        plan.ttree.block_size, parts)
     else:
         out = _downward_copy(out, plan.ttree.levels, plan.ttree.block_size)
     return _leaf_outputs(out, plan, kernel, plan.tgt_sorted.n_real), info

@@ -98,6 +98,23 @@ def _append_rows(out, out_cnt, vals):
     return out, jnp.minimum(new_cnt, K), overflow
 
 
+def _ext_src(out, nleaf_s: int, parts: int):
+    """Append extension-row ids for accepted interior sources.
+
+    With split proxy rows (equivalents.n_eq_parts > 1: the grid M
+    exceeds the block width, e.g. order 5 at block 128), part j >= 1 of
+    interior node i lives at block row (j+1)*nleaf + i; an accepted far
+    node therefore emits `parts` source-row entries. Leaf rows (real
+    particles) are untouched. out: (L, W) accepted ids -> (L, parts*W).
+    """
+    if parts == 1:
+        return out
+    interior = (out > 0) & (out < nleaf_s)
+    extras = [jnp.where(interior, out + (j + 1) * nleaf_s, 0)
+              for j in range(1, parts)]
+    return jnp.concatenate([out] + extras, axis=1)
+
+
 def _put_along_axis(out, pos, vals):
     """Row-wise scatter: out[i, pos[i, j]] = vals[i, j] (vals==0 are inert
     because they land in the dump column or write 0 over 0). One flat 1D
@@ -241,10 +258,19 @@ def _treecode_lists(stree: Tree, ttree: Tree, theta, mac: str,
 
 def build_treecode_pairs(stree: Tree, ttree: Tree, theta, mac: str,
                          frontier_width: int = 256,
-                         list_width: int = 1024) -> PairList:
+                         list_width: int = 1024,
+                         src_parts: int = 1) -> PairList:
     """Build the (tgt_leaf_row, src_row) pair list for a treecode sweep."""
     out, cnt, ov = _treecode_lists(stree, ttree, jnp.float32(theta), mac,
                                    stree.levels, frontier_width, list_width)
+    nleaf_s = stree.nleaf
+    n_valid = jnp.sum(cnt, dtype=jnp.int32)
+    if src_parts > 1:
+        # split proxy rows: accepted interior nodes span extra block rows
+        out, ov2 = _compact_rows(_ext_src(out, nleaf_s, src_parts),
+                                 out.shape[1])
+        ov = ov + ov2
+        n_valid = jnp.sum(out != 0, dtype=jnp.int32)
     L, K = out.shape
     nleaf_t = ttree.nleaf
     tgt_rows = jnp.broadcast_to(
@@ -252,16 +278,17 @@ def build_treecode_pairs(stree: Tree, ttree: Tree, theta, mac: str,
         (L, K)).reshape(-1)
     src_rows = out.reshape(-1)
     return PairList(tgt=tgt_rows, src=src_rows,
-                    n_valid=jnp.sum(cnt, dtype=jnp.int32), overflow=ov)
+                    n_valid=n_valid, overflow=ov)
 
 
 # --------------------------------------------------- dual-tree traversal
 
 @partial(jax.jit, static_argnames=("levels_s", "levels_t", "frontier_width",
-                                   "list_width"))
+                                   "list_width", "src_parts", "tgt_parts"))
 def _dtt_lists(stree: Tree, ttree: Tree, theta,
                levels_s: int, levels_t: int,
-               frontier_width: int, list_width: int):
+               frontier_width: int, list_width: int,
+               src_parts: int = 1, tgt_parts: int = 1):
     """Dual-tree traversal (ongrav3d.cpp:307-402) as a level-synchronous
     sweep over target levels with an inner source-refinement loop.
 
@@ -328,8 +355,9 @@ def _dtt_lists(stree: Tree, ttree: Tree, theta,
         def body(state):
             cand, (accept, expand, defer), out, out_cnt, defer_out, \
                 defer_cnt, ov, it = state
-            out, out_cnt, ov1 = _append_rows(out, out_cnt,
-                                             jnp.where(accept, cand, 0))
+            out, out_cnt, ov1 = _append_rows(
+                out, out_cnt,
+                _ext_src(jnp.where(accept, cand, 0), nleaf_s, src_parts))
             defer_out, defer_cnt, ov2 = _append_rows(
                 defer_out, defer_cnt, jnp.where(defer, cand, 0))
             kids = jnp.concatenate(
@@ -346,8 +374,9 @@ def _dtt_lists(stree: Tree, ttree: Tree, theta,
         (cand, (accept, expand, defer), out, out_cnt, defer_out,
          defer_cnt, overflow, _) = state
         # flush the final round (no expands left: accepts + defers remain)
-        out, out_cnt, ov1 = _append_rows(out, out_cnt,
-                                         jnp.where(accept, cand, 0))
+        out, out_cnt, ov1 = _append_rows(
+            out, out_cnt,
+            _ext_src(jnp.where(accept, cand, 0), nleaf_s, src_parts))
         defer_out, defer_cnt, ov2 = _append_rows(
             defer_out, defer_cnt, jnp.where(defer, cand, 0))
         overflow = overflow + ov1 + ov2
@@ -355,6 +384,15 @@ def _dtt_lists(stree: Tree, ttree: Tree, theta,
         all_tgt.append(jnp.broadcast_to(tgt_ids[:, None], (nt, K)).reshape(-1))
         all_src.append(out[:, :K].reshape(-1))
         total_valid = total_valid + jnp.sum(out_cnt, dtype=jnp.int32)
+        if tgt_parts > 1 and not t_is_leaf:
+            nleaf_t = 1 << levels_t
+            for j in range(1, tgt_parts):
+                all_tgt.append(jnp.broadcast_to(
+                    (tgt_ids + (j + 1) * nleaf_t)[:, None],
+                    (nt, K)).reshape(-1))
+                all_src.append(out[:, :K].reshape(-1))
+                total_valid = total_valid + jnp.sum(out_cnt,
+                                                    dtype=jnp.int32)
 
         if l < levels_t:
             # children inherit the deferred list (ongrav3d.cpp:418-422)
@@ -367,9 +405,11 @@ def _dtt_lists(stree: Tree, ttree: Tree, theta,
 
 def build_dtt_pairs(stree: Tree, ttree: Tree, theta,
                     frontier_width: int = 256,
-                    list_width: int = 256) -> PairList:
+                    list_width: int = 256, src_parts: int = 1,
+                    tgt_parts: int = 1) -> PairList:
     tgt, src, nv, ov = _dtt_lists(stree, ttree, theta, stree.levels,
-                                  ttree.levels, frontier_width, list_width)
+                                  ttree.levels, frontier_width, list_width,
+                                  src_parts, tgt_parts)
     return PairList(tgt=tgt, src=src, n_valid=nv, overflow=ov)
 
 
@@ -436,10 +476,12 @@ def top_prefix_len(split: int, levels_t: int, W: int) -> int:
 
 
 @partial(jax.jit, static_argnames=("levels_s", "levels_t", "frontier_width",
-                                   "mac_geometry"))
+                                   "mac_geometry", "src_parts",
+                                   "tgt_parts"))
 def _dtt_lists_level(stree: Tree, ttree: Tree, theta,
                      levels_s: int, levels_t: int, frontier_width: int,
-                     mac_geometry: str = "quant"):
+                     mac_geometry: str = "quant", src_parts: int = 1,
+                     tgt_parts: int = 1):
     """Simultaneous-descent dual-tree traversal: ONE MAC classification
     per target level.
 
@@ -552,7 +594,8 @@ def _dtt_lists_level(stree: Tree, ttree: Tree, theta,
             # deep source tree: refine remaining interior sources in place
             out_ext = jnp.zeros((nt, W + 1), jnp.int32)
             out_cnt = jnp.zeros((nt,), jnp.int32)
-            out_ext, out_cnt, ov0 = _append_rows(out_ext, out_cnt, out)
+            out_ext, out_cnt, ov0 = _append_rows(
+                out_ext, out_cnt, _ext_src(out, nleaf_s, src_parts))
             overflow = overflow + ov0
             for _ in range(levels_s - levels_t):
                 kids = jnp.concatenate(
@@ -562,19 +605,33 @@ def _dtt_lists_level(stree: Tree, ttree: Tree, theta,
                 overflow = overflow + ovc
                 accept, expand, defer = classify(cand)
                 out_ext, out_cnt, ovc = _append_rows(
-                    out_ext, out_cnt, jnp.where(accept, cand, 0))
+                    out_ext, out_cnt,
+                    _ext_src(jnp.where(accept, cand, 0), nleaf_s,
+                             src_parts))
                 overflow = overflow + ovc
             overflow = overflow + jnp.sum(expand, dtype=jnp.int32)
             out = out_ext[:, :W]
             total_valid = total_valid + jnp.sum(out_cnt, dtype=jnp.int32)
         else:
-            out, ovc = _compact_rows(out, Wl)
+            out, ovc = _compact_rows(_ext_src(out, nleaf_s, src_parts), Wl)
             overflow = overflow + ovc + jnp.sum(expand, dtype=jnp.int32)
             total_valid = total_valid + jnp.sum(out != 0, dtype=jnp.int32)
 
         all_tgt.append(jnp.broadcast_to(tgt_ids[:, None],
                                         (nt, out.shape[1])).reshape(-1))
         all_src.append(out.reshape(-1))
+        if tgt_parts > 1 and not t_is_leaf:
+            # split equivalent-target rows: interior target node i's
+            # slots [j*B, (j+1)*B) live at extension row (j+1)*nleaf+i
+            # and must receive the SAME accepted source list
+            nleaf_t = 1 << levels_t
+            for j in range(1, tgt_parts):
+                all_tgt.append(jnp.broadcast_to(
+                    (tgt_ids + (j + 1) * nleaf_t)[:, None],
+                    (nt, out.shape[1])).reshape(-1))
+                all_src.append(out.reshape(-1))
+                total_valid = total_valid + jnp.sum(out != 0,
+                                                    dtype=jnp.int32)
 
         if l < levels_t:
             # children of the deferred list, clamped at source leaves:
@@ -797,11 +854,13 @@ def _dtt_lists_sub(stree: Tree, ttree: Tree, theta, cand0, root,
 
 def build_dtt_pairs_level(stree: Tree, ttree: Tree, theta,
                           frontier_width: int = 128,
-                          mac_geometry: str = "quant") -> PairList:
+                          mac_geometry: str = "quant",
+                          src_parts: int = 1,
+                          tgt_parts: int = 1) -> PairList:
     """Simultaneous-descent DTT pair list; slot width == frontier_width."""
     tgt, src, nv, ov = _dtt_lists_level(stree, ttree, theta, stree.levels,
                                         ttree.levels, frontier_width,
-                                        mac_geometry)
+                                        mac_geometry, src_parts, tgt_parts)
     return PairList(tgt=tgt, src=src, n_valid=nv, overflow=ov)
 
 

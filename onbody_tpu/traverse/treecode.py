@@ -108,7 +108,8 @@ def _leaf_outputs(out_blocks: jax.Array, plan: Plan, kernel: Kernel,
                   n_real: int):
     nleaf = plan.ttree.nleaf
     bs = plan.ttree.block_size
-    leaf = out_blocks[nleaf:, :bs, :].reshape(-1, kernel.od)
+    # [nleaf, 2*nleaf) — rows beyond are split-equivalent extension rows
+    leaf = out_blocks[nleaf:2 * nleaf, :bs, :].reshape(-1, kernel.od)
     # gather through the precomputed inverse permutation (TPU gathers
     # are much faster than scatters; the scatter cost moved to prepare)
     return leaf[plan.tgt_inv]
@@ -118,9 +119,10 @@ def solve_treecode2(kernel: Kernel, cfg: SolverConfig, plan: Plan,
                     theta: Optional[float] = None) -> jax.Array:
     """Equivalent-particle treecode, pointwise-conservative MAC."""
     theta = cfg.theta_pointwise if theta is None else theta
+    parts = eq.n_eq_parts(plan.tgt_geo.shape[-1], cfg.order, kernel.pd)
     pl = lists.build_treecode_pairs(plan.stree, plan.ttree, theta,
                                     "pointwise", cfg.frontier_width,
-                                    cfg.list_width)
+                                    cfg.list_width, src_parts=parts)
     out, info = pexec.exec_pairs(kernel, cfg, plan, pl, cfg.list_width,
                                  cfg.cap_groups_treecode)
     return _leaf_outputs(out, plan, kernel, plan.tgt_sorted.n_real), info
@@ -131,9 +133,10 @@ def solve_treecode3(kernel: Kernel, cfg: SolverConfig, plan: Plan,
     """Boxwise treecode — the production path of the C-ABI layer
     (interface2dvort.cpp:289-293)."""
     theta = cfg.theta_boxwise if theta is None else theta
+    parts = eq.n_eq_parts(plan.tgt_geo.shape[-1], cfg.order, kernel.pd)
     pl = lists.build_treecode_pairs(plan.stree, plan.ttree, theta,
                                     "boxwise", cfg.frontier_width,
-                                    cfg.list_width)
+                                    cfg.list_width, src_parts=parts)
     out, info = pexec.exec_pairs(kernel, cfg, plan, pl, cfg.list_width,
                                  cfg.cap_groups_treecode)
     return _leaf_outputs(out, plan, kernel, plan.tgt_sorted.n_real), info
@@ -185,5 +188,5 @@ def solve_treecode1(kernel: Kernel, cfg: SolverConfig, plan: Plan,
                         n_valid=jnp.sum(leaf_rows != 0, dtype=jnp.int32), overflow=ov)
     out, info = pexec.exec_pairs(kernel, cfg, plan, pl, cfg.list_width,
                                  cfg.cap_groups_treecode)
-    out = out.at[nleaf_t:, :bs].add(far)
+    out = out.at[nleaf_t:2 * nleaf_t, :bs].add(far)
     return _leaf_outputs(out, plan, kernel, plan.tgt_sorted.n_real), info

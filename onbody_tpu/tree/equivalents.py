@@ -196,16 +196,22 @@ def _grid_positions(nc, ns, order: int):
 
 # ------------------------------------------------- barycentric (order>=0)
 
-@partial(jax.jit, static_argnames=("order", "width", "levels", "block_size"))
+@partial(jax.jit, static_argnames=("order", "width", "levels", "block_size",
+                                   "parts"))
 def _bary_impl(tree: Tree, x, r, s, order: int, width: int,
-               levels: int, block_size: int):
+               levels: int, block_size: int, parts: int = 1):
     pd = x.shape[1]
     sd = s.shape[1]
     dtype = x.dtype
     ncp = order + 1
     M = ncp ** pd
     nleaf = 1 << levels
-    nn = 2 * nleaf
+    # split proxy rows (parts > 1): an interior node's M > width proxy
+    # slots span `parts` block rows — the analogue of the reference's
+    # independent eqBlockSize (ongrav3d.cpp:543-550). Part j >= 1 of node
+    # i lives at extension row (j+1)*nleaf + i, appended after the NN
+    # unified rows; pair lists reference parts as separate source rows.
+    nn = 2 * nleaf + (parts - 1) * nleaf
     n_pad = x.shape[0]
 
     pos = jnp.zeros((nn, width, pd), dtype)
@@ -215,9 +221,12 @@ def _bary_impl(tree: Tree, x, r, s, order: int, width: int,
     st = jnp.zeros((nn, width, sd), dtype)
 
     # leaf rows: the particles themselves
-    pos = pos.at[nleaf:, :block_size].set(x.reshape(nleaf, block_size, pd))
-    rad = rad.at[nleaf:, :block_size].set(r.reshape(nleaf, block_size))
-    st = st.at[nleaf:, :block_size].set(s.reshape(nleaf, block_size, sd))
+    pos = pos.at[nleaf:2 * nleaf, :block_size].set(
+        x.reshape(nleaf, block_size, pd))
+    rad = rad.at[nleaf:2 * nleaf, :block_size].set(
+        r.reshape(nleaf, block_size))
+    st = st.at[nleaf:2 * nleaf, :block_size].set(
+        s.reshape(nleaf, block_size, sd))
 
     # interior rows, bottom-up
     child_pos = None  # (n_nodes_below, P, pd) proxy positions of level l+1
@@ -249,17 +258,24 @@ def _bary_impl(tree: Tree, x, r, s, order: int, width: int,
             eq_s = eq_s.reshape((nseg,) + eq_s.shape[2:])
         else:
             eq_s = anterp((src_pos, nc_l, ns_l, src_str))
-        pos = pos.at[sl, :M].set(grid)
-        # park unused slots at node center (ref :335-337)
-        if M < width:
-            pos = pos.at[sl, M:].set(
-                jnp.broadcast_to(nc_l[:, None, :], (nseg, width - M, pd)))
-        st = st.at[sl, :M].set(eq_s)
         # proxy radius: first particle of the node (ref :349-354)
         m_node = n_pad >> l
         r_first = r.reshape(nseg, m_node)[:, 0]
-        rad = rad.at[sl].set(jnp.broadcast_to(r_first[:, None],
-                                              (nseg, width)))
+        id0 = 1 << l
+        for j in range(parts):
+            lo = j * width
+            m_j = min(M, lo + width) - lo
+            rows = (sl if j == 0 else
+                    slice((j + 1) * nleaf + id0, (j + 1) * nleaf + 2 * id0))
+            pos = pos.at[rows, :m_j].set(grid[:, lo:lo + m_j])
+            # park unused slots at node center (ref :335-337)
+            if m_j < width:
+                pos = pos.at[rows, m_j:].set(
+                    jnp.broadcast_to(nc_l[:, None, :],
+                                     (nseg, width - m_j, pd)))
+            st = st.at[rows, :m_j].set(eq_s[:, lo:lo + m_j])
+            rad = rad.at[rows].set(jnp.broadcast_to(r_first[:, None],
+                                                    (nseg, width)))
         child_pos, child_str = grid, eq_s
     return pos, rad, st
 
@@ -275,17 +291,47 @@ def _block_width(block_size: int, M: int) -> int:
     return -(-w // LANE) * LANE
 
 
+def block_width(block_size: int) -> int:
+    """Lane-aligned block row width (independent of proxy count M —
+    oversized grids split across extension rows instead of widening
+    every row, see n_eq_parts)."""
+    return -(-block_size // LANE) * LANE
+
+
+def n_eq_parts(width: int, order: int, pd: int) -> int:
+    """Number of `width`-wide block rows an interior node's proxy grid
+    spans.
+
+    The reference sizes equivalent blocks independently of the leaf
+    blockSize (eqBlockSize = padded (order+1)^PD, ongrav3d.cpp:543-550).
+    Here rows have one fixed width; an M > width Chebyshev grid spans
+    ceil(M/width) rows — slots [j*width, (j+1)*width) of node i live at
+    extension row (j+1)*nleaf + i for j >= 1. This is what makes
+    order 5 (M=216) usable at block 128 without doubling every near
+    tile's width in padding."""
+    if order < 0:
+        return 1
+    return -(-((order + 1) ** pd) // width)
+
+
+def ext_offset(part: int, nleaf: int) -> int:
+    """Row offset of extension part j >= 1: row = (j+1)*nleaf + node_id."""
+    return (part + 1) * nleaf
+
+
 def barycentric_blocks(tree: Tree, sorted_parts: Parts, order: int,
                        width: Optional[int] = None) -> Blocks:
     """Build the unified Blocks with barycentric-Lagrange interior proxies."""
     pd = sorted_parts.pd
     M = (order + 1) ** pd
+    parts = 1
     if width is None:
-        width = _block_width(tree.block_size, M)
-    assert M <= width
+        width = block_width(tree.block_size)
+        parts = n_eq_parts(width, order, pd)
+    assert M <= width * parts
     pos, rad, st = _bary_impl(tree, sorted_parts.x, sorted_parts.r,
                               sorted_parts.s, order, width,
-                              tree.levels, tree.block_size)
+                              tree.levels, tree.block_size, parts)
     return Blocks(pos=pos, rad=rad, s=st)
 
 
@@ -383,18 +429,19 @@ def pairmerge_blocks(tree: Tree, sorted_parts: Parts) -> Blocks:
 # temporaries (SolverConfig.lean_plan).
 
 @partial(jax.jit, static_argnames=("order", "levels", "block_size",
-                                   "kernel_name", "pad8"))
+                                   "kernel_name", "pad8", "parts"))
 def _bary_fm_impl(tree: Tree, x, r, s, order: int, levels: int,
-                  block_size: int, kernel_name: str, pad8: bool):
+                  block_size: int, kernel_name: str, pad8: bool,
+                  parts: int = 1):
     from onbody_tpu.ops.kernels import featurize
     pd = x.shape[1]
     sd = s.shape[1]
     dtype = x.dtype
     ncp = order + 1
     M = ncp ** pd
-    assert M <= block_size, "lean fm path requires (order+1)^pd <= B"
+    assert M <= block_size * parts
     nleaf = 1 << levels
-    nn = 2 * nleaf
+    nn = 2 * nleaf + (parts - 1) * nleaf
     n_pad = x.shape[0]
     width = block_size
 
@@ -406,9 +453,9 @@ def _bary_fm_impl(tree: Tree, x, r, s, order: int, levels: int,
                  jnp.ones((1, width), dtype),
                  jnp.zeros((1, width, sd), dtype)).shape[1]
     fm = jnp.zeros((nn, c_out, width), dtype)
-    fm = fm.at[nleaf:].set(feat(x.reshape(nleaf, width, pd),
-                                r.reshape(nleaf, width),
-                                s.reshape(nleaf, width, sd)))
+    fm = fm.at[nleaf:2 * nleaf].set(feat(x.reshape(nleaf, width, pd),
+                                         r.reshape(nleaf, width),
+                                         s.reshape(nleaf, width, sd)))
 
     child_pos = None
     child_str = None
@@ -440,14 +487,22 @@ def _bary_fm_impl(tree: Tree, x, r, s, order: int, levels: int,
         else:
             eq_s = anterp((src_pos, nc_l, ns_l, src_str))
 
-        pos_w = jnp.concatenate(
-            [grid, jnp.broadcast_to(nc_l[:, None, :],
-                                    (nseg, width - M, pd))], axis=1)
-        st_w = jnp.concatenate(
-            [eq_s, jnp.zeros((nseg, width - M, sd), dtype)], axis=1)
         r_first = r.reshape(nseg, n_pad >> l)[:, 0]
         rad_w = jnp.broadcast_to(r_first[:, None], (nseg, width))
-        fm = fm.at[sl].set(feat(pos_w, rad_w, st_w))
+        id0 = 1 << l
+        for j in range(parts):
+            lo = j * width
+            m_j = min(M, lo + width) - lo
+            rows = (sl if j == 0 else
+                    slice((j + 1) * nleaf + id0, (j + 1) * nleaf + 2 * id0))
+            pos_w = jnp.concatenate(
+                [grid[:, lo:lo + m_j],
+                 jnp.broadcast_to(nc_l[:, None, :],
+                                  (nseg, width - m_j, pd))], axis=1)
+            st_w = jnp.concatenate(
+                [eq_s[:, lo:lo + m_j],
+                 jnp.zeros((nseg, width - m_j, sd), dtype)], axis=1)
+            fm = fm.at[rows].set(feat(pos_w, rad_w, st_w))
         child_pos, child_str = grid, eq_s
     return fm
 
@@ -455,23 +510,25 @@ def _bary_fm_impl(tree: Tree, x, r, s, order: int, levels: int,
 def barycentric_fm(tree: Tree, sorted_parts: Parts, order: int,
                    kernel_name: str, pad8: bool = True) -> jax.Array:
     """Feature-major source blocks with barycentric proxies, built
-    without point-major intermediates. Requires M <= block_size (true
-    for order<=4 at B>=128)."""
+    without point-major intermediates. Oversized grids (M > B, e.g.
+    order 5 at block 128) split across extension rows (n_eq_parts)."""
+    parts = n_eq_parts(tree.block_size, order, sorted_parts.pd)
     return _bary_fm_impl(tree, sorted_parts.x, sorted_parts.r,
                          sorted_parts.s, order, tree.levels,
-                         tree.block_size, kernel_name, pad8)
+                         tree.block_size, kernel_name, pad8, parts)
 
 
-@partial(jax.jit, static_argnames=("order", "levels", "block_size"))
+@partial(jax.jit, static_argnames=("order", "levels", "block_size",
+                                   "parts"))
 def _target_geo_fm_impl(tree: Tree, x, r, order: int, levels: int,
-                        block_size: int):
+                        block_size: int, parts: int = 1):
     pd = x.shape[1]
     dtype = x.dtype
     ncp = order + 1
     M = ncp ** pd
-    assert M <= block_size
+    assert M <= block_size * parts
     nleaf = 1 << levels
-    nn = 2 * nleaf
+    nn = 2 * nleaf + (parts - 1) * nleaf
     n_pad = x.shape[0]
     width = block_size
 
@@ -479,21 +536,28 @@ def _target_geo_fm_impl(tree: Tree, x, r, order: int, levels: int,
     leaf = jnp.concatenate(
         [jnp.transpose(x.reshape(nleaf, width, pd), (0, 2, 1)),
          r.reshape(nleaf, 1, width)], axis=1)
-    geo = geo.at[nleaf:, :pd + 1].set(leaf)
+    geo = geo.at[nleaf:2 * nleaf, :pd + 1].set(leaf)
     for l in range(levels - 1, -1, -1):
         nseg = 1 << l
         sl = tree.level_slice(l)
         nc_l = tree.nc[sl]
         grid = _grid_positions(nc_l, tree.ns[sl], order)
-        pos_w = jnp.concatenate(
-            [grid, jnp.broadcast_to(nc_l[:, None, :],
-                                    (nseg, width - M, pd))], axis=1)
         r_first = r.reshape(nseg, n_pad >> l)[:, 0]
-        row = jnp.concatenate(
-            [jnp.transpose(pos_w, (0, 2, 1)),
-             jnp.broadcast_to(r_first[:, None, None], (nseg, 1, width))],
-            axis=1)
-        geo = geo.at[sl, :pd + 1].set(row)
+        id0 = 1 << l
+        for j in range(parts):
+            lo = j * width
+            m_j = min(M, lo + width) - lo
+            rows = (sl if j == 0 else
+                    slice((j + 1) * nleaf + id0, (j + 1) * nleaf + 2 * id0))
+            pos_w = jnp.concatenate(
+                [grid[:, lo:lo + m_j],
+                 jnp.broadcast_to(nc_l[:, None, :],
+                                  (nseg, width - m_j, pd))], axis=1)
+            row = jnp.concatenate(
+                [jnp.transpose(pos_w, (0, 2, 1)),
+                 jnp.broadcast_to(r_first[:, None, None],
+                                  (nseg, 1, width))], axis=1)
+            geo = geo.at[rows, :pd + 1].set(row)
     return geo
 
 
@@ -501,8 +565,9 @@ def target_geo_fm(tree: Tree, sorted_targs: Parts,
                   order: int) -> jax.Array:
     """(NN, 8, B) target geometry [pos | radius | 0..] built directly —
     the lean-path replacement for target_blocks + build_tgt_geo."""
+    parts = n_eq_parts(tree.block_size, order, sorted_targs.pd)
     return _target_geo_fm_impl(tree, sorted_targs.x, sorted_targs.r,
-                               order, tree.levels, tree.block_size)
+                               order, tree.levels, tree.block_size, parts)
 
 
 @partial(jax.jit, static_argnames=("order", "levels", "split",
@@ -575,43 +640,53 @@ def target_geo_slab(tree: Tree, sorted_targs: Parts, root, order: int,
 
 # ----------------------------------------------------- target-side blocks
 
-@partial(jax.jit, static_argnames=("order", "width", "levels", "block_size"))
+@partial(jax.jit, static_argnames=("order", "width", "levels", "block_size",
+                                   "parts"))
 def _target_grid_impl(tree: Tree, x, r, order: int, width: int,
-                      levels: int, block_size: int):
+                      levels: int, block_size: int, parts: int = 1):
     """Positions-and-radii-only Blocks build for the target side.
 
     Equivalent-target points are just the Chebyshev grids of each node
     (BarycentricLagrange.hpp:325-332) — no anterpolation happens on the
     target side (strengths flow downward, not upward), so skipping the
     weight-build/einsum machinery of _bary_impl makes this pass nearly
-    free.
+    free. parts > 1 splits oversized grids across extension rows
+    (see n_eq_parts).
     """
     pd = x.shape[1]
     dtype = x.dtype
     ncp = order + 1
     M = ncp ** pd
     nleaf = 1 << levels
-    nn = 2 * nleaf
+    nn = 2 * nleaf + (parts - 1) * nleaf
     n_pad = x.shape[0]
 
     pos = jnp.zeros((nn, width, pd), dtype)
     rad = jnp.ones((nn, width), dtype)
-    pos = pos.at[nleaf:, :block_size].set(x.reshape(nleaf, block_size, pd))
-    rad = rad.at[nleaf:, :block_size].set(r.reshape(nleaf, block_size))
+    pos = pos.at[nleaf:2 * nleaf, :block_size].set(
+        x.reshape(nleaf, block_size, pd))
+    rad = rad.at[nleaf:2 * nleaf, :block_size].set(
+        r.reshape(nleaf, block_size))
 
     for l in range(levels - 1, -1, -1):
         nseg = 1 << l
         sl = tree.level_slice(l)
         nc_l = tree.nc[sl]
         grid = _grid_positions(nc_l, tree.ns[sl], order)
-        pos = pos.at[sl, :M].set(grid)
-        if M < width:
-            pos = pos.at[sl, M:].set(
-                jnp.broadcast_to(nc_l[:, None, :],
-                                 (nseg, width - M, pd)))
         r_first = r.reshape(nseg, n_pad >> l)[:, 0]
-        rad = rad.at[sl].set(jnp.broadcast_to(r_first[:, None],
-                                              (nseg, width)))
+        id0 = 1 << l
+        for j in range(parts):
+            lo = j * width
+            m_j = min(M, lo + width) - lo
+            rows = (sl if j == 0 else
+                    slice((j + 1) * nleaf + id0, (j + 1) * nleaf + 2 * id0))
+            pos = pos.at[rows, :m_j].set(grid[:, lo:lo + m_j])
+            if m_j < width:
+                pos = pos.at[rows, m_j:].set(
+                    jnp.broadcast_to(nc_l[:, None, :],
+                                     (nseg, width - m_j, pd)))
+            rad = rad.at[rows].set(jnp.broadcast_to(r_first[:, None],
+                                                    (nseg, width)))
     return pos, rad
 
 
@@ -624,10 +699,13 @@ def target_blocks(tree: Tree, sorted_targs: Parts, order: int,
     bs = tree.block_size
     if order >= 0:
         M = (order + 1) ** pd
+        parts = 1
         if width is None:
-            width = _block_width(bs, M)
+            width = block_width(bs)
+            parts = n_eq_parts(width, order, pd)
+        assert M <= width * parts
         pos, rad = _target_grid_impl(tree, sorted_targs.x, sorted_targs.r,
-                                     order, width, tree.levels, bs)
+                                     order, width, tree.levels, bs, parts)
         return Blocks(pos=pos, rad=rad, s=None)
     # pair-merge targets: positions merged with unit weights
     dummy_s = jnp.ones((sorted_targs.n, 1), sorted_targs.x.dtype)

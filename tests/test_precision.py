@@ -100,32 +100,41 @@ def test_mxu_precision_centered_identity(name):
     srcT = featurize(name, jnp.asarray(spos), jnp.asarray(srad),
                      jnp.asarray(ss))
     errs = {}
-    for prec in ("highest", "high", "default"):
+    for prec in ("highest", "3x", "w2x", "default"):
         o = TILE_FM[name](jnp.asarray(tpos), jnp.asarray(trad), srcT,
                           "rm", jnp.float32, "outer", precision=prec)
         errs[prec] = rel_rms(o, ref)
-    # centered forms must not be worse than the full-precision one
-    # (on CPU the precision hint itself is a no-op, so this isolates
-    # the centering algebra)
-    assert errs["high"] <= errs["highest"] * 1.5, errs
-    assert errs["default"] <= errs["highest"] * 1.5, errs
-    assert errs["high"] < 1e-4, errs
+    # the manual bf16-split tiers are real reduced-precision even on CPU
+    # (operands are explicitly cast; 'default' is NOT — CPU f32 dots
+    # don't truncate, so it is exact here). 3x keeps ~2^-16 on both
+    # operands; w2x leaves rows at one bf16 pass whose 2^-8 truncation
+    # is amplified by the r^-3 weighting of the closest pairs (this
+    # same-box tile is its worst case — measured ~1.5e-2), which is why
+    # production uses '3x'.
+    assert errs["highest"] < 2e-5, errs
+    assert errs["3x"] < 1e-4, errs
+    assert errs["w2x"] < 5e-2, errs
 
 
 def test_mxu_precision_end_to_end():
-    """Full DTT solve with mxu_precision='high' matches the oracle at the
-    same envelope as 'highest' (the knob must not disturb accuracy on
-    CPU, where it only toggles the centered identity)."""
+    """Full DTT solve with the reduced MXU-pass tiers stays inside the
+    envelope: '3x' (~2^-16) is indistinguishable from 'highest' at the
+    theta/order working point; 'w2x' (rows in one bf16 pass over
+    tile-centered coordinates) stays within the 1e-4-class envelope."""
     kernel = KERNELS["grav3d"]
     srcs, targs = _problem(kernel, n=4096)
     ref = direct.direct_oracle(kernel, srcs, targs)
-    for prec in ("highest", "high"):
+    errs = {}
+    for prec in ("highest", "3x", "w2x"):
         cfg = SolverConfig(block_size=64, order=4,
                            mxu_precision=prec)
         plan = treecode.prepare(kernel, cfg, srcs, targs)
         out, info = dtt.solve_dtt(kernel, cfg, plan)
         assert int(info.overflow) == 0
-        assert rel_rms(out, ref) < 3e-4, (prec, rel_rms(out, ref))
+        errs[prec] = rel_rms(out, ref)
+    assert errs["3x"] < errs["highest"] + 3e-5, errs
+    assert errs["3x"] < 3e-4, errs
+    assert errs["w2x"] < 4e-4, errs
 
 
 def test_storage_dtype_wired():

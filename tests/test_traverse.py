@@ -228,3 +228,50 @@ def test_chunked_solve_matches_plain():
     # accuracy envelope
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-4, atol=1e-6)
+
+
+@pytest.mark.parametrize("trav", ["level", "refine"])
+def test_split_equivalent_rows(trav):
+    """Split equivalent rows (equivalents.n_eq_parts > 1): a proxy grid
+    wider than the block row spans extension rows — the analogue of the
+    reference's independent eqBlockSize (ongrav3d.cpp:543-550). Order 5
+    in 3D (M=216) at lane-width 128 splits into 2 parts; the DTT must
+    match the oracle at the order-5 envelope (tighter than order 4) and
+    the higher order must actually pay off."""
+    from onbody_tpu.tree import equivalents as eq
+    kernel = KERNELS["grav3d"]
+    srcs, targs = _problem(kernel, n=6000)
+    ref = direct.direct_oracle(kernel, srcs, targs)
+    cfg = SolverConfig(block_size=128, order=5, theta_dtt=1.3,
+                       frontier_width=256, list_width=1024,
+                       cap_groups_dtt=64, dtt_traversal=trav)
+    assert eq.n_eq_parts(eq.block_width(cfg.block_size), cfg.order,
+                         kernel.pd) == 2
+    plan = treecode.prepare(kernel, cfg, srcs, targs)
+    # extension rows exist: NN + (parts-1)*nleaf block rows
+    nleaf = plan.ttree.nleaf
+    assert plan.tgt_geo.shape[0] == 3 * nleaf
+    out, info = dtt.solve_dtt(kernel, cfg, plan)
+    assert int(info.overflow) == 0
+    e5 = rel_rms(out, ref)
+    assert e5 < 5e-5, e5
+    # order 4 (single row) at the same theta is strictly less accurate
+    cfg4 = cfg.replace(order=4)
+    plan4 = treecode.prepare(kernel, cfg4, srcs, targs)
+    out4, _ = dtt.solve_dtt(kernel, cfg4, plan4)
+    assert e5 < rel_rms(out4, ref), (e5, rel_rms(out4, ref))
+
+
+def test_split_equivalent_rows_treecode3():
+    """Boxwise treecode with split proxy rows (source side only)."""
+    from onbody_tpu.tree import equivalents as eq
+    kernel = KERNELS["vort3d"]
+    srcs, targs = _problem(kernel, n=4096)
+    ref = direct.direct_oracle(kernel, srcs, targs)
+    cfg = SolverConfig(block_size=128, order=5, theta_boxwise=1.0,
+                       frontier_width=256, list_width=1024,
+                       cap_groups_treecode=64)
+    plan = treecode.prepare(kernel, cfg, srcs, targs)
+    out, info = treecode.solve_treecode3(kernel, cfg, plan)
+    assert int(info.overflow) == 0
+    assert rel_rms(out, ref) < 1e-4, rel_rms(out, ref)
