@@ -53,11 +53,15 @@ def main():
     kernel = get_kernel("grav3d")
     if N >= 4_000_000:
         # larger blocks at scale: halves node count and list memory
-        # (HBM is 16GB on this chip); accuracy is equal or better
-        cfg = SolverConfig(block_size=256, order=4, theta_dtt=1.4,
+        # (HBM is 16GB on this chip). Round-2 tuning (docs/PERF.md):
+        # span-top tree build, order 5 + theta 1.2 (same 1e-4 error
+        # class as o4/t1.4 at ~35% fewer pairs), '3x' manual-bf16 MXU
+        # contraction (rms unchanged, -1.3 s at 1e7)
+        cfg = SolverConfig(block_size=256, order=5, theta_dtt=1.2,
                            frontier_width=192, list_width=320,
                            cap_groups_dtt=16, pair_backend="pallas",
-                           pair_group=16, pair_fetch="dma")
+                           pair_group=16, pair_fetch="dma",
+                           tree_mode="span", mxu_precision="3x")
     else:
         cfg = SolverConfig(block_size=128, order=4, theta_dtt=1.4,
                            frontier_width=208, list_width=512,

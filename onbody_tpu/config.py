@@ -48,6 +48,11 @@ class SolverConfig:
     tree_mode: str = "median"
     tree_span: int = 2
     tree_span_top: int = 6
+    # apply the multi-way skip from this level DOWN as well (bitonic
+    # passes touch the whole array at every level, so bottom sorts cost
+    # as much as mid sorts); None disables. Fattens leaf boxes —
+    # near-field volume tradeoff, measure before adopting.
+    tree_span_bot: Optional[int] = None
 
     # storage / accumulation dtypes — the reference's STORE/ACCUM template
     # pair (ongrav3d.cpp:7-8). prepare() casts incoming particles to

@@ -58,11 +58,15 @@ def prepare(kernel: Kernel, cfg: SolverConfig, srcs: Parts,
     stree, ss, sg = tree_build.build_tree(srcs, cfg.block_size,
                                           refine=refine,
                                           mode=cfg.tree_mode,
-                                          span=cfg.tree_span, span_top=cfg.tree_span_top)
+                                          span=cfg.tree_span,
+                                          span_top=cfg.tree_span_top,
+                                          span_bot=cfg.tree_span_bot)
     ttree, ts, tg = tree_build.build_tree(targs, cfg.block_size,
                                           refine=refine,
                                           mode=cfg.tree_mode,
-                                          span=cfg.tree_span, span_top=cfg.tree_span_top)
+                                          span=cfg.tree_span,
+                                          span_top=cfg.tree_span_top,
+                                          span_bot=cfg.tree_span_bot)
     lean = getattr(cfg, "lean_plan", False)
     if lean and cfg.order >= 0:
         # feature-major arrays built directly, no point-major Blocks:

@@ -351,7 +351,9 @@ def _build_morton(cols, n_real, levels: int, block_size: int, sd: int,
 
 def build_tree(p: Parts, block_size: int = 128, refine: bool = False,
                mode: str = "median", span: int = 2,
-               span_top: int = 6) -> Tuple[Tree, Parts, jax.Array]:
+               span_top: int = 6,
+               span_bot: Optional[int] = None) -> Tuple[Tree, Parts,
+                                                        jax.Array]:
     """Build the tree; returns (tree, reordered+padded parts, gidx).
 
     gidx[i] = original index of the particle now in slot i (the
@@ -376,6 +378,12 @@ def build_tree(p: Parts, block_size: int = 128, refine: bool = False,
       where MAC separation begins, median splits have restored cubish
       boxes. Full-depth span measured 55k frontier overflows at N=1e6
       (W208); span_top=8 measured zero with nvalid == median's.
+      `span_bot` (a level index; None disables) additionally applies
+      the multi-way skip from that level DOWN: every bitonic pass
+      touches the whole array regardless of segment size, so bottom
+      levels cost as much as mid levels; below MAC-critical depth the
+      elongated intermediates fatten LEAF boxes (near-field volume) —
+      a measured tradeoff, not a free win like span_top.
     * 'morton' — one global space-filling-curve sort; fastest build,
       fatter overlapping boxes (measured to overflow DTT frontiers at
       theta=1.4 — fine for treecodes, not the production DTT choice).
@@ -425,7 +433,7 @@ def build_tree(p: Parts, block_size: int = 128, refine: bool = False,
             highs.append(hi)
         l += 1
         # levels served by the sort above (already in order): box-only
-        if l <= span_top:
+        if l <= span_top or (span_bot is not None and l >= span_bot):
             for _ in range(q - 1):
                 if l == sort_levels or (n_pad >> l) < 2:
                     break

@@ -50,7 +50,7 @@ def main():
                            frontier_width=192, cap_groups_dtt=16,
                            tree_mode="span", pair_backend="pallas",
                            dtt_traversal="level", pair_fetch="dma",
-                           lean_plan=True)
+                           mxu_precision="3x", lean_plan=True)
     else:
         cfg = SolverConfig(block_size=128, order=4, theta_dtt=1.4,
                            frontier_width=208, cap_groups_dtt=12,

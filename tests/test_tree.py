@@ -283,3 +283,47 @@ def test_span_mode_boxes_and_dtt():
     rel = (np.linalg.norm(np.asarray(out) - np.asarray(ref)) /
            np.linalg.norm(np.asarray(ref)))
     assert rel < 3e-3, rel
+
+
+def test_span_bot_mode_boxes_and_dtt():
+    """span_bot (multi-way splits at the BOTTOM levels too): boxes still
+    contain their particles, gidx is a permutation, and the DTT stays in
+    the accuracy envelope with zero overflow."""
+    from onbody_tpu.config import SolverConfig
+    from onbody_tpu.ops.kernels import KERNELS
+    from onbody_tpu.traverse import direct, dtt, treecode
+
+    p = _srcs(5000)
+    tree, sp, gidx = build.build_tree(p, block_size=64, mode="span",
+                                      span=2, span_top=2, span_bot=4)
+    x = np.asarray(sp.x)
+    real = np.asarray(gidx) < p.n_real
+    n_pad = x.shape[0]
+    for node in range(1, 2 * tree.nleaf):
+        l = int(np.log2(node))
+        k = node - (1 << l)
+        m = n_pad >> l
+        seg = x[k * m:(k + 1) * m][real[k * m:(k + 1) * m]]
+        if not len(seg):
+            continue
+        nc = np.asarray(tree.nc[node])
+        ns = np.asarray(tree.ns[node])
+        assert np.all(seg >= nc - ns / 2 - 1e-6)
+        assert np.all(seg <= nc + ns / 2 + 1e-6)
+    assert sorted(np.asarray(gidx).tolist()) == list(range(n_pad))
+
+    kernel = KERNELS["grav3d"]
+    cfg = SolverConfig(block_size=64, order=4, tree_mode="span",
+                       tree_span_top=2, tree_span_bot=4,
+                       frontier_width=256, list_width=1024,
+                       cap_groups_dtt=64)
+    ks, kt = jax.random.split(jax.random.PRNGKey(2))
+    srcs = P.random_in_cube(ks, 5000, 3, 1, True)
+    targs = P.random_in_cube(kt, 5000, 3, 0, False)
+    ref = direct.direct_oracle(kernel, srcs, targs)
+    plan = treecode.prepare(kernel, cfg, srcs, targs)
+    out, info = dtt.solve_dtt(kernel, cfg, plan)
+    assert int(info.overflow) == 0
+    rel = (np.linalg.norm(np.asarray(out) - np.asarray(ref)) /
+           np.linalg.norm(np.asarray(ref)))
+    assert rel < 3e-3, rel
