@@ -79,7 +79,8 @@ def main():
             targs, cfg.block_size, refine=cfg.order < 0, mode=cfg.tree_mode,
             span=cfg.tree_span, span_top=cfg.tree_span_top))
         src_fm = run("src fm", lambda: eq.barycentric_fm(
-            stree, ss, cfg.order, kernel.name, pad8=False))
+            stree, ss, cfg.order, kernel.name,
+            pad8=getattr(cfg, "pair_fetch", "pregather") == "dma"))
         tgt_geo = run("tgt geo", lambda: eq.target_geo_fm(
             ttree, ts, cfg.order))
         tgt_inv = run("tgt inv", lambda: jnp.zeros(
