@@ -51,7 +51,16 @@ def _sync(x) -> float:
 
 def main():
     kernel = get_kernel("grav3d")
-    if N >= 4_000_000:
+    if N >= 40_000_000:
+        # beyond ~4e7 the monolithic plan exceeds 16 GB HBM: run the
+        # subtree-chunked solve (traverse/chunked.py) — lean resident
+        # source blocks, one target subtree at a time
+        cfg = SolverConfig(block_size=256, order=5, theta_dtt=1.2,
+                           frontier_width=192, cap_groups_dtt=16,
+                           tree_mode="span", pair_backend="pallas",
+                           pair_group=16, pair_fetch="pregather",
+                           mxu_precision="3x", lean_plan=True)
+    elif N >= 4_000_000:
         # larger blocks at scale: halves node count and list memory
         # (HBM is 16GB on this chip). Round-2 tuning (docs/PERF.md):
         # span-top tree build, order 5 + theta 1.2 (same 1e-4 error
@@ -74,6 +83,10 @@ def main():
     _sync(targs.x)
 
     def full_eval():
+        if N >= 40_000_000:
+            from onbody_tpu.traverse import chunked
+            return chunked.solve_dtt_chunked(kernel, cfg, srcs, targs,
+                                             n_chunks=16)
         if N < 4_000_000:
             # one fused program: no dispatch boundaries (peak HBM is
             # higher; the split path bounds it at large N)

@@ -56,6 +56,19 @@ def main():
             ("g64 lean", dict(pair_group=64)),
             ("g32 pregather lean", dict(pair_group=32,
                                         pair_fetch="pregather")),
+            # b128: half the pair-particle volume (near field ~ N*B) at
+            # 2x the groups — viable iff the bigger group sizes amortize
+            # the ~4us/step pipeline floor (875k steps at g16)
+            # frontier width must be a multiple of the group size
+            # (group_pairs reshapes rows into G-wide chunks)
+            ("b128 o4 t1.4 g32 W224", dict(
+                block_size=128, order=4, theta_dtt=1.4,
+                frontier_width=224, cap_groups_dtt=12,
+                pair_group=32, pair_fetch="pregather")),
+            ("b128 o4 t1.4 g64 W256", dict(
+                block_size=128, order=4, theta_dtt=1.4,
+                frontier_width=256, cap_groups_dtt=12,
+                pair_group=64, pair_fetch="pregather")),
         ]
     else:
         base = dict(pair_backend="pallas", pair_group=16)
@@ -75,9 +88,9 @@ def main():
                 block_size=256, order=5, theta_dtt=1.2,
                 frontier_width=192, cap_groups_dtt=16,
                 tree_mode="span", mxu_precision="3x", pair_group=32)),
-            ("b128 +span+3x g32", dict(
+            ("b128 +span+3x g32 W224", dict(
                 block_size=128, order=4, theta_dtt=1.4,
-                frontier_width=208, cap_groups_dtt=12,
+                frontier_width=224, cap_groups_dtt=12,
                 tree_mode="span", mxu_precision="3x", pair_group=32)),
         ]
 

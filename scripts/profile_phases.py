@@ -32,11 +32,14 @@ def sync(x):
     for leaf in jax.tree_util.tree_leaves(x):
         if hasattr(leaf, "block_until_ready"):
             leaf.block_until_ready()
-    # through the axon tunnel block_until_ready may not block: fetch 1 scalar
+    # through the axon tunnel block_until_ready may not block: fetch 1
+    # scalar. Index (not ravel) — ravel of a transposed output compiles
+    # a full layout-change copy (measured 16 GB padded at 1e7)
     leaves = [l for l in jax.tree_util.tree_leaves(x)
               if hasattr(l, "ravel") and l.size]
     if leaves:
-        np.asarray(leaves[0].ravel()[0])
+        a = leaves[0]
+        np.asarray(a[(0,) * a.ndim])
     return x
 
 

@@ -29,20 +29,31 @@ from onbody_tpu.traverse import direct, dtt, treecode
 TARGET_ERRORS = [1e-2, 1e-3, 1e-4, 1e-5]
 
 
+def _sync(x):
+    # through the axon tunnel block_until_ready may not block: fetch one
+    # scalar (by index — ravel would compile a layout-change copy)
+    return float(np.asarray(x[(0,) * x.ndim]))
+
+
 def measure(kernel, cfg, plan, solver, theta, ref, tskip):
     out, pl = solver(kernel, cfg, plan, theta=theta)
-    out = jax.block_until_ready(out)
+    _sync(out)
     t0 = time.perf_counter()
     out, pl = solver(kernel, cfg, plan, theta=theta)
-    out = jax.block_until_ready(out)
+    _sync(out)
     dt = time.perf_counter() - t0
+    ov = int(np.asarray(pl.overflow))
+    if ov:
+        # dropped interactions: the run is invalid; report a pessimistic
+        # error so the bisection moves theta upward
+        return 1.0, dt
     got = np.asarray(out)[::tskip][:ref.shape[0]]
     err = float(np.linalg.norm(got - ref) / np.linalg.norm(ref))
     return err, dt
 
 
 def bisect_theta(kernel, cfg, plan, solver, target, ref, tskip,
-                 lo=0.5, hi=3.0, max_iter=12):
+                 lo=0.8, hi=2.0, max_iter=12):
     """Secant bisection in (theta, log error) space (speedtest.pl:53-96)."""
     e_lo, t_lo = measure(kernel, cfg, plan, solver, lo, ref, tskip)
     e_hi, t_hi = measure(kernel, cfg, plan, solver, hi, ref, tskip)
@@ -83,7 +94,15 @@ def main(argv):
             method = a[9:]
 
     kernel = get_kernel("grav3d")
-    cfg = SolverConfig(block_size=block, order=order)
+    # production round-2 knobs (docs/PERF.md): span tree build, '3x'
+    # manual-bf16 MXU tier, Pallas pair executor, lean plan
+    # frontier sized for the tightest theta the bisection visits
+    # (near-neighbor count ~ 42*theta^3: theta=2.0 -> ~340 rows)
+    cfg = SolverConfig(block_size=block, order=order,
+                       frontier_width=384, cap_groups_dtt=28,
+                       tree_mode="span", mxu_precision="3x",
+                       pair_backend="pallas", pair_group=16,
+                       lean_plan=order >= 0)
     solver = {"dtt": dtt.solve_dtt,
               "treecode2": treecode.solve_treecode2,
               "treecode3": treecode.solve_treecode3}[method]
