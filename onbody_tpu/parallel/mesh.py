@@ -59,6 +59,30 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = "tgt") -> Mesh:
     return Mesh(np.array(devs), (axis,))
 
 
+def make_mesh_2level(n_slices: int, chips_per_slice: int) -> Mesh:
+    """Two-level (DCN x ICI) mesh for multi-slice pods.
+
+    Devices are laid out slice-major, so the owner-major solvers' flat
+    ring permutation (shift-by-1 over the combined ("dcn", "ici") axis)
+    crosses the DCN exactly once per slice per full rotation — every
+    other stage boundary rides ICI. All collectives in this module take
+    the full axis_names tuple, so a 2-level mesh drops in wherever a
+    flat mesh does (SURVEY.md §5.8: DCN-aware two-level decomposition).
+    """
+    devs = jax.devices()
+    n = n_slices * chips_per_slice
+    assert len(devs) >= n, f"need {n} devices, have {len(devs)}"
+    return Mesh(np.array(devs[:n]).reshape(n_slices, chips_per_slice),
+                ("dcn", "ici"))
+
+
+def _mesh_axis(mesh: Mesh):
+    """Collective axis spec: the full axis-name tuple (flattened order)
+    for multi-level meshes, the bare name for flat ones."""
+    names = mesh.axis_names
+    return names if len(names) > 1 else names[0]
+
+
 def node_owner(node_ids: np.ndarray, levels: int, split: int) -> np.ndarray:
     """Device owning each tree node: nodes at level >= split belong to the
     device of their level-`split` ancestor; nodes above the split level
@@ -399,7 +423,7 @@ def solve_dtt_sharded_stream(kernel: Kernel, cfg: SolverConfig,
 
     glob_t, _ = local_rows(levels, ndev)
     glob_s, _ = local_rows(levels_s, ndev)
-    axis = mesh.axis_names[0]
+    axis = _mesh_axis(mesh)
     bs = plan.ttree.block_size
     nleaf = plan.ttree.nleaf
 
@@ -477,7 +501,7 @@ def solve_dtt_sharded(kernel: Kernel, cfg: SolverConfig, mesh: Mesh,
     split = int(np.log2(ndev))
     pt, ps = partition_pairs(pl, levels, ndev)
     glob, _ = local_rows(levels, ndev)
-    axis = mesh.axis_names[0]
+    axis = _mesh_axis(mesh)
     bs = plan.ttree.block_size
     nleaf = plan.ttree.nleaf
 
@@ -584,7 +608,7 @@ def exec_pairs_sharded(kernel: Kernel, cfg: SolverConfig, mesh: Mesh,
     pair_t must already hold LOCAL slab rows (partition_pairs output).
     """
     ndev = mesh.devices.size
-    axis = mesh.axis_names[0]
+    axis = _mesh_axis(mesh)
     glob, local = local_rows(levels, ndev)
 
     tpos_l = _gather_local(tgt_blocks.pos, glob)

@@ -135,3 +135,19 @@ def test_dtt_sharded_order_neg_copy_prolongation():
     out, info = pmesh.solve_dtt_sharded_stream(kernel, cfg, mesh, plan)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_dtt_sharded_stream_2level_mesh():
+    """DCN-aware two-level (2 slices x 4 chips) mesh: the streamed
+    solver's collectives run over the combined ("dcn", "ici") axis in
+    slice-major flat order — results must match the flat-mesh / single-
+    device solve exactly (same pair set, same staging order)."""
+    kernel = KERNELS["grav3d"]
+    plan = _plan(kernel)
+    mesh = pmesh.make_mesh_2level(2, 4)
+    assert mesh.axis_names == ("dcn", "ici")
+    ref, _ = dtt.solve_dtt(kernel, CFG, plan)
+    out, info = pmesh.solve_dtt_sharded_stream(kernel, CFG, mesh, plan)
+    assert int(np.asarray(info.overflow)) == 0
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
