@@ -77,15 +77,36 @@ def main():
                            cap_groups_dtt=12,
                            pair_backend="pallas", pair_group=16)
     ks, kt = jax.random.split(jax.random.PRNGKey(12345))
-    srcs = P.random_in_cube(ks, N, 3, 1, True)
-    targs = P.random_in_cube(kt, N, 3, 0, False)
+
+    def gen():
+        return (P.random_in_cube(ks, N, 3, 1, True),
+                P.random_in_cube(kt, N, 3, 0, False))
+
+    # at 1e8 the ~4.4 GB of original particle arrays must be freed
+    # during the solve (16 GB HBM): the solver owns generation there
+    # (deterministic PRNG — every eval sees identical particles) and
+    # the accuracy reference is taken before the timed loop
+    srcs, targs = gen()
     _sync(srcs.x)
     _sync(targs.x)
+
+    # accuracy spot-check reference vs the tiled f32 direct path on a
+    # subsample (its own ~1e-6 error is far below the ~1e-4 measured;
+    # the fp64 oracle lives in tests where CPU fp64 is native).
+    # Taken BEFORE the timed loop so the 1e8 path can release srcs/targs.
+    tskip = max(1, N * N // int(4e11))
+    import dataclasses
+    sub = dataclasses.replace(targs, x=jnp.copy(targs.x[::tskip]),
+                              r=jnp.copy(targs.r[::tskip]))
+    ref = np.asarray(direct.direct(kernel, srcs, sub))
+    if N >= 40_000_000:
+        srcs = targs = sub = None
 
     def full_eval():
         if N >= 40_000_000:
             from onbody_tpu.traverse import chunked
-            return chunked.solve_dtt_chunked(kernel, cfg, srcs, targs,
+            return chunked.solve_dtt_chunked(kernel, cfg,
+                                             make_problem=gen,
                                              n_chunks=16)
         if N < 4_000_000:
             # one fused program: no dispatch boundaries (peak HBM is
@@ -109,13 +130,6 @@ def main():
     overflow = int(np.asarray(info.overflow))
     assert overflow == 0, f"interaction list overflow ({overflow})"
 
-    # accuracy spot check vs direct on a subsample: the tiled f32 direct
-    # path (its own error ~1e-6 is far below the ~1e-4 being measured;
-    # the fp64 oracle lives in tests where CPU fp64 is native)
-    tskip = max(1, N * N // int(4e11))
-    import dataclasses
-    sub = dataclasses.replace(targs, x=targs.x[::tskip], r=targs.r[::tskip])
-    ref = np.asarray(direct.direct(kernel, srcs, sub))
     got = np.asarray(out)[::tskip][:ref.shape[0]]
     rel = float(np.linalg.norm(got - ref) / np.linalg.norm(ref))
 

@@ -39,14 +39,25 @@ from onbody_tpu.traverse import lists
 from onbody_tpu.parallel.mesh import _downward_local, local_rows
 
 
-def solve_dtt_chunked(kernel: Kernel, cfg: SolverConfig, srcs: Parts,
-                      targs: Parts, n_chunks: int = 8,
-                      theta: Optional[float] = None):
+def solve_dtt_chunked(kernel: Kernel, cfg: SolverConfig,
+                      srcs: Optional[Parts] = None,
+                      targs: Optional[Parts] = None, n_chunks: int = 8,
+                      theta: Optional[float] = None,
+                      make_problem=None):
     """Full DTT evaluation with target subtrees processed sequentially.
 
     Returns (out (n_real, OD), info PairList-like with n_valid/overflow).
     Requires order >= 0 (lean fm path) and 2^split < nleaf_t.
+
+    make_problem: zero-arg callable returning (srcs, targs); when given,
+    the solver owns the ONLY references to the originals and frees them
+    as soon as the trees are built — at N=1e8 the ~4.4 GB of original
+    particle arrays must not survive into the chunk loop (16 GB HBM).
+    Passing srcs/targs directly keeps the caller's references alive.
     """
+    if make_problem is not None:
+        assert srcs is None and targs is None
+        srcs, targs = make_problem()
     assert cfg.order >= 0, "chunked solve uses the lean barycentric path"
     assert eq.n_eq_parts(cfg.block_size, cfg.order, kernel.pd) == 1, \
         "chunked solve does not support split equivalent rows (M > B)"
@@ -59,11 +70,18 @@ def solve_dtt_chunked(kernel: Kernel, cfg: SolverConfig, srcs: Parts,
         span=cfg.tree_span, span_top=cfg.tree_span_top)
     src_fm = eq.barycentric_fm(stree, ss, cfg.order, kernel.name,
                                pad8=False)
-    del ss, sg  # sources live only as feature-major blocks now
+    # free everything source-side but the feature-major blocks: at 1e8
+    # the originals are ~2.4 GB and the 16 GB HBM budget has no room for
+    # them during the target build (callers that keep their own
+    # references forfeit this — pass ownership, see scripts/exp_1e8.py)
+    del ss, sg
+    srcs = None
 
     ttree, ts, tg = tree_build.build_tree(
         targs, cfg.block_size, mode=cfg.tree_mode,
         span=cfg.tree_span, span_top=cfg.tree_span_top)
+    n_tgt_real = targs.n_real
+    targs = None          # as above: only the sorted copy is needed
     levels_t = ttree.levels
     assert levels_t > split, "need more target leaves than chunks"
     bs = ttree.block_size
@@ -127,7 +145,8 @@ def solve_dtt_chunked(kernel: Kernel, cfg: SolverConfig, srcs: Parts,
             out_leaf, leaf.reshape(wleaf * bs, kernel.od),
             c * wleaf * bs, axis=0)
 
-    res = jnp.zeros((targs.n_real, kernel.od), out_leaf.dtype)
+    ts = None             # free the sorted targets before the scatter
+    res = jnp.zeros((n_tgt_real, kernel.od), out_leaf.dtype)
     res = res.at[tg].set(out_leaf, mode="drop")
     info = lists.PairList(tgt=jnp.zeros((0,), jnp.int32),
                           src=jnp.zeros((0,), jnp.int32),

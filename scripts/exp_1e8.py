@@ -16,6 +16,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from onbody_tpu import parts as P
@@ -39,22 +40,31 @@ def main():
                        dtt_traversal="level", pair_fetch="pregather",
                        pair_group=16, lean_plan=True)
     ks, kt = jax.random.split(jax.random.PRNGKey(12345))
-    srcs = P.random_in_cube(ks, n, 3, 1, True)
-    targs = P.random_in_cube(kt, n, 3, 0, False)
-    _sync((srcs.x, targs.x))
+
+    def gen():
+        # regenerated per eval (PRNG is ~free) so nothing outside the
+        # solver holds HBM references: at 1e8 the originals are ~4.4 GB
+        # the 16 GB budget cannot spare (chunked.py nulls them after the
+        # tree builds — only works if the caller passes ownership)
+        return (P.random_in_cube(ks, n, 3, 1, True),
+                P.random_in_cube(kt, n, 3, 0, False))
 
     # spot-check error on a small stratified target subsample
     nt_skip = max(1, n // 10000)
-    sub = P.Parts(x=targs.x[::nt_skip], r=targs.r[::nt_skip], s=None,
+    srcs, targs = gen()
+    sub = P.Parts(x=jnp.copy(targs.x[::nt_skip]),
+                  r=jnp.copy(targs.r[::nt_skip]), s=None,
                   n_real=int(targs.x[::nt_skip].shape[0]))
     t0 = time.perf_counter()
     ref = np.asarray(direct.direct(kernel, srcs, sub))
     print(f"direct subsample ref: {time.perf_counter() - t0:.1f}s",
           flush=True)
+    srcs = targs = None
 
     for it in range(2):
         t0 = time.perf_counter()
-        out, info = chunked.solve_dtt_chunked(kernel, cfg, srcs, targs,
+        out, info = chunked.solve_dtt_chunked(kernel, cfg,
+                                              make_problem=gen,
                                               n_chunks=n_chunks)
         _sync(out)
         dt = time.perf_counter() - t0

@@ -223,6 +223,12 @@ def test_chunked_solve_matches_plain():
     out, info = chunked.solve_dtt_chunked(kernel, cfg, srcs, targs,
                                           n_chunks=4)
     assert int(np.asarray(info.overflow)) == 0
+    # ownership path (the 1e8 HBM diet): the solver generates and frees
+    # the originals itself — must give the identical answer
+    out2, info2 = chunked.solve_dtt_chunked(
+        kernel, cfg, make_problem=lambda: _problem(kernel, n=8192),
+        n_chunks=4)
+    np.testing.assert_array_equal(np.asarray(out2), np.asarray(out))
     # fp32 accumulation-order differences (per-chunk executor order) sit
     # around 1e-7 absolute; this compares far below the 1e-4 physics
     # accuracy envelope
