@@ -33,6 +33,7 @@ def _sync(x):
 
 def main():
     n = int(float(sys.argv[1])) if len(sys.argv) > 1 else 10_000_000
+    split_min = int(float(os.environ.get("ONBODY_EXP_SPLIT_MIN", 4e6)))
     kernel = get_kernel("grav3d")
     ks, kt = jax.random.split(jax.random.PRNGKey(12345))
     srcs = P.random_in_cube(ks, n, 3, 1, True)
@@ -44,7 +45,7 @@ def main():
                   n_real=int(targs.x[::nt_skip].shape[0]))
     ref = np.asarray(direct.direct(kernel, srcs, sub))
 
-    if n >= 4_000_000:
+    if n >= split_min:
         base = dict(block_size=256, order=5, theta_dtt=1.2,
                     frontier_width=192, cap_groups_dtt=16,
                     tree_mode="span", pair_backend="pallas",
@@ -98,7 +99,7 @@ def main():
         cfg = SolverConfig(**{**base, **kw})
         try:
             def full():
-                if n < 4_000_000:
+                if n < split_min:
                     return dtt.solve_dtt_fused(kernel, cfg, srcs, targs)
                 plan = treecode.prepare(kernel, cfg, srcs, targs)
                 return dtt.solve_dtt(kernel, cfg, plan)
