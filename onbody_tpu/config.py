@@ -54,6 +54,12 @@ class SolverConfig:
     # near-field volume tradeoff, measure before adopting.
     tree_span_bot: Optional[int] = None
 
+    # build the source and target trees from ONE sequence of stacked
+    # variadic sorts (build_trees_paired — bit-identical trees, half the
+    # sort dispatches). Requires equal padded sizes; prepare() falls
+    # back to two build_tree calls when shapes differ or mode='morton'.
+    tree_paired: bool = False
+
     # storage / accumulation dtypes — the reference's STORE/ACCUM template
     # pair (ongrav3d.cpp:7-8). prepare() casts incoming particles to
     # storage_dtype; accum_dtype=float64 promotes the whole per-pair chain

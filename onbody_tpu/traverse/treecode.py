@@ -55,18 +55,29 @@ def prepare(kernel: Kernel, cfg: SolverConfig, srcs: Parts,
     srcs = P.astype(srcs, cfg.storage_dtype)
     targs = P.astype(targs, cfg.storage_dtype)
     refine = cfg.order < 0
-    stree, ss, sg = tree_build.build_tree(srcs, cfg.block_size,
-                                          refine=refine,
-                                          mode=cfg.tree_mode,
-                                          span=cfg.tree_span,
-                                          span_top=cfg.tree_span_top,
-                                          span_bot=cfg.tree_span_bot)
-    ttree, ts, tg = tree_build.build_tree(targs, cfg.block_size,
-                                          refine=refine,
-                                          mode=cfg.tree_mode,
-                                          span=cfg.tree_span,
-                                          span_top=cfg.tree_span_top,
-                                          span_bot=cfg.tree_span_bot)
+    paired = (getattr(cfg, "tree_paired", False)
+              and cfg.tree_mode in ("median", "span")
+              and srcs.n_real == targs.n_real
+              and tree_build.plan(srcs.n_real, cfg.block_size)
+              == tree_build.plan(targs.n_real, cfg.block_size))
+    if paired:
+        (stree, ss, sg), (ttree, ts, tg) = tree_build.build_trees_paired(
+            srcs, targs, cfg.block_size, refine=refine,
+            mode=cfg.tree_mode, span=cfg.tree_span,
+            span_top=cfg.tree_span_top, span_bot=cfg.tree_span_bot)
+    else:
+        stree, ss, sg = tree_build.build_tree(srcs, cfg.block_size,
+                                              refine=refine,
+                                              mode=cfg.tree_mode,
+                                              span=cfg.tree_span,
+                                              span_top=cfg.tree_span_top,
+                                              span_bot=cfg.tree_span_bot)
+        ttree, ts, tg = tree_build.build_tree(targs, cfg.block_size,
+                                              refine=refine,
+                                              mode=cfg.tree_mode,
+                                              span=cfg.tree_span,
+                                              span_top=cfg.tree_span_top,
+                                              span_bot=cfg.tree_span_bot)
     lean = getattr(cfg, "lean_plan", False)
     if lean and cfg.order >= 0:
         # feature-major arrays built directly, no point-major Blocks:

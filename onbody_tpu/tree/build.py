@@ -448,3 +448,93 @@ def build_tree(p: Parts, block_size: int = 128, refine: bool = False,
         are_targets)
     sorted_parts = Parts(x=x, r=r, s=s, n_real=p.n_real)
     return tree, sorted_parts, gidx
+
+
+def build_trees_paired(ps: Parts, pt: Parts, block_size: int = 128,
+                       refine: bool = False, mode: str = "median",
+                       span: int = 2, span_top: int = 6,
+                       span_bot: Optional[int] = None):
+    """Build the source AND target trees from ONE sequence of stacked
+    sorts (bit-identical to two build_tree calls; tests/test_tree.py).
+
+    The solve builds two same-shape trees back-to-back and every
+    per-level variadic sort is a separate dispatch: stacking both
+    particle sets as extra segments of one (2*nseg, m) sort moves the
+    same data volume through half the dispatches, halving the fixed
+    per-pass cost (pass setup at full array width — docs/PERF.md round-2
+    tree attribution). Targets carry zero-filled strength columns so the
+    variadic operand list matches the source's; only the finish pass
+    (boxes + upward stats, are_targets-dependent weights) runs per tree.
+
+    Requires plan(ns)==plan(nt) (equal padded sizes) and mode in
+    {'median', 'span'}; callers fall back to two build_tree calls
+    otherwise. Returns ((stree, src_sorted, sgidx),
+    (ttree, tgt_sorted, tgidx))."""
+    assert mode in ("median", "span"), mode
+    levels, n_pad = plan(ps.n_real, block_size)
+    levels_t, n_pad_t = plan(pt.n_real, block_size)
+    assert (levels, n_pad) == (levels_t, n_pad_t), "paired needs equal N"
+    pps, ppt = pad_to(ps, n_pad), pad_to(pt, n_pad)
+    pd = pps.x.shape[1]
+    sd = 0 if pps.s is None else pps.s.shape[1]
+    gidx = jnp.arange(n_pad, dtype=jnp.int32)
+
+    def stk(a, b):
+        return jnp.concatenate([a, b])
+
+    cols = tuple(stk(pps.x[:, d], ppt.x[:, d]) for d in range(pd))
+    cols += (stk(pps.r, ppt.r),)
+    if sd:
+        zs = jnp.zeros((n_pad,), pps.s.dtype)
+        cols += tuple(stk(pps.s[:, d], zs) for d in range(sd))
+    cols += (stk(gidx, gidx),)
+    n_real = jnp.int32(ps.n_real)
+    assert pt.n_real == ps.n_real
+
+    # tree level l of each half == stacked level l+1 (the level-0 split
+    # of the stacked array is the src/tgt boundary, already in place)
+    q = span if mode == "span" else 1
+    sort_levels = levels if not refine else int(np.log2(n_pad))
+    lows, highs = [], []
+    l = 0
+    while True:
+        capture = l <= levels
+        if l == sort_levels or (n_pad >> l) < 2:
+            if capture:
+                lo, hi = _box_step(cols, n_real, l + 1, pd)
+                lows.append(lo)
+                highs.append(hi)
+            break
+        cols, lo, hi = _split_step(cols, n_real, l + 1, pd, capture)
+        if capture:
+            lows.append(lo)
+            highs.append(hi)
+        l += 1
+        if l <= span_top or (span_bot is not None and l >= span_bot):
+            for _ in range(q - 1):
+                if l == sort_levels or (n_pad >> l) < 2:
+                    break
+                if l <= levels:
+                    lo, hi = _box_step(cols, n_real, l + 1, pd)
+                    lows.append(lo)
+                    highs.append(hi)
+                l += 1
+
+    def half(i, keep_s):
+        hcols = tuple(c[i * n_pad:(i + 1) * n_pad] for c in cols)
+        if not keep_s and sd:
+            hcols = hcols[:pd + 1] + (hcols[-1],)
+        hlows = tuple(lo.reshape(2, -1, pd)[i] for lo in lows)
+        hhighs = tuple(hi.reshape(2, -1, pd)[i] for hi in highs)
+        return hcols, hlows, hhighs
+
+    scols, slo, shi = half(0, keep_s=True)
+    stree, xs, rs, ss, gs = _finish_median(scols, n_real, slo, shi,
+                                           levels, block_size, sd,
+                                           not ps.are_sources)
+    tcols, tlo, thi = half(1, keep_s=False)
+    ttree, xt, rt, st, gt = _finish_median(tcols, n_real, tlo, thi,
+                                           levels, block_size, 0, True)
+    src = Parts(x=xs, r=rs, s=ss, n_real=ps.n_real)
+    tgt = Parts(x=xt, r=rt, s=st, n_real=pt.n_real)
+    return (stree, src, gs), (ttree, tgt, gt)

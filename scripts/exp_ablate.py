@@ -60,7 +60,9 @@ def staged(kernel, cfg, sx, sr, ss, tx, tr, n: int, stage: int):
     if stage == 3:
         return pg.src, pg.n_valid
     outb = pp.exec_pairs_pallas(kernel, tgt_geo, src_fm, pg.tgt, pg.src,
-                                cfg.core_func, cfg.accum_dtype, group=g)
+                                cfg.core_func, cfg.accum_dtype, group=g,
+                                fetch=cfg.pair_fetch,
+                                precision=cfg.mxu_precision)
     if stage == 4:
         return outb
     outb = dtt._downward(outb, ttree.nc, ttree.ns, tgt_geo, cfg.order,
@@ -75,10 +77,11 @@ def main():
     n = int(float(sys.argv[1])) if len(sys.argv) > 1 else 1_000_000
     kernel = get_kernel("grav3d")
     if n >= 4_000_000:
-        cfg = SolverConfig(block_size=256, order=4, theta_dtt=1.4,
+        cfg = SolverConfig(block_size=256, order=5, theta_dtt=1.2,
                            frontier_width=192, list_width=320,
                            cap_groups_dtt=16, pair_backend="pallas",
-                           pair_group=16, pair_fetch="dma")
+                           pair_group=16, pair_fetch="dma",
+                           tree_mode="span", mxu_precision="3x")
     else:
         cfg = SolverConfig(block_size=128, order=4, theta_dtt=1.4,
                            frontier_width=256, list_width=512,

@@ -1,0 +1,35 @@
+#!/bin/bash
+# Serial TPU experiment queue for the single axon chip. Waits for the
+# tunnel to answer a trivial op, then runs every pending round-2
+# experiment back-to-back (one chip — never run two at once).
+cd /root/repo
+
+probe() {
+  timeout 90 python - <<'EOF' >/dev/null 2>&1
+import jax, numpy as np, jax.numpy as jnp
+a = jnp.arange(8.0)
+assert float(np.asarray((a * a)[3])) == 9.0
+EOF
+}
+
+echo "[queue] waiting for TPU tunnel..." >&2
+until probe; do
+  echo "[queue] tunnel down $(date +%H:%M:%S), retrying in 120s" >&2
+  sleep 120
+done
+echo "[queue] tunnel up $(date +%H:%M:%S)" >&2
+
+run() {
+  name=$1; shift
+  echo "[queue] START $name $(date +%H:%M:%S)" >&2
+  timeout 4000 "$@" > "/tmp/q_$name.log" 2>&1
+  echo "[queue] DONE $name exit=$? $(date +%H:%M:%S)" >&2
+}
+
+run r2h python scripts/exp_r2h.py            # tree per-level attribution
+run r2i python scripts/exp_r2i.py            # paired src+tgt build timing
+run r2g7 python scripts/exp_r2g.py 1e7       # group size + b128 at 1e7
+run r2g6 python scripts/exp_r2g.py 1e6       # 1e6 retune (VERDICT 10)
+run ablate7 python scripts/exp_ablate.py 1e7 # stage attribution at 7.0s cfg
+run e8 python scripts/exp_1e8.py             # 1e8 measured number (VERDICT 5)
+echo "[queue] ALL DONE $(date +%H:%M:%S)" >&2

@@ -1,5 +1,7 @@
 """Tree construction invariants and equivalent-particle conservation."""
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -327,3 +329,58 @@ def test_span_bot_mode_boxes_and_dtt():
     rel = (np.linalg.norm(np.asarray(out) - np.asarray(ref)) /
            np.linalg.norm(np.asarray(ref)))
     assert rel < 3e-3, rel
+
+
+@pytest.mark.parametrize("mode,refine", [("median", False),
+                                         ("median", True),
+                                         ("span", False)])
+def test_paired_build_bit_identical(mode, refine):
+    """build_trees_paired (source + target trees from one sequence of
+    stacked sorts) must be BIT-identical to two build_tree calls: the
+    stacked (2*nseg, m) segmented sorts are segment-independent, so
+    every compare-exchange is the same as in the separate builds."""
+    ks, kt = jax.random.split(jax.random.PRNGKey(7))
+    srcs = P.random_in_cube(ks, 3000, 3, 1, True)
+    targs = P.random_in_cube(kt, 3000, 3, 0, False)
+
+    st_ref = build.build_tree(srcs, 64, refine=refine, mode=mode)
+    tt_ref = build.build_tree(targs, 64, refine=refine, mode=mode)
+    (st, sp, sg), (tt, tp, tg) = build.build_trees_paired(
+        srcs, targs, 64, refine=refine, mode=mode)
+
+    for (tree, parts, gidx), (tree_r, parts_r, gidx_r) in [
+            ((st, sp, sg), st_ref), ((tt, tp, tg), tt_ref)]:
+        for f in ("nc", "ns", "nr", "x", "s", "pr", "alive"):
+            a, b = getattr(tree, f), getattr(tree_r, f)
+            assert np.array_equal(np.asarray(a), np.asarray(b)), f
+        assert np.array_equal(np.asarray(gidx), np.asarray(gidx_r))
+        assert np.array_equal(np.asarray(parts.x), np.asarray(parts_r.x))
+        assert np.array_equal(np.asarray(parts.r), np.asarray(parts_r.r))
+        if parts_r.s is not None:
+            assert np.array_equal(np.asarray(parts.s),
+                                  np.asarray(parts_r.s))
+        else:
+            assert parts.s is None
+
+
+def test_paired_build_via_config():
+    """tree_paired=True routes prepare() through the stacked build and
+    the DTT result is unchanged."""
+    from onbody_tpu.config import SolverConfig
+    from onbody_tpu.ops.kernels import KERNELS
+    from onbody_tpu.traverse import dtt, treecode
+
+    kernel = KERNELS["grav3d"]
+    ks, kt = jax.random.split(jax.random.PRNGKey(3))
+    srcs = P.random_in_cube(ks, 4000, 3, 1, True)
+    targs = P.random_in_cube(kt, 4000, 3, 0, False)
+    cfg = SolverConfig(block_size=64, order=4, tree_mode="span",
+                       frontier_width=256, list_width=1024,
+                       cap_groups_dtt=64)
+    out_ref, _ = dtt.solve_dtt(kernel, cfg, treecode.prepare(
+        kernel, cfg, srcs, targs))
+    cfgp = dataclasses.replace(cfg, tree_paired=True)
+    out, info = dtt.solve_dtt(kernel, cfgp, treecode.prepare(
+        kernel, cfgp, srcs, targs))
+    assert int(info.overflow) == 0
+    assert np.array_equal(np.asarray(out), np.asarray(out_ref))
