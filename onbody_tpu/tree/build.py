@@ -352,8 +352,9 @@ def _build_morton(cols, n_real, levels: int, block_size: int, sd: int,
 def build_tree(p: Parts, block_size: int = 128, refine: bool = False,
                mode: str = "median", span: int = 2,
                span_top: int = 6,
-               span_bot: Optional[int] = None) -> Tuple[Tree, Parts,
-                                                        jax.Array]:
+               span_bot: Optional[int] = None,
+               defer_rs: bool = False) -> Tuple[Tree, Parts,
+                                                jax.Array]:
     """Build the tree; returns (tree, reordered+padded parts, gidx).
 
     gidx[i] = original index of the particle now in slot i (the
@@ -398,10 +399,16 @@ def build_tree(p: Parts, block_size: int = 128, refine: bool = False,
 
     # jnp.copy(r): every other column is a fresh buffer (slices, iota,
     # concat), but r would alias the caller's array — the donated
-    # per-level split steps would delete it out from under the caller
-    cols = tuple(pp.x[:, d] for d in range(pd)) + (jnp.copy(pp.r),)
-    if pp.s is not None:
-        cols = cols + tuple(pp.s[:, d] for d in range(sd))
+    # per-level split steps would delete it out from under the caller.
+    # defer_rs: radii/strengths never influence the splits or boxes —
+    # leave them out of the sort network (fewer operands per bitonic
+    # pass) and gather them once through the final permutation.
+    defer = defer_rs and mode != "morton"
+    cols = tuple(pp.x[:, d] for d in range(pd))
+    if not defer:
+        cols = cols + (jnp.copy(pp.r),)
+        if pp.s is not None:
+            cols = cols + tuple(pp.s[:, d] for d in range(sd))
     cols = cols + (gidx,)
 
     if mode == "morton":
@@ -443,6 +450,12 @@ def build_tree(p: Parts, block_size: int = 128, refine: bool = False,
                     highs.append(hi)
                 l += 1
 
+    if defer:
+        perm = cols[-1]
+        rcol = (pp.r[perm],)
+        scols = (tuple(pp.s[:, d][perm] for d in range(sd))
+                 if pp.s is not None else ())
+        cols = cols[:pd] + rcol + scols + (perm,)
     tree, x, r, s, gidx = _finish_median(
         cols, n_real, tuple(lows), tuple(highs), levels, block_size, sd,
         are_targets)
@@ -453,7 +466,8 @@ def build_tree(p: Parts, block_size: int = 128, refine: bool = False,
 def build_trees_paired(ps: Parts, pt: Parts, block_size: int = 128,
                        refine: bool = False, mode: str = "median",
                        span: int = 2, span_top: int = 6,
-                       span_bot: Optional[int] = None):
+                       span_bot: Optional[int] = None,
+                       defer_rs: bool = False):
     """Build the source AND target trees from ONE sequence of stacked
     sorts (bit-identical to two build_tree calls; tests/test_tree.py).
 
@@ -483,10 +497,11 @@ def build_trees_paired(ps: Parts, pt: Parts, block_size: int = 128,
         return jnp.concatenate([a, b])
 
     cols = tuple(stk(pps.x[:, d], ppt.x[:, d]) for d in range(pd))
-    cols += (stk(pps.r, ppt.r),)
-    if sd:
-        zs = jnp.zeros((n_pad,), pps.s.dtype)
-        cols += tuple(stk(pps.s[:, d], zs) for d in range(sd))
+    if not defer_rs:
+        cols += (stk(pps.r, ppt.r),)
+        if sd:
+            zs = jnp.zeros((n_pad,), pps.s.dtype)
+            cols += tuple(stk(pps.s[:, d], zs) for d in range(sd))
     cols += (stk(gidx, gidx),)
     n_real = jnp.int32(ps.n_real)
     assert pt.n_real == ps.n_real
@@ -522,7 +537,14 @@ def build_trees_paired(ps: Parts, pt: Parts, block_size: int = 128,
 
     def half(i, keep_s):
         hcols = tuple(c[i * n_pad:(i + 1) * n_pad] for c in cols)
-        if not keep_s and sd:
+        if defer_rs:
+            perm = hcols[-1]
+            pr_pad = (pps if i == 0 else ppt).r
+            rcol = (pr_pad[perm],)
+            scols = (tuple(pps.s[:, d][perm] for d in range(sd))
+                     if keep_s and sd else ())
+            hcols = hcols[:pd] + rcol + scols + (perm,)
+        elif not keep_s and sd:
             hcols = hcols[:pd + 1] + (hcols[-1],)
         hlows = tuple(lo.reshape(2, -1, pd)[i] for lo in lows)
         hhighs = tuple(hi.reshape(2, -1, pd)[i] for hi in highs)

@@ -129,6 +129,15 @@ def main():
 
     rs = timeit("sequential", sequential)
     rp = timeit("paired", lambda: paired_build(srcs, targs, bs))
+    # library variants: paired and paired+defer_rs (r/s columns left out
+    # of the sort network, gathered once at the end)
+    timeit("lib paired", lambda: tb.build_trees_paired(
+        srcs, targs, bs, mode="span"))
+    timeit("lib pai+def", lambda: tb.build_trees_paired(
+        srcs, targs, bs, mode="span", defer_rs=True))
+    timeit("seq defer", lambda: (
+        tb.build_tree(srcs, bs, mode="span", defer_rs=True),
+        tb.build_tree(targs, bs, mode="span", defer_rs=True)))
 
     # correctness: same trees
     for (ta, _, ga), (tbo, _, gb), nm in [(rs[0], rp[0], "src"),

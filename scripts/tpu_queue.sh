@@ -5,11 +5,11 @@
 cd /root/repo
 
 probe() {
-  timeout 90 python - <<'EOF' >/dev/null 2>&1
+  timeout 90 python - <<'PYEOF' >/dev/null 2>&1
 import jax, numpy as np, jax.numpy as jnp
 a = jnp.arange(8.0)
 assert float(np.asarray((a * a)[3])) == 9.0
-EOF
+PYEOF
 }
 
 echo "[queue] waiting for TPU tunnel..." >&2
@@ -26,10 +26,17 @@ run() {
   echo "[queue] DONE $name exit=$? $(date +%H:%M:%S)" >&2
 }
 
-run r2h python scripts/exp_r2h.py            # tree per-level attribution
-run r2i python scripts/exp_r2i.py            # paired src+tgt build timing
+run r2i python scripts/exp_r2i.py            # paired/defer build timing
 run r2g7 python scripts/exp_r2g.py 1e7       # group size + b128 at 1e7
-run r2g6 python scripts/exp_r2g.py 1e6       # 1e6 retune (VERDICT 10)
-run ablate7 python scripts/exp_ablate.py 1e7 # stage attribution at 7.0s cfg
 run e8 python scripts/exp_1e8.py             # 1e8 measured number (VERDICT 5)
+run ablate7 python scripts/exp_ablate.py 1e7 # stage attribution at 7.0s cfg
+run r2g6 python scripts/exp_r2g.py 1e6       # 1e6 retune (VERDICT 10)
+run r2h python scripts/exp_r2h.py            # tree per-level attribution
+run_long() {
+  name=$1; shift
+  echo "[queue] START $name $(date +%H:%M:%S)" >&2
+  timeout 16000 "$@" > "/tmp/q_$name.log" 2>&1
+  echo "[queue] DONE $name exit=$? $(date +%H:%M:%S)" >&2
+}
+run_long pareto bash scripts/run_pareto.sh        # theta-Pareto (VERDICT 9)
 echo "[queue] ALL DONE $(date +%H:%M:%S)" >&2

@@ -331,10 +331,12 @@ def test_span_bot_mode_boxes_and_dtt():
     assert rel < 3e-3, rel
 
 
-@pytest.mark.parametrize("mode,refine", [("median", False),
-                                         ("median", True),
-                                         ("span", False)])
-def test_paired_build_bit_identical(mode, refine):
+@pytest.mark.parametrize("mode,refine,defer", [("median", False, False),
+                                               ("median", True, False),
+                                               ("span", False, False),
+                                               ("span", False, True),
+                                               ("median", True, True)])
+def test_paired_build_bit_identical(mode, refine, defer):
     """build_trees_paired (source + target trees from one sequence of
     stacked sorts) must be BIT-identical to two build_tree calls: the
     stacked (2*nseg, m) segmented sorts are segment-independent, so
@@ -346,7 +348,14 @@ def test_paired_build_bit_identical(mode, refine):
     st_ref = build.build_tree(srcs, 64, refine=refine, mode=mode)
     tt_ref = build.build_tree(targs, 64, refine=refine, mode=mode)
     (st, sp, sg), (tt, tp, tg) = build.build_trees_paired(
-        srcs, targs, 64, refine=refine, mode=mode)
+        srcs, targs, 64, refine=refine, mode=mode, defer_rs=defer)
+    if defer:
+        # defer_rs must also be bit-identical for the single build
+        st2, sp2, sg2 = build.build_tree(srcs, 64, refine=refine,
+                                         mode=mode, defer_rs=True)
+        assert np.array_equal(np.asarray(sg2), np.asarray(sg))
+        assert np.array_equal(np.asarray(sp2.r), np.asarray(sp.r))
+        assert np.array_equal(np.asarray(sp2.s), np.asarray(sp.s))
 
     for (tree, parts, gidx), (tree_r, parts_r, gidx_r) in [
             ((st, sp, sg), st_ref), ((tt, tp, tg), tt_ref)]:
