@@ -45,8 +45,11 @@ BASELINES = {  # reference DTT incl setup, seconds (BASELINE.md)
 
 
 def _sync(x) -> float:
-    """True device synchronization: fetch one scalar of the result."""
-    return float(np.asarray(jax.tree_util.tree_leaves(x)[0].ravel()[0]))
+    """True device synchronization: fetch one scalar of the result.
+    Index, never ravel: ravel of a non-contiguous output compiles a
+    full layout copy before the 1-element fetch."""
+    a = jax.tree_util.tree_leaves(x)[0]
+    return float(np.asarray(a[(0,) * a.ndim]))
 
 
 def main():
@@ -130,7 +133,9 @@ def main():
     overflow = int(np.asarray(info.overflow))
     assert overflow == 0, f"interaction list overflow ({overflow})"
 
-    got = np.asarray(out)[::tskip][:ref.shape[0]]
+    # slice on device: at 1e8 the full output is ~1.2 GB — never pull
+    # it through the tunnel
+    got = np.asarray(out[::tskip])[:ref.shape[0]]
     rel = float(np.linalg.norm(got - ref) / np.linalg.norm(ref))
 
     base = BASELINES.get(N)

@@ -26,7 +26,10 @@ from onbody_tpu.traverse import direct, chunked
 
 
 def _sync(x):
-    return float(np.asarray(jax.tree_util.tree_leaves(x)[0].ravel()[0]))
+    # index, never ravel: ravel of a non-contiguous output compiles a
+    # full layout copy before the 1-element fetch
+    a = jax.tree_util.tree_leaves(x)[0]
+    return float(np.asarray(a[(0,) * a.ndim]))
 
 
 def main():
@@ -68,8 +71,9 @@ def main():
                                               n_chunks=n_chunks)
         _sync(out)
         dt = time.perf_counter() - t0
-        rms = (np.linalg.norm(np.asarray(out)[::nt_skip] - ref)
-               / np.linalg.norm(ref))
+        got = np.asarray(out[::nt_skip])   # slice on device: the full
+        # (1e8, 3) output is ~1.2 GB — never pull it through the tunnel
+        rms = np.linalg.norm(got - ref) / np.linalg.norm(ref)
         print(f"chunked N={n:.0e} c={n_chunks} t={theta}: t={dt:.2f}s "
               f"rms={rms:.2e} nvalid={int(info.n_valid)} "
               f"overflow={int(info.overflow)}", flush=True)
