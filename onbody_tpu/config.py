@@ -60,6 +60,12 @@ class SolverConfig:
     # back to two build_tree calls when shapes differ or mode='morton'.
     tree_paired: bool = False
 
+    # leave radii/strengths out of the per-level sort network and gather
+    # them once through the final permutation (build_tree defer_rs —
+    # bit-identical; fewer operands per bitonic pass, also a peak-HBM
+    # win for the chunked 1e8 path)
+    tree_defer_rs: bool = False
+
     # storage / accumulation dtypes — the reference's STORE/ACCUM template
     # pair (ongrav3d.cpp:7-8). prepare() casts incoming particles to
     # storage_dtype; accum_dtype=float64 promotes the whole per-pair chain

@@ -60,24 +60,28 @@ def prepare(kernel: Kernel, cfg: SolverConfig, srcs: Parts,
               and srcs.n_real == targs.n_real
               and tree_build.plan(srcs.n_real, cfg.block_size)
               == tree_build.plan(targs.n_real, cfg.block_size))
+    defer = getattr(cfg, "tree_defer_rs", False)
     if paired:
         (stree, ss, sg), (ttree, ts, tg) = tree_build.build_trees_paired(
             srcs, targs, cfg.block_size, refine=refine,
             mode=cfg.tree_mode, span=cfg.tree_span,
-            span_top=cfg.tree_span_top, span_bot=cfg.tree_span_bot)
+            span_top=cfg.tree_span_top, span_bot=cfg.tree_span_bot,
+            defer_rs=defer)
     else:
         stree, ss, sg = tree_build.build_tree(srcs, cfg.block_size,
                                               refine=refine,
                                               mode=cfg.tree_mode,
                                               span=cfg.tree_span,
                                               span_top=cfg.tree_span_top,
-                                              span_bot=cfg.tree_span_bot)
+                                              span_bot=cfg.tree_span_bot,
+                                              defer_rs=defer)
         ttree, ts, tg = tree_build.build_tree(targs, cfg.block_size,
                                               refine=refine,
                                               mode=cfg.tree_mode,
                                               span=cfg.tree_span,
                                               span_top=cfg.tree_span_top,
-                                              span_bot=cfg.tree_span_bot)
+                                              span_bot=cfg.tree_span_bot,
+                                              defer_rs=defer)
     lean = getattr(cfg, "lean_plan", False)
     if lean and cfg.order >= 0:
         # feature-major arrays built directly, no point-major Blocks:

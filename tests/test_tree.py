@@ -393,3 +393,9 @@ def test_paired_build_via_config():
         kernel, cfgp, srcs, targs))
     assert int(info.overflow) == 0
     assert np.array_equal(np.asarray(out), np.asarray(out_ref))
+    # defer_rs through the config path too
+    cfgd = dataclasses.replace(cfg, tree_paired=True, tree_defer_rs=True)
+    out_d, info_d = dtt.solve_dtt(kernel, cfgd, treecode.prepare(
+        kernel, cfgd, srcs, targs))
+    assert int(info_d.overflow) == 0
+    assert np.array_equal(np.asarray(out_d), np.asarray(out_ref))
