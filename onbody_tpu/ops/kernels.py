@@ -360,10 +360,6 @@ def _dotg_fm(w, rows, accum_dtype, precision: str = "highest"):
     raise ValueError(f"unknown mxu_precision {precision!r}")
 
 
-def _rowsum(w, accum_dtype):
-    return jnp.sum(w.astype(accum_dtype), axis=1, keepdims=True)
-
-
 def _grav3d_tile_fm(tpos, trad, srcT, core="rm",
                     accum_dtype=jnp.float32, d2_mode="outer",
                     precision: str = "highest"):
@@ -383,8 +379,12 @@ def _grav3d_tile_fm(tpos, trad, srcT, core="rm",
         c = jnp.mean(txa, axis=0)
         xs = xs - c[:, None]
         txa = txa - c[None, :]
-    o = _dotg_fm(w, xs, accum_dtype, precision)      # (B, 3)
-    o1 = _rowsum(w, accum_dtype)
+    # fold the w row-sum into the contraction as a ones-row: F=4 still
+    # lane-pads to 128 on the MXU, so it's free and replaces a full
+    # (B, G*B) VPU reduction
+    rows4 = jnp.concatenate([xs, jnp.ones_like(xs[:1])], axis=0)
+    o4 = _dotg_fm(w, rows4, accum_dtype, precision)  # (B, 4)
+    o, o1 = o4[:, :3], o4[:, 3:4]
     return o - o1 * txa
 
 
@@ -403,10 +403,13 @@ def _vort2d_tile_fm(tpos, trad, srcT, core="rm",
         cc = jnp.mean(txa, axis=0)      # see _grav3d_tile_fm
         xs = xs - cc[:, None]
         txa = txa - cc[None, :]
-    o = _dotg_fm(w, xs, accum_dtype, precision)      # (B, 2): W@sx, W@sy
-    o1 = _rowsum(w, accum_dtype)[:, 0]
-    u = o[:, 1] - o1 * txa[:, 1]
-    v = o1 * txa[:, 0] - o[:, 0]
+    # ones-row folds the w row-sum into the MXU contraction (see
+    # _grav3d_tile_fm)
+    rows3 = jnp.concatenate([xs, jnp.ones_like(xs[:1])], axis=0)
+    o3 = _dotg_fm(w, rows3, accum_dtype, precision)  # (B, 3): W@sx, W@sy, W@1
+    o1 = o3[:, 2]
+    u = o3[:, 1] - o1 * txa[:, 1]
+    v = o1 * txa[:, 0] - o3[:, 0]
     return jnp.stack([u, v], axis=-1)
 
 
