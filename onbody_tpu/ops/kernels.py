@@ -356,7 +356,12 @@ def _dotg_fm(w, rows, accum_dtype, precision: str = "highest"):
         return dot(wh, rb, d) + dot(wl, rb, d)
     if precision == "3x":
         rh, rl = _split_bf16(rows)
-        return dot(wh, rh, d) + dot(wh, rl, d) + dot(wl, rh, d)
+        # wh*(rh|rl) in ONE pass: the two terms share the LHS, and 2F
+        # still lane-pads to the same single 128-wide MXU tile, so the
+        # fused pass costs exactly one — 2 passes total instead of 3
+        f = rows.shape[0]
+        o = dot(wh, jnp.concatenate([rh, rl], axis=0), d)
+        return o[:, :f] + o[:, f:] + dot(wl, rh, d)
     raise ValueError(f"unknown mxu_precision {precision!r}")
 
 
