@@ -252,7 +252,7 @@ def _vortgrad3d_tile(tx, tr, sx, sr, ss, core="rm",
 # work out of the per-pair hot loop.
 
 FM_ROWS = {  # used rows of the feature-major source block, per kernel
-    "grav3d": 5,        # x, y, z, r, m
+    "grav3d": 5,        # x, y, z, sr2, m (pad8 adds m*x, m*y, m*z)
     "vort2d": 4,        # x, y, r, ss
     "vort3d": 10,       # x, y, z, r, w(3), e(3)
     "vortgrad3d": 28,   # x(3), r, w(3), e(3), w(x)s(9), e(x)s(9)
@@ -268,7 +268,18 @@ def featurize(name: str, pos, rad, s, pad8: bool = True):
     lean storage can keep the raw row count — 5 vs 8 for grav3d is
     3.2 GB of HBM at N=1e8). Works batched via vmap at the call site.
     """
-    if name in ("grav3d", "vort2d"):
+    if name == "grav3d":
+        # rows: x, y, z, sr^2, m (+ m*x, m*y, m*z when padding to 8):
+        # the gravity kernel is fixed RM-form (ongrav3d.cpp:44-60), so
+        # sr^2 replaces a per-pair multiply, and the dma fetch pads to
+        # 8 rows anyway — the spare rows carry mass-premultiplied
+        # positions, folding the per-pair mass multiply into the MXU
+        # contraction (see _grav3d_tile_fm)
+        base = [pos.T, (rad * rad)[None, :], s.T]
+        if pad8:
+            base.append((s * pos).T)
+        out = jnp.concatenate(base, axis=0)
+    elif name == "vort2d":
         out = jnp.concatenate([pos.T, rad[None, :], s.T], axis=0)
     elif name == "vort3d":
         e = _cross(s, pos)
@@ -370,27 +381,40 @@ def _grav3d_tile_fm(tpos, trad, srcT, core="rm",
                     precision: str = "highest"):
     tpos, srcT = _pm(accum_dtype, tpos, srcT)
     d2 = _d2_fm(tpos, srcT, 3, d2_mode)
-    sr = srcT[3:4, :]
-    m = srcT[4:5, :]
-    rinv = lax.rsqrt(d2 + sr * sr)
-    w = m * rinv * rinv * rinv
+    sr2 = srcT[3:4, :]                       # featurize stores sr^2
+    rinv = lax.rsqrt(d2 + sr2)
     txa = tpos.astype(accum_dtype)
+    if srcT.shape[0] >= 8:
+        # mass-premultiplied rows (featurize pad8 layout): the per-pair
+        # mass multiply rides the MXU contraction, and the m-row serves
+        # as the row-sum column — w is the bare rinv^3 kernel
+        w = rinv * rinv * rinv
+        mrows = srcT[5:8, :]
+        mrow = srcT[4:5, :]
+        if precision != "highest":
+            # center coords on the target tile mean: sum_j w*m*(x_j - c)
+            # and (x_i - c) have interaction-scale magnitude, so the
+            # bf16 pass truncation stays relative to the local scale
+            # rather than the domain scale
+            c = jnp.mean(txa, axis=0)
+            mrows = mrows - c[:, None] * mrow
+            txa = txa - c[None, :]
+        rows4 = jnp.concatenate([mrows, mrow], axis=0)
+        o4 = _dotg_fm(w, rows4, accum_dtype, precision)  # (B, 4)
+        return o4[:, :3] - o4[:, 3:4] * txa
+    # lean 5-row layout (pregather storage): mass multiplies on the VPU
+    m = srcT[4:5, :]
+    w = m * rinv * rinv * rinv
     xs = srcT[0:3, :]
     if precision != "highest":
-        # center coords on the target tile mean: sum_j w*(x_j - c) and
-        # (x_i - c) have interaction-scale magnitude, so the bf16 pass
-        # truncation stays relative to the local scale rather than the
-        # domain scale (the sum_j w*x_j vs x_i*sum_j w cancellation)
         c = jnp.mean(txa, axis=0)
         xs = xs - c[:, None]
         txa = txa - c[None, :]
-    # fold the w row-sum into the contraction as a ones-row: F=4 still
-    # lane-pads to 128 on the MXU, so it's free and replaces a full
-    # (B, G*B) VPU reduction
+    # ones-row folds the w row-sum into the contraction (F=4 still
+    # lane-pads to one 128-wide MXU tile)
     rows4 = jnp.concatenate([xs, jnp.ones_like(xs[:1])], axis=0)
     o4 = _dotg_fm(w, rows4, accum_dtype, precision)  # (B, 4)
-    o, o1 = o4[:, :3], o4[:, 3:4]
-    return o - o1 * txa
+    return o4[:, : 3] - o4[:, 3:4] * txa
 
 
 def _vort2d_tile_fm(tpos, trad, srcT, core="rm",
