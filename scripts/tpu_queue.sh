@@ -28,6 +28,7 @@ run() {
 
 run r2i python scripts/exp_r2i.py            # paired/defer build timing
 run r2g7 python scripts/exp_r2g.py 1e7       # group size + b128 at 1e7
+ONBODY_R2K_GROUPS="16,32,64" run r2k python scripts/exp_r2k.py 1e7  # combined confirm
 run e8 python scripts/exp_1e8.py             # 1e8 measured number (VERDICT 5)
 run ablate7 python scripts/exp_ablate.py 1e7 # stage attribution at 7.0s cfg
 run r2g6 python scripts/exp_r2g.py 1e6       # 1e6 retune (VERDICT 10)
