@@ -62,7 +62,8 @@ def main():
                            frontier_width=192, cap_groups_dtt=16,
                            tree_mode="span", pair_backend="pallas",
                            pair_group=16, pair_fetch="pregather",
-                           mxu_precision="3x", lean_plan=True)
+                           mxu_precision="3x", lean_plan=True,
+                           tree_defer_rs=True)
     elif N >= 4_000_000:
         # larger blocks at scale: halves node count and list memory
         # (HBM is 16GB on this chip). Round-2 tuning (docs/PERF.md):

@@ -41,7 +41,8 @@ def main():
                        frontier_width=192, cap_groups_dtt=16,
                        tree_mode="span", pair_backend="pallas",
                        dtt_traversal="level", pair_fetch="pregather",
-                       pair_group=16, lean_plan=True)
+                       pair_group=16, lean_plan=True,
+                       tree_defer_rs=True)
     ks, kt = jax.random.split(jax.random.PRNGKey(12345))
 
     def gen():
