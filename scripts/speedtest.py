@@ -111,7 +111,12 @@ def main(argv):
     srcs = P.random_in_cube(ks, n, 3, 1, True)
     targs = P.random_in_cube(kt, n, 3, 0, False)
     tskip = max(1, int(float(n) * n / 2e9))
-    ref = np.asarray(direct.direct_oracle(kernel, srcs, targs, tskip=tskip))
+    # f32 tiled direct sum as the reference, like speedtest.pl greps the
+    # drivers' own (fp32+Vc) direct results; the fp64 oracle would build
+    # (chunk, N, OD) broadcast intermediates on-device (GBs at N=1e6)
+    sub = P.Parts(x=targs.x[::tskip], r=targs.r[::tskip], s=None,
+                  n_real=int(targs.x[::tskip].shape[0]))
+    ref = np.asarray(direct.direct(kernel, srcs, sub))
     plan = treecode.prepare(kernel, cfg, srcs, targs)
 
     rows = []
