@@ -28,7 +28,8 @@ from onbody_tpu.traverse import direct, dtt, treecode
 
 
 def _sync(x):
-    return float(np.asarray(jax.tree_util.tree_leaves(x)[0].ravel()[0]))
+    a = jax.tree_util.tree_leaves(x)[0]
+    return float(np.asarray(a[(0,) * a.ndim]))
 
 
 def main():
@@ -93,6 +94,16 @@ def main():
                 block_size=128, order=4, theta_dtt=1.4,
                 frontier_width=224, cap_groups_dtt=12,
                 tree_mode="span", mxu_precision="3x", pair_group=32)),
+            ("b256/o5/t1.2 g64 pair+def", dict(
+                block_size=256, order=5, theta_dtt=1.2,
+                frontier_width=192, cap_groups_dtt=16,
+                tree_mode="span", mxu_precision="3x", pair_group=64,
+                tree_paired=True, tree_defer_rs=True)),
+            ("b128 span 3x g64 W256 pair+def", dict(
+                block_size=128, order=4, theta_dtt=1.4,
+                frontier_width=256, cap_groups_dtt=12,
+                tree_mode="span", mxu_precision="3x", pair_group=64,
+                tree_paired=True, tree_defer_rs=True)),
         ]
 
     for name, kw in variants:
@@ -111,8 +122,8 @@ def main():
                 out, info = full()
                 _sync(out)
                 times.append(time.perf_counter() - t0)
-            rms = (np.linalg.norm(np.asarray(out)[::nt_skip][:ref.shape[0]]
-                                  - ref) / np.linalg.norm(ref))
+            got = np.asarray(out[::nt_skip])[:ref.shape[0]]
+            rms = np.linalg.norm(got - ref) / np.linalg.norm(ref)
             print(f"{name:>24}: {min(times):.4f}s rms={rms:.2e} "
                   f"nvalid={int(np.asarray(info.n_valid))} "
                   f"overflow={int(np.asarray(info.overflow))}", flush=True)
