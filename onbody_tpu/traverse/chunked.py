@@ -43,7 +43,7 @@ def solve_dtt_chunked(kernel: Kernel, cfg: SolverConfig,
                       srcs: Optional[Parts] = None,
                       targs: Optional[Parts] = None, n_chunks: int = 8,
                       theta: Optional[float] = None,
-                      make_problem=None):
+                      make_problem=None, unscramble: bool = True):
     """Full DTT evaluation with target subtrees processed sequentially.
 
     Returns (out (n_real, OD), info PairList-like with n_valid/overflow).
@@ -148,9 +148,13 @@ def solve_dtt_chunked(kernel: Kernel, cfg: SolverConfig,
             c * wleaf * bs, axis=0)
 
     ts = None             # free the sorted targets before the scatter
-    res = jnp.zeros((n_tgt_real, kernel.od), out_leaf.dtype)
-    res = res.at[tg].set(out_leaf, mode="drop")
     info = lists.PairList(tgt=jnp.zeros((0,), jnp.int32),
                           src=jnp.zeros((0,), jnp.int32),
                           n_valid=total_valid, overflow=overflow)
+    if not unscramble:
+        # reference-driver convention: results stay in tree order (see
+        # dtt.solve_dtt); return the permutation alongside
+        return (out_leaf, tg), info
+    res = jnp.zeros((n_tgt_real, kernel.od), out_leaf.dtype)
+    res = res.at[tg].set(out_leaf, mode="drop")
     return res, info

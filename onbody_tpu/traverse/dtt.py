@@ -180,8 +180,15 @@ def solve_dtt_fused(kernel: Kernel, cfg: SolverConfig, srcs, targs):
 
 
 def solve_dtt(kernel: Kernel, cfg: SolverConfig, plan: Plan,
-              theta: Optional[float] = None) -> Tuple[jax.Array,
-                                                      lists.PairList]:
+              theta: Optional[float] = None,
+              unscramble: bool = True) -> Tuple[jax.Array,
+                                                lists.PairList]:
+    """unscramble=False returns outputs in SORTED (tree) order,
+    (nleaf*block_size, OD) incl. padded slots — the reference drivers'
+    convention (makeTree reorders in place and every method's errors are
+    computed on the reordered arrays, ongrav3d.cpp:781-790; only the
+    C-ABI layer un-permutes, interface2dvort.cpp:301-304). Skips a
+    full-N random gather; callers map rows via plan.tgt_inv/tgt_gidx."""
     theta = cfg.theta_dtt if theta is None else theta
     # split equivalent rows (order grids wider than the block row,
     # equivalents.n_eq_parts): both trees share block_size/order, so
@@ -215,4 +222,9 @@ def solve_dtt(kernel: Kernel, cfg: SolverConfig, plan: Plan,
                         plan.ttree.block_size, parts)
     else:
         out = _downward_copy(out, plan.ttree.levels, plan.ttree.block_size)
+    if not unscramble:
+        nleaf = plan.ttree.nleaf
+        bs = plan.ttree.block_size
+        leaf = out[nleaf:2 * nleaf, :bs, :].reshape(-1, kernel.od)
+        return leaf, info
     return _leaf_outputs(out, plan, kernel, plan.tgt_sorted.n_real), info

