@@ -124,7 +124,11 @@ def main():
         if N < 4_000_000:
             # one fused program: no dispatch boundaries (peak HBM is
             # higher; the split path bounds it at large N)
-            return dtt.solve_dtt_fused(kernel, cfg, srcs, targs)
+            (out, inv), info = dtt.solve_dtt_fused(kernel, cfg, srcs,
+                                                   targs,
+                                                   unscramble=False)
+            perm["inv"] = inv
+            return out, info
         plan = treecode.prepare(kernel, cfg, srcs, targs)
         perm["inv"] = plan.tgt_inv
         return dtt.solve_dtt(kernel, cfg, plan, unscramble=False)

@@ -155,18 +155,23 @@ def fastsumm_stats(raw: lists.PairList, nleaf_s: int, nleaf_t: int):
     }
 
 
-@partial(jax.jit, static_argnames=("kernel", "cfg", "n_src", "n_tgt"))
+@partial(jax.jit, static_argnames=("kernel", "cfg", "n_src", "n_tgt",
+                                   "unscramble"))
 def _full_fused(kernel: Kernel, cfg: SolverConfig, sx, sr, ss, tx, tr,
-                n_src: int, n_tgt: int):
+                n_src: int, n_tgt: int, unscramble: bool = True):
     from onbody_tpu.parts import Parts
     from onbody_tpu.traverse.treecode import prepare
     srcs = Parts(x=sx, r=sr, s=ss, n_real=n_src)
     targs = Parts(x=tx, r=tr, s=None, n_real=n_tgt)
     plan = prepare(kernel, cfg, srcs, targs)
+    if not unscramble:
+        out, info = solve_dtt(kernel, cfg, plan, unscramble=False)
+        return (out, plan.tgt_inv), info
     return solve_dtt(kernel, cfg, plan)
 
 
-def solve_dtt_fused(kernel: Kernel, cfg: SolverConfig, srcs, targs):
+def solve_dtt_fused(kernel: Kernel, cfg: SolverConfig, srcs, targs,
+                    unscramble: bool = True):
     """Whole pipeline (tree builds -> equivalents -> lists -> pair
     execution -> downward -> unscramble) as ONE jitted program.
 
@@ -176,7 +181,7 @@ def solve_dtt_fused(kernel: Kernel, cfg: SolverConfig, srcs, targs):
     ~4e6 particles and the split path above.
     """
     return _full_fused(kernel, cfg, srcs.x, srcs.r, srcs.s, targs.x,
-                       targs.r, srcs.n_real, targs.n_real)
+                       targs.r, srcs.n_real, targs.n_real, unscramble)
 
 
 def solve_dtt(kernel: Kernel, cfg: SolverConfig, plan: Plan,
