@@ -109,11 +109,18 @@ def main():
     for name, kw in variants:
         cfg = SolverConfig(**{**base, **kw})
         try:
+            holder = {}
+
             def full():
+                # tree-order results (bench convention, see bench.py)
                 if n < split_min:
-                    return dtt.solve_dtt_fused(kernel, cfg, srcs, targs)
+                    (o, inv), info = dtt.solve_dtt_fused(
+                        kernel, cfg, srcs, targs, unscramble=False)
+                    holder["inv"] = inv
+                    return o, info
                 plan = treecode.prepare(kernel, cfg, srcs, targs)
-                return dtt.solve_dtt(kernel, cfg, plan)
+                holder["inv"] = plan.tgt_inv
+                return dtt.solve_dtt(kernel, cfg, plan, unscramble=False)
             out, info = full()
             _sync(out)
             times = []
@@ -122,7 +129,7 @@ def main():
                 out, info = full()
                 _sync(out)
                 times.append(time.perf_counter() - t0)
-            got = np.asarray(out[::nt_skip])[:ref.shape[0]]
+            got = np.asarray(out[holder["inv"][::nt_skip]])[:ref.shape[0]]
             rms = np.linalg.norm(got - ref) / np.linalg.norm(ref)
             print(f"{name:>24}: {min(times):.4f}s rms={rms:.2e} "
                   f"nvalid={int(np.asarray(info.n_valid))} "
