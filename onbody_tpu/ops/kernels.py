@@ -253,7 +253,7 @@ def _vortgrad3d_tile(tx, tr, sx, sr, ss, core="rm",
 
 FM_ROWS = {  # used rows of the feature-major source block, per kernel
     "grav3d": 5,        # x, y, z, sr2, m (pad8 adds m*x, m*y, m*z)
-    "vort2d": 4,        # x, y, r, ss
+    "vort2d": 4,        # x, y, sr, ss (pad8 adds ss*x, ss*y)
     "vort3d": 10,       # x, y, z, r, w(3), e(3)
     "vortgrad3d": 28,   # x(3), r, w(3), e(3), w(x)s(9), e(x)s(9)
 }
@@ -280,7 +280,13 @@ def featurize(name: str, pos, rad, s, pad8: bool = True):
             base.append((s * pos).T)
         out = jnp.concatenate(base, axis=0)
     elif name == "vort2d":
-        out = jnp.concatenate([pos.T, rad[None, :], s.T], axis=0)
+        # rows: x, y, sr, ss (+ ss*x, ss*y when padding to 8): sr stays
+        # raw (the exp core needs it); the spare pad rows fold the
+        # per-pair strength multiply into the MXU contraction
+        base = [pos.T, rad[None, :], s.T]
+        if pad8:
+            base.append((s * pos).T)
+        out = jnp.concatenate(base, axis=0)
     elif name == "vort3d":
         e = _cross(s, pos)
         out = jnp.concatenate([pos.T, rad[None, :], s.T, e.T], axis=0)
@@ -423,19 +429,31 @@ def _vort2d_tile_fm(tpos, trad, srcT, core="rm",
     tpos, trad, srcT = _pm(accum_dtype, tpos, trad, srcT)
     d2 = _d2_fm(tpos, srcT, 2, d2_mode)
     sr = srcT[2:3, :]
-    ss = srcT[3:4, :]
     c = cf.core_2d(core)(d2, sr, trad[:, None])
-    w = ss * c
     txa = tpos.astype(accum_dtype)
-    xs = srcT[0:2, :]
-    if precision != "highest":
-        cc = jnp.mean(txa, axis=0)      # see _grav3d_tile_fm
-        xs = xs - cc[:, None]
-        txa = txa - cc[None, :]
-    # ones-row folds the w row-sum into the MXU contraction (see
-    # _grav3d_tile_fm)
-    rows3 = jnp.concatenate([xs, jnp.ones_like(xs[:1])], axis=0)
-    o3 = _dotg_fm(w, rows3, accum_dtype, precision)  # (B, 3): W@sx, W@sy, W@1
+    if srcT.shape[0] >= 6:
+        # strength-premultiplied rows (featurize pad8 layout): the
+        # per-pair ss multiply rides the MXU; the ss-row is the row-sum
+        w = c
+        srow = srcT[3:4, :]
+        srows = srcT[4:6, :]
+        if precision != "highest":
+            cc = jnp.mean(txa, axis=0)      # see _grav3d_tile_fm
+            srows = srows - cc[:, None] * srow
+            txa = txa - cc[None, :]
+        rows3 = jnp.concatenate([srows, srow], axis=0)
+    else:
+        ss = srcT[3:4, :]
+        w = ss * c
+        xs = srcT[0:2, :]
+        if precision != "highest":
+            cc = jnp.mean(txa, axis=0)
+            xs = xs - cc[:, None]
+            txa = txa - cc[None, :]
+        # ones-row folds the w row-sum into the MXU contraction (see
+        # _grav3d_tile_fm)
+        rows3 = jnp.concatenate([xs, jnp.ones_like(xs[:1])], axis=0)
+    o3 = _dotg_fm(w, rows3, accum_dtype, precision)  # (B, 3)
     o1 = o3[:, 2]
     u = o3[:, 1] - o1 * txa[:, 1]
     v = o1 * txa[:, 0] - o3[:, 0]
