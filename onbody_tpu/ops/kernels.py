@@ -304,6 +304,29 @@ def featurize(name: str, pos, rad, s, pad8: bool = True):
     return out
 
 
+def pad_fm_rows(name: str, blocks):
+    """Pad lean feature-major blocks (..., C, B) to the f32 sublane tile
+    (8 rows), filling the kernel-defined DERIVED rows — not zeros —
+    where the padded layout carries folded products (featurize: grav3d
+    rows 5-7 = m*pos, vort2d rows 4-5 = ss*pos). The tile kernels
+    dispatch on the row count (>= 8 rows selects the folded path), so a
+    zero-padded lean block would silently contract zeros."""
+    c = blocks.shape[-2]
+    c8 = -(-c // 8) * 8
+    if c8 == c:
+        return blocks
+    shp = blocks.shape[:-2]
+    if name == "grav3d" and c == 5:
+        extra = blocks[..., 4:5, :] * blocks[..., 0:3, :]
+    elif name == "vort2d" and c == 4:
+        sspos = blocks[..., 3:4, :] * blocks[..., 0:2, :]
+        zeros = jnp.zeros(shp + (2, blocks.shape[-1]), blocks.dtype)
+        extra = jnp.concatenate([sspos, zeros], axis=-2)
+    else:
+        extra = jnp.zeros(shp + (c8 - c, blocks.shape[-1]), blocks.dtype)
+    return jnp.concatenate([blocks, extra], axis=-2)
+
+
 def _d2_fm(tpos, srcT, pd, mode: str = "outer"):
     """(B_t, B_s) squared distances from a feature-major source block.
 

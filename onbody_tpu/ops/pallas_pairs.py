@@ -302,21 +302,21 @@ def _exec_chunk_static(kernel: Kernel, tgt_gathered, src_gathered,
     )(tgt_gathered, src_gathered)
 
 
-def _pregather(src_fm, gs):
+def _pregather(kernel_name, src_fm, gs):
     """One XLA row-gather: (P, G) block ids -> (P, G*C8, B) contiguous
     sublane-stacked source blocks (a pure reshape — no transpose).
 
     Unaligned feature counts (lean storage without the pad-to-8 rows,
     e.g. grav3d's true 5) are padded to the f32 sublane tile HERE, per
-    chunk — XLA gathers don't care about alignment, only the Pallas
-    pipeline block does."""
+    chunk, with the kernel's DERIVED rows (pad_fm_rows — the tile
+    kernels dispatch the folded-product path on the row count, so a
+    zero pad would contract zeros)."""
+    from onbody_tpu.ops.kernels import pad_fm_rows
     p, g = gs.shape
     nn, c, b = src_fm.shape
     srcs = src_fm[gs.reshape(-1)]                # (P*G, C, B) row gather
-    c8 = -(-c // 8) * 8
-    if c8 != c:
-        srcs = jnp.pad(srcs, ((0, 0), (0, c8 - c), (0, 0)))
-    return srcs.reshape(p, g * c8, b)
+    srcs = pad_fm_rows(kernel_name, srcs)
+    return srcs.reshape(p, -1, b)
 
 
 def exec_pairs_pallas(kernel: Kernel, tgt_geo: jax.Array,
@@ -356,7 +356,7 @@ def exec_pairs_pallas(kernel: Kernel, tgt_geo: jax.Array,
         for i in range(0, p + pad, chunk):
             gt_c = gt_p[i:i + chunk]
             gs_c = gs_p[i:i + chunk]
-            src_c = _pregather(src_fm, gs_c)
+            src_c = _pregather(kernel.name, src_fm, gs_c)
             tgt_c = tgt_geo[gt_c]
             rows.append(_exec_chunk_static(kernel, tgt_c, src_c, core,
                                            accum_dtype, interpret,
@@ -384,7 +384,7 @@ def exec_pairs_pallas(kernel: Kernel, tgt_geo: jax.Array,
         gt_c = group_t[i:i + chunk] if p > chunk else group_t
         gs_c = group_s[i:i + chunk] if p > chunk else group_s
         if fetch == "pregather":
-            src_c = _pregather(src_fm, gs_c)
+            src_c = _pregather(kernel.name, src_fm, gs_c)
             out = _exec_chunk_pre(kernel, tgt_geo, src_c, gt_c, out,
                                   core, accum_dtype, interpret, d2_mode,
                                   group, precision)

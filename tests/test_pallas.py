@@ -122,3 +122,27 @@ def test_fm_center_d2_matches_outer_f32():
     rel = (np.linalg.norm(np.asarray(a) - np.asarray(b)) /
            np.linalg.norm(np.asarray(a)))
     assert rel < 5e-5, rel
+
+
+@pytest.mark.parametrize("name", ["grav3d", "vort2d"])
+def test_pregather_lean_storage_vs_oracle(name):
+    """Regression: the pregather executor pads LEAN (unaligned-row)
+    feature blocks to the sublane tile with kernel-DERIVED rows
+    (pad_fm_rows). A zero pad is silently catastrophic — the tile
+    kernels dispatch the folded-product path on the row count and would
+    contract zeros (measured rel-RMS 0.12 before the fix)."""
+    import dataclasses
+    kernel = KERNELS[name]
+    ks, kt = jax.random.split(jax.random.PRNGKey(5))
+    srcs = P.random_in_cube(ks, 1500, kernel.pd, kernel.sd, True)
+    targs = P.random_in_cube(kt, 1500, kernel.pd, 0, False)
+    cfg = dataclasses.replace(CFG_P, order=3, lean_plan=True,
+                              pair_fetch="pregather")
+    plan = treecode.prepare(kernel, cfg, srcs, targs)
+    assert plan.src_fm.shape[1] % 8 != 0, "not lean — test is vacuous"
+    out, info = dtt.solve_dtt(kernel, cfg, plan)
+    assert int(np.asarray(info.overflow)) == 0
+    ref = direct.direct_oracle(kernel, srcs, targs)
+    rel = (np.linalg.norm(np.asarray(out) - np.asarray(ref)) /
+           np.linalg.norm(np.asarray(ref)))
+    assert rel < 2e-2, rel
