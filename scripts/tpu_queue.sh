@@ -2,6 +2,7 @@
 # Serial TPU experiment queue for the single axon chip. Waits for the
 # tunnel to answer a trivial op, then runs every pending round-2
 # experiment back-to-back (one chip — never run two at once).
+# Ordered most-valuable-first in case the tunnel flaps again.
 cd /root/repo
 
 probe() {
@@ -26,13 +27,15 @@ run() {
   echo "[queue] DONE $name exit=$? $(date +%H:%M:%S)" >&2
 }
 
+ONBODY_R2K_GROUPS="16,32,64" run r2k python scripts/exp_r2k.py 1e7  # combined confirm + group size
+run r2w python scripts/exp_r2w.py 1e7        # frontier width at o5/t1.2
+run e8 python scripts/exp_1e8.py             # 1e8 measured number (VERDICT 5)
+run r2g6 python scripts/exp_r2g.py 1e6       # 1e6 retune (VERDICT 10)
+run ablate7 python scripts/exp_ablate.py 1e7 # stage attribution at 7.0s cfg
 run r2i python scripts/exp_r2i.py            # paired/defer build timing
 run r2g7 python scripts/exp_r2g.py 1e7       # group size + b128 at 1e7
-ONBODY_R2K_GROUPS="16,32,64" run r2k python scripts/exp_r2k.py 1e7  # combined confirm
-run e8 python scripts/exp_1e8.py             # 1e8 measured number (VERDICT 5)
-run ablate7 python scripts/exp_ablate.py 1e7 # stage attribution at 7.0s cfg
-run r2g6 python scripts/exp_r2g.py 1e6       # 1e6 retune (VERDICT 10)
 run r2h python scripts/exp_r2h.py            # tree per-level attribution
+
 run_long() {
   name=$1; shift
   echo "[queue] START $name $(date +%H:%M:%S)" >&2
