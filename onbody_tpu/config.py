@@ -53,6 +53,12 @@ class SolverConfig:
     # as much as mid sorts); None disables. Fattens leaf boxes —
     # near-field volume tradeoff, measure before adopting.
     tree_span_bot: Optional[int] = None
+    # tree_mode='bisect': exact per-level median splits via 32-round
+    # integer bisection (counts only, no data movement) and ONE variadic
+    # sort per tree_bisect_group levels (max 4). Same slot-exact VAMsplit
+    # semantics as 'median'; in-group split axes come from plane-derived
+    # boxes (recorded boxes are exact). See build._bisect_group_step.
+    tree_bisect_group: int = 4
 
     # build the source and target trees from ONE sequence of stacked
     # variadic sorts (build_trees_paired — bit-identical trees, half the

@@ -68,7 +68,8 @@ def solve_dtt_chunked(kernel: Kernel, cfg: SolverConfig,
     stree, ss, sg = tree_build.build_tree(
         srcs, cfg.block_size, mode=cfg.tree_mode,
         span=cfg.tree_span, span_top=cfg.tree_span_top,
-        defer_rs=getattr(cfg, "tree_defer_rs", False))
+        defer_rs=getattr(cfg, "tree_defer_rs", False),
+        bisect_group=getattr(cfg, "tree_bisect_group", 4))
     src_fm = eq.barycentric_fm(stree, ss, cfg.order, kernel.name,
                                pad8=False)
     # free everything source-side but the feature-major blocks: at 1e8
@@ -81,7 +82,8 @@ def solve_dtt_chunked(kernel: Kernel, cfg: SolverConfig,
     ttree, ts, tg = tree_build.build_tree(
         targs, cfg.block_size, mode=cfg.tree_mode,
         span=cfg.tree_span, span_top=cfg.tree_span_top,
-        defer_rs=getattr(cfg, "tree_defer_rs", False))
+        defer_rs=getattr(cfg, "tree_defer_rs", False),
+        bisect_group=getattr(cfg, "tree_bisect_group", 4))
     n_tgt_real = targs.n_real
     targs = None          # as above: only the sorted copy is needed
     levels_t = ttree.levels

@@ -56,17 +56,18 @@ def prepare(kernel: Kernel, cfg: SolverConfig, srcs: Parts,
     targs = P.astype(targs, cfg.storage_dtype)
     refine = cfg.order < 0
     paired = (getattr(cfg, "tree_paired", False)
-              and cfg.tree_mode in ("median", "span")
+              and cfg.tree_mode in ("median", "span", "bisect")
               and srcs.n_real == targs.n_real
               and tree_build.plan(srcs.n_real, cfg.block_size)
               == tree_build.plan(targs.n_real, cfg.block_size))
     defer = getattr(cfg, "tree_defer_rs", False)
+    bgrp = getattr(cfg, "tree_bisect_group", 4)
     if paired:
         (stree, ss, sg), (ttree, ts, tg) = tree_build.build_trees_paired(
             srcs, targs, cfg.block_size, refine=refine,
             mode=cfg.tree_mode, span=cfg.tree_span,
             span_top=cfg.tree_span_top, span_bot=cfg.tree_span_bot,
-            defer_rs=defer)
+            defer_rs=defer, bisect_group=bgrp)
     else:
         stree, ss, sg = tree_build.build_tree(srcs, cfg.block_size,
                                               refine=refine,
@@ -74,14 +75,16 @@ def prepare(kernel: Kernel, cfg: SolverConfig, srcs: Parts,
                                               span=cfg.tree_span,
                                               span_top=cfg.tree_span_top,
                                               span_bot=cfg.tree_span_bot,
-                                              defer_rs=defer)
+                                              defer_rs=defer,
+                                              bisect_group=bgrp)
         ttree, ts, tg = tree_build.build_tree(targs, cfg.block_size,
                                               refine=refine,
                                               mode=cfg.tree_mode,
                                               span=cfg.tree_span,
                                               span_top=cfg.tree_span_top,
                                               span_bot=cfg.tree_span_bot,
-                                              defer_rs=defer)
+                                              defer_rs=defer,
+                                              bisect_group=bgrp)
     lean = getattr(cfg, "lean_plan", False)
     if lean and cfg.order >= 0:
         # feature-major arrays built directly, no point-major Blocks:

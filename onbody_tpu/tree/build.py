@@ -189,6 +189,164 @@ def _box_step(cols, n_real, l: int, pd: int):
     return _masked_box_cols(xs, mask)
 
 
+# --------------------------------------------------- bisect group build
+#
+# Exact per-level median splits WITHOUT a sort per level: split planes
+# are found by 32-round integer bisection on the monotone-u32 image of
+# the coordinates (counts only — no data movement), and ONE variadic
+# sort per `g` levels then moves every element straight to its level-
+# (l0+g) segment. Sort passes scale with log^2(segment length), so
+# replacing g sorts with one cuts the dominant tree cost ~g-fold at the
+# top while the bisection adds only ~32 cheap elementwise sweeps per
+# level. Counts are exact (ties split by block-order rank), preserving
+# the VAMsplit slot-exactness invariant; in-group split axes come from
+# plane-derived (untight) boxes — the tree's recorded boxes are exact,
+# recomputed from the contiguous post-sort segments.
+
+_U32 = jnp.uint32
+
+
+def _u32_key(x):
+    """f32 -> order-preserving u32 (sign-flip trick)."""
+    b = jax.lax.bitcast_convert_type(x, _U32)
+    return jnp.where(b >> 31 == 1, ~b, b | _U32(0x80000000))
+
+
+def _u32_val(u):
+    """Inverse of _u32_key."""
+    b = jnp.where(u >> 31 == 1, u ^ _U32(0x80000000), ~u)
+    return jax.lax.bitcast_convert_type(b, jnp.float32)
+
+
+def _code_counts(pred, code, nsub: int, nblk: int, m: int):
+    """count[c] (nblk,) of pred elements per sub-segment code, without
+    scatters: pack per-code 1-bit terms into 4-bit digits of one u32
+    (code < 8), sum within chunks of 8 (digit <= 8, no carry), then
+    extract digits and reduce. One full sweep + nsub light sweeps."""
+    term = pred.astype(_U32) << (code * 4)
+    ch = jnp.sum(term.reshape(nblk, m // 8, 8), axis=2, dtype=_U32)
+    return [jnp.sum((ch >> (4 * c)) & 0xF, axis=1, dtype=_U32)
+            for c in range(nsub)]
+
+
+def _sel_by_code(code, vals, nsub: int):
+    """Per-element lookup vals[block, code] via a where-chain (vals is
+    (nblk, nsub); code is (nblk, m) or broadcastable)."""
+    out = jnp.broadcast_to(vals[:, 0:1], code.shape)
+    for c in range(1, nsub):
+        out = jnp.where(code == c, vals[:, c:c + 1], out)
+    return out
+
+
+@partial(jax.jit, static_argnames=("l0", "g", "pd", "ncap"),
+         donate_argnums=(0,))
+def _bisect_group_step(cols, n_real, l0: int, g: int, pd: int, ncap: int):
+    """Split array-levels l0..l0+g-1 exactly, with ONE sort at the end.
+
+    Returns (new_cols, lows, highs): exact masked pre-split boxes for
+    the first `ncap` levels of the group (level l0 from the incoming
+    contiguous segments; deeper ones from the post-sort segments — boxes
+    are per-segment set properties, order-independent).
+    """
+    n_pad = cols[0].shape[0]
+    nblk = 1 << l0
+    m = n_pad >> l0
+    segs = [c.reshape(nblk, m) for c in cols]
+    xs = segs[:pd]
+    real = segs[-1] < n_real
+    lo0, hi0 = _masked_box_cols(xs, real)              # exact, level l0
+    # derived boxes for in-group axis choice: (nblk, nsub, pd)
+    lo_d, hi_d = lo0[:, None, :], hi0[:, None, :]
+    us = [_u32_key(xd) for xd in xs]
+    code = jnp.zeros((nblk, m), _U32)
+
+    for j in range(g):
+        nsub = 1 << j
+        target = _U32((m >> j) >> 1)
+        axis = jnp.argmax(hi_d - lo_d, axis=-1).astype(_U32)  # (nblk,nsub)
+        ax_word = jnp.zeros((nblk,), _U32)
+        for c in range(nsub):
+            ax_word = ax_word | (axis[:, c] << _U32(2 * c))
+        ax_e = (ax_word[:, None] >> (code * 2)) & 3
+        u = us[0]
+        for d in range(1, pd):
+            u = jnp.where(ax_e == d, us[d], u)
+
+        # 32-round MSB-greedy bisection for the largest T with
+        # count(u < T) <= target, per sub-segment, tracked per element
+        t = jnp.zeros((nblk, m), _U32)
+        for r in range(31, -1, -1):
+            cand = t | _U32(1 << r)
+            cnts = _code_counts(u < cand, code, nsub, nblk, m)
+            word = jnp.zeros((nblk,), _U32)
+            for c in range(nsub):
+                word = word | ((cnts[c] <= target).astype(_U32)
+                               << _U32(c))
+            k_e = (word[:, None] >> code) & 1
+            t = jnp.where(k_e == 1, cand, t)
+
+        # exact tie split: first (target - count_less) ties, in block
+        # order, go left. Rank among own-code ties via chunked packed
+        # cumsum (4-bit digits, chunks of 8 — no carries).
+        cnt_less = _code_counts(u < t, code, nsub, nblk, m)
+        need = jnp.stack([(target - cnt_less[c]).astype(jnp.int32)
+                          for c in range(nsub)], axis=1)  # (nblk, nsub)
+        tie = u == t
+        term = tie.astype(_U32) << (code * 4)
+        c8 = jnp.cumsum(term.reshape(nblk, m // 8, 8), axis=2,
+                        dtype=_U32)
+        tot = c8[:, :, -1]                              # (nblk, m//8)
+        totc = jnp.stack([((tot >> (4 * c)) & 0xF).astype(jnp.int32)
+                          for c in range(nsub)], axis=-1)
+        pre = jnp.cumsum(totc, axis=1) - totc           # exclusive
+        code_r = code.reshape(nblk, m // 8, 8)
+        inc = ((c8 >> (code_r * 4)) & 0xF).astype(jnp.int32)
+        pre_e = jnp.broadcast_to(pre[:, :, 0:1], code_r.shape)
+        for c in range(1, nsub):
+            pre_e = jnp.where(code_r == c, pre[:, :, c:c + 1], pre_e)
+        rank = (pre_e + inc - 1).reshape(nblk, m)
+        need_e = _sel_by_code(code, need, nsub)
+        left = (u < t) | (tie & (rank < need_e))
+
+        # plane value per sub-segment (t is uniform within one) for the
+        # derived child boxes of the next in-group level
+        if j + 1 < g:
+            t_bc = jnp.stack(
+                [jnp.max(jnp.where(code == c, t, 0), axis=1)
+                 for c in range(nsub)], axis=1)          # (nblk, nsub)
+            plane = _u32_val(t_bc)[:, :, None]           # (nblk,nsub,1)
+            onax = (jnp.arange(pd)[None, None, :]
+                    == axis[:, :, None].astype(jnp.int32))
+            lo_l, hi_l = lo_d, jnp.where(onax, jnp.minimum(hi_d, plane),
+                                         hi_d)
+            lo_r, hi_r = jnp.where(onax, jnp.maximum(lo_d, plane),
+                                   lo_d), hi_d
+            lo_d = jnp.stack([lo_l, lo_r], axis=2).reshape(nblk,
+                                                           2 * nsub, pd)
+            hi_d = jnp.stack([hi_l, hi_r], axis=2).reshape(nblk,
+                                                           2 * nsub, pd)
+
+        code = code * 2 + (1 - left.astype(_U32))
+
+    out = jax.lax.sort((code,) + tuple(segs), dimension=1, num_keys=1)
+    new_cols = tuple(o.reshape(n_pad) for o in out[1:])
+
+    lows, highs = [], []
+    if ncap > 0:
+        lows.append(lo0)
+        highs.append(hi0)
+    for j in range(1, min(g, ncap)):
+        l = l0 + j
+        nseg = 1 << l
+        mj = n_pad >> l
+        xs_j = [c.reshape(nseg, mj) for c in new_cols[:pd]]
+        mask_j = new_cols[-1].reshape(nseg, mj) < n_real
+        lo, hi = _masked_box_cols(xs_j, mask_j)
+        lows.append(lo)
+        highs.append(hi)
+    return new_cols, lows, highs
+
+
 def _upward_stats(x, r, s, mask, levels: int, block_size: int, sd: int,
                   are_targets: bool, dtype):
     """Leaf + interior centers of mass, strength sums, mean radii
@@ -353,8 +511,9 @@ def build_tree(p: Parts, block_size: int = 128, refine: bool = False,
                mode: str = "median", span: int = 2,
                span_top: int = 6,
                span_bot: Optional[int] = None,
-               defer_rs: bool = False) -> Tuple[Tree, Parts,
-                                                jax.Array]:
+               defer_rs: bool = False,
+               bisect_group: int = 4) -> Tuple[Tree, Parts,
+                                               jax.Array]:
     """Build the tree; returns (tree, reordered+padded parts, gidx).
 
     gidx[i] = original index of the particle now in slot i (the
@@ -417,6 +576,43 @@ def build_tree(p: Parts, block_size: int = 128, refine: bool = False,
         sorted_parts = Parts(x=x, r=r, s=s, n_real=p.n_real)
         return tree, sorted_parts, gidx
 
+    if mode == "bisect":
+        sort_levels = levels if not refine else int(np.log2(n_pad))
+        lows, highs = [], []
+        l = 0
+        while l < sort_levels:
+            # 4-bit count digits cap nsub at 8 -> at most 4 levels/sort
+            geff = min(bisect_group, 4, sort_levels - l)
+            if geff >= 2 and (n_pad >> l) >= 16:
+                ncap = max(0, min(geff, levels + 1 - l))
+                cols, los, his = _bisect_group_step(cols, n_real, l,
+                                                    geff, pd, ncap)
+                lows.extend(los)
+                highs.extend(his)
+                l += geff
+            else:
+                cols, lo, hi = _split_step(cols, n_real, l, pd,
+                                           l <= levels)
+                if l <= levels:
+                    lows.append(lo)
+                    highs.append(hi)
+                l += 1
+        if len(lows) == levels:  # leaf-level box still missing
+            lo, hi = _box_step(cols, n_real, levels, pd)
+            lows.append(lo)
+            highs.append(hi)
+        if defer:
+            perm = cols[-1]
+            rcol = (pp.r[perm],)
+            scols = (tuple(pp.s[:, d][perm] for d in range(sd))
+                     if pp.s is not None else ())
+            cols = cols[:pd] + rcol + scols + (perm,)
+        tree, x, r, s, gidx = _finish_median(
+            cols, n_real, tuple(lows), tuple(highs), levels, block_size,
+            sd, are_targets)
+        sorted_parts = Parts(x=x, r=r, s=s, n_real=p.n_real)
+        return tree, sorted_parts, gidx
+
     # median/span mode: one donated jit step per SORT level (a single
     # unrolled program makes XLA keep every level's temporaries live);
     # span mode skips the sort on levels already ordered by the previous
@@ -467,7 +663,8 @@ def build_trees_paired(ps: Parts, pt: Parts, block_size: int = 128,
                        refine: bool = False, mode: str = "median",
                        span: int = 2, span_top: int = 6,
                        span_bot: Optional[int] = None,
-                       defer_rs: bool = False):
+                       defer_rs: bool = False,
+                       bisect_group: int = 4):
     """Build the source AND target trees from ONE sequence of stacked
     sorts (bit-identical to two build_tree calls; tests/test_tree.py).
 
@@ -484,7 +681,7 @@ def build_trees_paired(ps: Parts, pt: Parts, block_size: int = 128,
     {'median', 'span'}; callers fall back to two build_tree calls
     otherwise. Returns ((stree, src_sorted, sgidx),
     (ttree, tgt_sorted, tgidx))."""
-    assert mode in ("median", "span"), mode
+    assert mode in ("median", "span", "bisect"), mode
     levels, n_pad = plan(ps.n_real, block_size)
     levels_t, n_pad_t = plan(pt.n_real, block_size)
     assert (levels, n_pad) == (levels_t, n_pad_t), "paired needs equal N"
@@ -511,6 +708,31 @@ def build_trees_paired(ps: Parts, pt: Parts, block_size: int = 128,
     q = span if mode == "span" else 1
     sort_levels = levels if not refine else int(np.log2(n_pad))
     lows, highs = [], []
+    if mode == "bisect":
+        l = 0
+        while l < sort_levels:
+            geff = min(bisect_group, 4, sort_levels - l)
+            if geff >= 2 and (n_pad >> l) >= 16:
+                ncap = max(0, min(geff, levels + 1 - l))
+                cols, los, his = _bisect_group_step(
+                    cols, n_real, l + 1, geff, pd, ncap)
+                lows.extend(los)
+                highs.extend(his)
+                l += geff
+            else:
+                cols, lo, hi = _split_step(cols, n_real, l + 1, pd,
+                                           l <= levels)
+                if l <= levels:
+                    lows.append(lo)
+                    highs.append(hi)
+                l += 1
+        if len(lows) == levels:
+            lo, hi = _box_step(cols, n_real, levels + 1, pd)
+            lows.append(lo)
+            highs.append(hi)
+        return _finish_paired(cols, lows, highs, pd, sd, n_pad,
+                              defer_rs, pps, ppt, ps, pt, n_real,
+                              levels, block_size)
     l = 0
     while True:
         capture = l <= levels
@@ -535,6 +757,13 @@ def build_trees_paired(ps: Parts, pt: Parts, block_size: int = 128,
                     highs.append(hi)
                 l += 1
 
+    return _finish_paired(cols, lows, highs, pd, sd, n_pad, defer_rs,
+                          pps, ppt, ps, pt, n_real, levels, block_size)
+
+
+def _finish_paired(cols, lows, highs, pd, sd, n_pad, defer_rs, pps, ppt,
+                   ps, pt, n_real, levels, block_size):
+    """Split the stacked columns back into halves and finish each tree."""
     def half(i, keep_s):
         hcols = tuple(c[i * n_pad:(i + 1) * n_pad] for c in cols)
         if defer_rs:

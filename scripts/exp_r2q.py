@@ -54,6 +54,10 @@ def main():
         ("q4 top4", dict(tree_span=4, tree_span_top=4)),
         ("q3 top9", dict(tree_span=3, tree_span_top=9)),
         ("q4 top8", dict(tree_span=4, tree_span_top=8)),
+        # bisect: exact medians, ONE sort per g levels at every depth.
+        # CPU-measured pair volume == median's (span's is +5.6%)
+        ("bisect g4", dict(tree_mode="bisect")),
+        ("bisect g3", dict(tree_mode="bisect", tree_bisect_group=3)),
     ]
 
     for name, over in variants:

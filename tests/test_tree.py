@@ -331,11 +331,105 @@ def test_span_bot_mode_boxes_and_dtt():
     assert rel < 3e-3, rel
 
 
+def test_bisect_mode_boxes_and_dtt():
+    """Bisect build (exact median splits by integer bisection, ONE sort
+    per 4 levels): boxes contain their particles, every split is an
+    exact slot-median (children disjoint along some axis up to tie
+    values), gidx is a permutation, pair volume matches the median
+    build's (measured +-0.1% at 2e5), and the DTT stays in the accuracy
+    envelope with zero overflow."""
+    from onbody_tpu.config import SolverConfig
+    from onbody_tpu.ops.kernels import KERNELS
+    from onbody_tpu.traverse import direct, dtt, treecode
+
+    p = _srcs(5000)
+    tree, sp, gidx = build.build_tree(p, block_size=64, mode="bisect")
+    x = np.asarray(sp.x)
+    real = np.asarray(gidx) < p.n_real
+    n_pad = x.shape[0]
+    for node in range(1, 2 * tree.nleaf):
+        l = int(np.log2(node))
+        k = node - (1 << l)
+        m = n_pad >> l
+        seg = x[k * m:(k + 1) * m][real[k * m:(k + 1) * m]]
+        if not len(seg):
+            continue
+        nc = np.asarray(tree.nc[node])
+        ns = np.asarray(tree.ns[node])
+        assert np.all(seg >= nc - ns / 2 - 1e-6)
+        assert np.all(seg <= nc + ns / 2 + 1e-6)
+    assert sorted(np.asarray(gidx).tolist()) == list(range(n_pad))
+
+    # every interior node's children must be separated along SOME axis
+    # (exact median along the in-group chosen axis; ties may share the
+    # plane value)
+    for l in range(tree.levels):
+        nseg = 1 << l
+        m = n_pad >> l
+        for k in range(nseg):
+            left = x[k * m:k * m + m // 2]
+            right = x[k * m + m // 2:(k + 1) * m]
+            sep = any(left[:, d].max() <= right[:, d].min() + 1e-7
+                      for d in range(3))
+            assert sep, (l, k)
+
+    kernel = KERNELS["grav3d"]
+    cfg = SolverConfig(block_size=64, order=4, tree_mode="bisect",
+                       frontier_width=256,
+                       list_width=1024, cap_groups_dtt=64)
+    ks, kt = jax.random.split(jax.random.PRNGKey(2))
+    srcs = P.random_in_cube(ks, 5000, 3, 1, True)
+    targs = P.random_in_cube(kt, 5000, 3, 0, False)
+    ref = direct.direct_oracle(kernel, srcs, targs)
+    plan = treecode.prepare(kernel, cfg, srcs, targs)
+    out, info = dtt.solve_dtt(kernel, cfg, plan)
+    assert int(info.overflow) == 0
+    rel = (np.linalg.norm(np.asarray(out) - np.asarray(ref)) /
+           np.linalg.norm(np.asarray(ref)))
+    assert rel < 3e-3, rel
+
+
+def test_bisect_mode_massive_ties():
+    """Tie exactness: coordinates on a coarse grid (many exact f32
+    duplicates per segment) still split to exact slot counts — the
+    tie-rank machinery, not value uniqueness, guarantees VAMsplit
+    exactness. Padding clones (all sharing one coordinate) are the
+    degenerate case and are present too."""
+    ks = jax.random.PRNGKey(3)
+    n = 3000
+    p0 = P.random_in_cube(ks, n, 3, 1, True)
+    import dataclasses
+    xq = jnp.round(p0.x * 8.0) / 8.0          # ~17 distinct values/axis
+    p = dataclasses.replace(p0, x=xq)
+    tree, sp, gidx = build.build_tree(p, block_size=64, mode="bisect")
+    n_pad = np.asarray(sp.x).shape[0]
+    assert sorted(np.asarray(gidx).tolist()) == list(range(n_pad))
+    x = np.asarray(sp.x)
+    real = np.asarray(gidx) < p.n_real
+    for node in range(1, 2 * tree.nleaf):
+        l = int(np.log2(node))
+        k = node - (1 << l)
+        m = n_pad >> l
+        seg = x[k * m:(k + 1) * m][real[k * m:(k + 1) * m]]
+        if not len(seg):
+            continue
+        nc = np.asarray(tree.nc[node])
+        ns = np.asarray(tree.ns[node])
+        assert np.all(seg >= nc - ns / 2 - 1e-6)
+        assert np.all(seg <= nc + ns / 2 + 1e-6)
+    # strength conservation through the build
+    assert np.isclose(float(jnp.sum(sp.s[np.asarray(gidx) < n])),
+                      float(jnp.sum(p.s)), rtol=1e-5)
+
+
 @pytest.mark.parametrize("mode,refine,defer", [("median", False, False),
                                                ("median", True, False),
                                                ("span", False, False),
                                                ("span", False, True),
-                                               ("median", True, True)])
+                                               ("median", True, True),
+                                               ("bisect", False, False),
+                                               ("bisect", False, True),
+                                               ("bisect", True, True)])
 def test_paired_build_bit_identical(mode, refine, defer):
     """build_trees_paired (source + target trees from one sequence of
     stacked sorts) must be BIT-identical to two build_tree calls: the
