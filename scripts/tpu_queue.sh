@@ -38,6 +38,7 @@ run r2i python scripts/exp_r2i.py            # paired/defer build timing
 run r2g7 python scripts/exp_r2g.py 1e7       # group size + b128 at 1e7
 run r2h python scripts/exp_r2h.py            # tree per-level attribution
 run gsz python scripts/exp_gathersize.py     # gather cost vs table size
+run lst python scripts/exp_listcost.py       # rows-builder stage split
 
 run_long() {
   name=$1; shift
