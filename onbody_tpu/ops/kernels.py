@@ -379,6 +379,13 @@ def _dotg_fm(w, rows, accum_dtype, precision: str = "highest"):
                   scale, averaging down over the source lanes.
       'default' — one bf16 pass (measured 9e-3 rel-RMS at 1e7: too
                   coarse for the 1e-4 envelope; kept for experiments).
+      '3xt'/'defaultt' — same arithmetic, output-TRANSPOSED dots:
+                  out.T (F, B_t) puts the small dim on SUBLANES (F <= 8
+                  = one sublane tile) with a full 128-lane output,
+                  instead of lane-padding F to 128. If MXU cost streams
+                  the M rows, a pass costs F/128 of the lane-padded
+                  form; the (F, B_t) -> (B_t, F) result transpose is a
+                  small fixed cost. Measured by scripts/exp_r2t.py.
     """
     def dot(a, b, prec):
         return lax.dot_general(
@@ -389,7 +396,15 @@ def _dotg_fm(w, rows, accum_dtype, precision: str = "highest"):
         return dot(w, rows, lax.Precision.HIGHEST)
     if precision == "default":
         return dot(w, rows, lax.Precision.DEFAULT)
+    if precision == "defaultt":
+        return dot(rows, w, lax.Precision.DEFAULT).T
     d = lax.Precision.DEFAULT
+    if precision == "3xt":
+        wh, wl = _split_bf16(w)
+        rh, rl = _split_bf16(rows)
+        f = rows.shape[0]
+        o = dot(jnp.concatenate([rh, rl], axis=0), wh, d)  # (2F, B_t)
+        return (o[:f] + o[f:] + dot(rh, wl, d)).T
     wh, wl = _split_bf16(w)
     if precision == "w2x":
         rb = rows.astype(jnp.bfloat16)

@@ -273,22 +273,26 @@ def _bisect_group_step(cols, n_real, l0: int, g: int, pd: int, ncap: int):
             u = jnp.where(ax_e == d, us[d], u)
 
         # 32-round MSB-greedy bisection for the largest T with
-        # count(u < T) <= target, per sub-segment, tracked per element
+        # count(u < T) <= target, per sub-segment, tracked per element.
+        # cnt_acc carries the count at the last ACCEPTED candidate ==
+        # count(u < t_final), sparing a 33rd counting pass.
         t = jnp.zeros((nblk, m), _U32)
+        cnt_acc = [jnp.zeros((nblk,), _U32) for _ in range(nsub)]
         for r in range(31, -1, -1):
             cand = t | _U32(1 << r)
             cnts = _code_counts(u < cand, code, nsub, nblk, m)
             word = jnp.zeros((nblk,), _U32)
             for c in range(nsub):
-                word = word | ((cnts[c] <= target).astype(_U32)
-                               << _U32(c))
+                keep_c = cnts[c] <= target
+                word = word | (keep_c.astype(_U32) << _U32(c))
+                cnt_acc[c] = jnp.where(keep_c, cnts[c], cnt_acc[c])
             k_e = (word[:, None] >> code) & 1
             t = jnp.where(k_e == 1, cand, t)
 
         # exact tie split: first (target - count_less) ties, in block
         # order, go left. Rank among own-code ties via chunked packed
         # cumsum (4-bit digits, chunks of 8 — no carries).
-        cnt_less = _code_counts(u < t, code, nsub, nblk, m)
+        cnt_less = cnt_acc
         need = jnp.stack([(target - cnt_less[c]).astype(jnp.int32)
                           for c in range(nsub)], axis=1)  # (nblk, nsub)
         tie = u == t

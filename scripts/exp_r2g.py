@@ -104,6 +104,11 @@ def main():
                 frontier_width=256, cap_groups_dtt=12,
                 tree_mode="span", mxu_precision="3x", pair_group=64,
                 tree_paired=True, tree_defer_rs=True)),
+            ("b256/o5/t1.2 bisect g64 pair+def", dict(
+                block_size=256, order=5, theta_dtt=1.2,
+                frontier_width=192, cap_groups_dtt=16,
+                tree_mode="bisect", mxu_precision="3x", pair_group=64,
+                tree_paired=True, tree_defer_rs=True)),
         ]
 
     for name, kw in variants:

@@ -31,6 +31,7 @@ ONBODY_R2K_GROUPS="16,32,64" run r2k python scripts/exp_r2k.py 1e7  # combined c
 run r2w python scripts/exp_r2w.py 1e7        # frontier width at o5/t1.2
 run r2b5 python scripts/exp_r2b5.py 1e7      # bs512 + looser theta
 run r2q python scripts/exp_r2q.py 1e7        # span group size (sort passes)
+run r2t python scripts/exp_r2t.py 1e7        # transposed MXU contraction
 run e8 python scripts/exp_1e8.py             # 1e8 measured number (VERDICT 5)
 run r2g6 python scripts/exp_r2g.py 1e6       # 1e6 retune (VERDICT 10)
 run ablate7 python scripts/exp_ablate.py 1e7 # stage attribution at 7.0s cfg
