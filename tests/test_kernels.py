@@ -105,3 +105,26 @@ def test_exp_core_branches():
                                rtol=1e-5)
     np.testing.assert_allclose(float(cf.exp_3d(close, sr)[0]), 1000.0,
                                rtol=1e-3)
+
+
+def test_dotg_fm_precision_modes():
+    """All mxu_precision tiers of the pair contraction agree with the
+    f32 'highest' reference within their documented envelopes; the
+    transposed forms ('3xt', 'defaultt') are the same arithmetic with
+    the small dim on sublanes (ops/kernels.py _dotg_fm)."""
+    from onbody_tpu.ops.kernels import _dotg_fm
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    w = jax.random.normal(k1, (128, 512), jnp.float32)
+    rows = jax.random.normal(k2, (4, 512), jnp.float32)
+    ref = np.asarray(_dotg_fm(w, rows, jnp.float32, "highest"))
+    scale = np.max(np.abs(ref))
+    for prec, tol in [("3x", 1e-5), ("3xt", 1e-5), ("w2x", 1e-2),
+                      ("default", 1e-1), ("defaultt", 1e-1)]:
+        out = np.asarray(_dotg_fm(w, rows, jnp.float32, prec))
+        assert out.shape == ref.shape, prec
+        rel = np.max(np.abs(out - ref)) / scale
+        assert rel < tol, (prec, rel)
+    # 3x and 3xt are the SAME bf16-split sum, transposed
+    a = np.asarray(_dotg_fm(w, rows, jnp.float32, "3x"))
+    b = np.asarray(_dotg_fm(w, rows, jnp.float32, "3xt"))
+    assert np.max(np.abs(a - b)) / scale < 1e-6
