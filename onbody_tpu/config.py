@@ -86,6 +86,10 @@ class SolverConfig:
     # list_width bounds the total accepted interactions per target block.
     frontier_width: int = 512
     list_width: int = 2048
+    # row front-compaction mover in the level DTT builder: 'scatter'
+    # (cumsum + flat scatter) or 'sort' (stable lane-dim sort) — same
+    # rows, different primitive (lists._compact_rows)
+    list_compact: str = "scatter"
 
     # execution backend for the pair executor: 'auto' (pallas on TPU,
     # jnp elsewhere), 'pallas', or 'jnp'

@@ -212,7 +212,10 @@ def solve_dtt(kernel: Kernel, cfg: SolverConfig, plan: Plan,
                                              theta, cfg.frontier_width,
                                              cfg.mac_geometry,
                                              src_parts=parts,
-                                             tgt_parts=parts)
+                                             tgt_parts=parts,
+                                             compact=getattr(
+                                                 cfg, "list_compact",
+                                                 "scatter"))
             slot_width = cfg.frontier_width
         else:
             pl = lists.build_dtt_pairs(plan.stree, plan.ttree, theta,

@@ -59,17 +59,28 @@ class PairList(NamedTuple):
     overflow: jax.Array  # () int32
 
 
-def _compact_rows(vals: jax.Array, width: int) -> Tuple[jax.Array, jax.Array]:
+def _compact_rows(vals: jax.Array, width: int,
+                  mode: str = "scatter") -> Tuple[jax.Array, jax.Array]:
     """Move valid (!=0) entries of each row to the front; truncate/pad to
     `width` columns. Returns (compacted, overflow_count).
 
-    Implemented as a row-local cumsum + one flat scatter (per-row sorts
-    and take_along_axis gathers are far slower on TPU)."""
+    mode='scatter': row-local cumsum + one flat scatter (round-1
+    measurement: beat per-row argsort + take_along_axis gathers).
+    mode='sort': a stable lane-dim variadic sort with a zeros-last key —
+    identical rows (verified), different mover; scripts/exp_listcost.py
+    measures which wins at 1e7 frontier shapes."""
     L, K = vals.shape
     valid = vals != 0
-    pos = jnp.cumsum(valid.astype(jnp.int32), axis=1) - 1
     counts = jnp.sum(valid, axis=1, dtype=jnp.int32)
     overflow = jnp.sum(jnp.maximum(counts - width, 0), dtype=jnp.int32)
+    if mode == "sort":
+        key = (~valid).astype(jnp.int32)
+        out = jax.lax.sort((key, vals), dimension=1, num_keys=1,
+                           is_stable=True)[1]
+        if width > K:
+            out = jnp.pad(out, ((0, 0), (0, width - K)))
+        return out[:, :width], overflow
+    pos = jnp.cumsum(valid.astype(jnp.int32), axis=1) - 1
     keep = valid & (pos < width)
     dump = L * width
     flat = jnp.where(
@@ -477,11 +488,11 @@ def top_prefix_len(split: int, levels_t: int, W: int) -> int:
 
 @partial(jax.jit, static_argnames=("levels_s", "levels_t", "frontier_width",
                                    "mac_geometry", "src_parts",
-                                   "tgt_parts"))
+                                   "tgt_parts", "compact"))
 def _dtt_lists_level(stree: Tree, ttree: Tree, theta,
                      levels_s: int, levels_t: int, frontier_width: int,
                      mac_geometry: str = "quant", src_parts: int = 1,
-                     tgt_parts: int = 1):
+                     tgt_parts: int = 1, compact: str = "scatter"):
     """Simultaneous-descent dual-tree traversal: ONE MAC classification
     per target level.
 
@@ -601,7 +612,7 @@ def _dtt_lists_level(stree: Tree, ttree: Tree, theta,
                 kids = jnp.concatenate(
                     [jnp.where(expand, 2 * cand, 0),
                      jnp.where(expand, 2 * cand + 1, 0)], axis=1)
-                cand, ovc = _compact_rows(kids, W)
+                cand, ovc = _compact_rows(kids, W, compact)
                 overflow = overflow + ovc
                 accept, expand, defer = classify(cand)
                 out_ext, out_cnt, ovc = _append_rows(
@@ -613,7 +624,8 @@ def _dtt_lists_level(stree: Tree, ttree: Tree, theta,
             out = out_ext[:, :W]
             total_valid = total_valid + jnp.sum(out_cnt, dtype=jnp.int32)
         else:
-            out, ovc = _compact_rows(_ext_src(out, nleaf_s, src_parts), Wl)
+            out, ovc = _compact_rows(_ext_src(out, nleaf_s, src_parts), Wl,
+                                     compact)
             overflow = overflow + ovc + jnp.sum(expand, dtype=jnp.int32)
             total_valid = total_valid + jnp.sum(out != 0, dtype=jnp.int32)
 
@@ -644,7 +656,8 @@ def _dtt_lists_level(stree: Tree, ttree: Tree, theta,
                 [jnp.where(split, 2 * cand, 0),
                  jnp.where(split, 2 * cand + 1, 0),
                  jnp.where(keep_leaf, cand, 0)], axis=1)
-            nxt, ovc = _compact_rows(kids, level_width(l + 1, levels_t, W))
+            nxt, ovc = _compact_rows(kids, level_width(l + 1, levels_t, W),
+                                     compact)
             overflow = overflow + ovc
             cand = jnp.repeat(nxt, 2, axis=0)
 
@@ -856,11 +869,13 @@ def build_dtt_pairs_level(stree: Tree, ttree: Tree, theta,
                           frontier_width: int = 128,
                           mac_geometry: str = "quant",
                           src_parts: int = 1,
-                          tgt_parts: int = 1) -> PairList:
+                          tgt_parts: int = 1,
+                          compact: str = "scatter") -> PairList:
     """Simultaneous-descent DTT pair list; slot width == frontier_width."""
     tgt, src, nv, ov = _dtt_lists_level(stree, ttree, theta, stree.levels,
                                         ttree.levels, frontier_width,
-                                        mac_geometry, src_parts, tgt_parts)
+                                        mac_geometry, src_parts, tgt_parts,
+                                        compact)
     return PairList(tgt=tgt, src=src, n_valid=nv, overflow=ov)
 
 

@@ -53,6 +53,8 @@ def main():
         ("3x ctrl", dict(mxu_precision="3x")),
         ("3xt", dict(mxu_precision="3xt")),
         ("defaultt (floor)", dict(mxu_precision="defaultt")),
+        ("3x sort-compact", dict(mxu_precision="3x",
+                                 list_compact="sort")),
     ]
 
     for name, over in variants:
