@@ -47,5 +47,7 @@ run_long() {
   timeout 16000 "$@" > "/tmp/q_$name.log" 2>&1
   echo "[queue] DONE $name exit=$? $(date +%H:%M:%S)" >&2
 }
+run bench7 env ONBODY_BENCH_N=10000000 python bench.py  # committed-config confirm
+run bench6 python bench.py
 run_long pareto bash scripts/run_pareto.sh        # theta-Pareto (VERDICT 9)
 echo "[queue] ALL DONE $(date +%H:%M:%S)" >&2
