@@ -54,32 +54,11 @@ def _sync(x) -> float:
 
 def main():
     kernel = get_kernel("grav3d")
-    if N >= 40_000_000:
-        # beyond ~4e7 the monolithic plan exceeds 16 GB HBM: run the
-        # subtree-chunked solve (traverse/chunked.py) — lean resident
-        # source blocks, one target subtree at a time
-        cfg = SolverConfig(block_size=256, order=5, theta_dtt=1.2,
-                           frontier_width=192, cap_groups_dtt=16,
-                           tree_mode="span", pair_backend="pallas",
-                           pair_group=16, pair_fetch="pregather",
-                           mxu_precision="3x", lean_plan=True,
-                           tree_defer_rs=True)
-    elif N >= 4_000_000:
-        # larger blocks at scale: halves node count and list memory
-        # (HBM is 16GB on this chip). Round-2 tuning (docs/PERF.md):
-        # span-top tree build, order 5 + theta 1.2 (same 1e-4 error
-        # class as o4/t1.4 at ~35% fewer pairs), '3x' manual-bf16 MXU
-        # contraction (rms unchanged, -1.3 s at 1e7)
-        cfg = SolverConfig(block_size=256, order=5, theta_dtt=1.2,
-                           frontier_width=192, list_width=320,
-                           cap_groups_dtt=16, pair_backend="pallas",
-                           pair_group=16, pair_fetch="dma",
-                           tree_mode="span", mxu_precision="3x")
-    else:
-        cfg = SolverConfig(block_size=128, order=4, theta_dtt=1.4,
-                           frontier_width=208, list_width=512,
-                           cap_groups_dtt=12,
-                           pair_backend="pallas", pair_group=16)
+    # per-N measured-best settings live in ONE table (config.tuned_config;
+    # sweep history in docs/PERF.md). N >= 4e7 configs pair with the
+    # subtree-chunked solve below (monolithic plans exceed 16 GB HBM).
+    from onbody_tpu.config import tuned_config
+    cfg = tuned_config(N)
     ks, kt = jax.random.split(jax.random.PRNGKey(12345))
 
     def gen():

@@ -166,3 +166,35 @@ class SolverConfig:
     def ncp(self) -> int:
         """Chebyshev points per dimension (order+1)."""
         return self.order + 1
+
+
+def tuned_config(n: int) -> SolverConfig:
+    """Measured-best full-evaluation (DTT) configuration per problem
+    size on one TPU v5e chip (sweep history in docs/PERF.md; the
+    reference analogue is the hard-coded library tuning of
+    interface2dvort.cpp:189-195). bench.py and callers that just want
+    "the fast settings for this N" use this single table.
+
+    Frontier widths are overflow-verified for the bench seed (12345) at
+    the bench sizes; other particle distributions should check
+    PairList.overflow (the API layer retries wider automatically).
+    """
+    if n >= 40_000_000:
+        # beyond ~4e7 the monolithic plan exceeds 16 GB HBM: callers
+        # should run traverse/chunked.solve_dtt_chunked with this
+        return SolverConfig(block_size=256, order=5, theta_dtt=1.2,
+                            frontier_width=192, cap_groups_dtt=16,
+                            tree_mode="span", pair_backend="pallas",
+                            pair_group=16, pair_fetch="pregather",
+                            mxu_precision="3x", lean_plan=True,
+                            tree_defer_rs=True)
+    if n >= 4_000_000:
+        return SolverConfig(block_size=256, order=5, theta_dtt=1.2,
+                            frontier_width=192, list_width=320,
+                            cap_groups_dtt=16, pair_backend="pallas",
+                            pair_group=16, pair_fetch="dma",
+                            tree_mode="span", mxu_precision="3x")
+    return SolverConfig(block_size=128, order=4, theta_dtt=1.4,
+                        frontier_width=208, list_width=512,
+                        cap_groups_dtt=12,
+                        pair_backend="pallas", pair_group=16)
