@@ -90,6 +90,10 @@ class SolverConfig:
     # (cumsum + flat scatter) or 'sort' (stable lane-dim sort) — same
     # rows, different primitive (lists._compact_rows)
     list_compact: str = "scatter"
+    # global group-compaction mover (lists.group_pairs over the full
+    # flattened pair list): 'scatter' or 'sort' (stable invalid-last
+    # variadic sort — same groups, same order)
+    group_compact: str = "scatter"
 
     # execution backend for the pair executor: 'auto' (pallas on TPU,
     # jnp elsewhere), 'pallas', or 'jnp'

@@ -209,7 +209,8 @@ def exec_pairs(kernel: Kernel, cfg, plan, raw: PairList, slot_width: int,
         interpret = interpret or jax.devices()[0].platform == "cpu"
         g = getattr(cfg, "pair_group", pp.GROUP)
         cap = max(1024, n_rows * cap_groups_per_row * pp.GROUP // g)
-        pg = lists.group_pairs(raw, cap, g, slot_width)
+        pg = lists.group_pairs(raw, cap, g, slot_width,
+                               getattr(cfg, "group_compact", "scatter"))
         # eager path (not under jit): trim the all-padding tail so the
         # kernel only visits real groups — the static cap is a safety
         # bound, not the work size. Costs one scalar fetch.

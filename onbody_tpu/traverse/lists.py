@@ -652,10 +652,11 @@ def _dtt_lists_level(stree: Tree, ttree: Tree, theta,
             s_leaf = cand >= nleaf_s
             keep_leaf = defer & s_leaf
             split = defer & ~s_leaf
+            # keep_leaf and split are disjoint, so riding leaves share the
+            # first child slot: a 2W compaction input instead of 3W
             kids = jnp.concatenate(
-                [jnp.where(split, 2 * cand, 0),
-                 jnp.where(split, 2 * cand + 1, 0),
-                 jnp.where(keep_leaf, cand, 0)], axis=1)
+                [jnp.where(split, 2 * cand, jnp.where(keep_leaf, cand, 0)),
+                 jnp.where(split, 2 * cand + 1, 0)], axis=1)
             nxt, ovc = _compact_rows(kids, level_width(l + 1, levels_t, W),
                                      compact)
             overflow = overflow + ovc
@@ -781,9 +782,9 @@ def _dtt_lists_top(stree: Tree, ttree: Tree, theta, levels_s: int,
         keep_leaf = defer & s_leaf
         split_m = defer & ~s_leaf
         kids = jnp.concatenate(
-            [jnp.where(split_m, 2 * cand, 0),
-             jnp.where(split_m, 2 * cand + 1, 0),
-             jnp.where(keep_leaf, cand, 0)], axis=1)
+            [jnp.where(split_m, 2 * cand,
+                       jnp.where(keep_leaf, cand, 0)),
+             jnp.where(split_m, 2 * cand + 1, 0)], axis=1)
         nxt, ovc = _compact_rows(kids, level_width(l + 1, levels_t, W))
         overflow = overflow + ovc
         cand = jnp.repeat(nxt, 2, axis=0)
@@ -855,9 +856,9 @@ def _dtt_lists_sub(stree: Tree, ttree: Tree, theta, cand0, root,
             keep_leaf = defer & s_leaf
             split_m = defer & ~s_leaf
             kids = jnp.concatenate(
-                [jnp.where(split_m, 2 * cand, 0),
-                 jnp.where(split_m, 2 * cand + 1, 0),
-                 jnp.where(keep_leaf, cand, 0)], axis=1)
+                [jnp.where(split_m, 2 * cand,
+                           jnp.where(keep_leaf, cand, 0)),
+                 jnp.where(split_m, 2 * cand + 1, 0)], axis=1)
             nxt, ovc = _compact_rows(kids, level_width(l + 1, levels_t, W))
             overflow = overflow + ovc
             cand = jnp.repeat(nxt, 2, axis=0)
@@ -1132,33 +1133,56 @@ def finalize_pairs(pl: PairList, cap: int, nn_t: int = 0) -> PairList:
                     overflow=pl.overflow + ov)
 
 
-@partial(jax.jit, static_argnames=("cap", "group", "slot_width"))
-def _compact_groups(tgt, src, cap: int, group: int, slot_width: int):
+@partial(jax.jit, static_argnames=("cap", "group", "slot_width", "mover"))
+def _compact_groups(tgt, src, cap: int, group: int, slot_width: int,
+                    mover: str = "scatter"):
     """Compact flat padded (tgt, src) pairs into G-wide groups.
 
     Builder output has slot_width entries per target row (slot_width %
     group == 0), so reshaping to (n_chunks, group) never straddles a row
-    boundary; chunks with any valid source survive."""
+    boundary; chunks with any valid source survive.
+
+    mover='scatter' front-packs via cumsum + one flat scatter;
+    mover='sort' uses a stable variadic sort with an invalid-last key
+    (same chunks, same order — stability preserves the by-target
+    grouping the executor's output revisiting relies on). Sorts move
+    data ~10-20x cheaper than random scatters at these shapes
+    (docs/PERF.md finding 1); which wins here is measured, not assumed.
+    """
     assert slot_width % group == 0
     n_valid = jnp.sum(src != 0, dtype=jnp.int32)
     tgt_c = tgt.reshape(-1, group)[:, 0]
     src_c = src.reshape(-1, group)
     keep = jnp.any(src_c != 0, axis=1)
+    n_chunks = jnp.sum(keep, dtype=jnp.int32)
+    if mover == "sort":
+        key = (~keep).astype(jnp.int32)
+        ops = jax.lax.sort(
+            (key, tgt_c) + tuple(src_c[:, j] for j in range(group)),
+            dimension=0, num_keys=1, is_stable=True)
+        out_t = jnp.where(ops[0] == 0, ops[1], 0)
+        out_s = jnp.stack(ops[2:], axis=1)
+        m = out_t.shape[0]
+        if m >= cap:
+            out_t, out_s = out_t[:cap], out_s[:cap]
+        else:
+            out_t = jnp.pad(out_t, (0, cap - m))
+            out_s = jnp.pad(out_s, ((0, cap - m), (0, 0)))
+        return out_t, out_s, n_valid, jnp.maximum(n_chunks - cap, 0)
     pos = jnp.cumsum(keep.astype(jnp.int32)) - 1
     pos = jnp.where(keep & (pos < cap), pos, cap)
     out_t = jnp.zeros((cap + 1,), jnp.int32).at[pos].set(tgt_c, mode="drop")
     out_s = jnp.zeros((cap + 1, group), jnp.int32).at[pos].set(
         src_c, mode="drop")
-    n_chunks = jnp.sum(keep, dtype=jnp.int32)
     return (out_t[:cap], out_s[:cap], n_valid,
             jnp.maximum(n_chunks - cap, 0))
 
 
-def group_pairs(pl: PairList, cap: int, group: int,
-                slot_width: int) -> PairGroups:
+def group_pairs(pl: PairList, cap: int, group: int, slot_width: int,
+                mover: str = "scatter") -> PairGroups:
     """Builder output -> G-wide grouped chunks for the Pallas executor."""
     tgt, src, n, ov = _compact_groups(pl.tgt, pl.src, cap, group,
-                                      slot_width)
+                                      slot_width, mover)
     return PairGroups(tgt=tgt, src=src, n_valid=n,
                       overflow=pl.overflow + ov * group)
 
