@@ -193,11 +193,16 @@ def tuned_config(n: int) -> SolverConfig:
                             mxu_precision="3x", lean_plan=True,
                             tree_defer_rs=True)
     if n >= 4_000_000:
+        # r2 session-4 sweeps (docs/PERF.md): paired+defer tree build
+        # -0.45s, W128 -0.25s (zero overflow at theta 1.2), transposed
+        # MXU '3xt' -0.14s, sort row-compaction -0.08s
         return SolverConfig(block_size=256, order=5, theta_dtt=1.2,
-                            frontier_width=192, list_width=320,
+                            frontier_width=128, list_width=320,
                             cap_groups_dtt=16, pair_backend="pallas",
                             pair_group=16, pair_fetch="dma",
-                            tree_mode="span", mxu_precision="3x")
+                            tree_mode="span", mxu_precision="3xt",
+                            tree_paired=True, tree_defer_rs=True,
+                            list_compact="sort")
     return SolverConfig(block_size=128, order=4, theta_dtt=1.4,
                         frontier_width=208, list_width=512,
                         cap_groups_dtt=12,
