@@ -65,27 +65,28 @@ def solve_dtt_chunked(kernel: Kernel, cfg: SolverConfig,
     split = int(np.log2(n_chunks))
     assert 1 << split == n_chunks
 
-    stree, ss, sg = tree_build.build_tree(
-        srcs, cfg.block_size, mode=cfg.tree_mode,
-        span=cfg.tree_span, span_top=cfg.tree_span_top,
-        defer_rs=getattr(cfg, "tree_defer_rs", False),
-        bisect_group=getattr(cfg, "tree_bisect_group", 4))
-    src_fm = eq.barycentric_fm(stree, ss, cfg.order, kernel.name,
-                               pad8=False)
-    # free everything source-side but the feature-major blocks: at 1e8
-    # the originals are ~2.4 GB and the 16 GB HBM budget has no room for
-    # them during the target build (callers that keep their own
-    # references forfeit this — pass ownership, see scripts/exp_1e8.py)
-    del ss, sg
-    srcs = None
-
+    # TARGET tree first: the build's sort-network buffers (~6.5 GB at
+    # 1e8) must not coexist with src_fm (~5.4 GB). Ordering the phases
+    # target-build -> source-build -> featurize keeps peak HBM to
+    # max(originals + sort buffers, sorted arrays + src_fm) ~ 11 GB
+    # instead of the ~14 GB+ that OOMed with sources first.
     ttree, ts, tg = tree_build.build_tree(
         targs, cfg.block_size, mode=cfg.tree_mode,
         span=cfg.tree_span, span_top=cfg.tree_span_top,
         defer_rs=getattr(cfg, "tree_defer_rs", False),
         bisect_group=getattr(cfg, "tree_bisect_group", 4))
     n_tgt_real = targs.n_real
-    targs = None          # as above: only the sorted copy is needed
+    targs = None          # only the sorted copy is needed from here on
+
+    stree, ss, sg = tree_build.build_tree(
+        srcs, cfg.block_size, mode=cfg.tree_mode,
+        span=cfg.tree_span, span_top=cfg.tree_span_top,
+        defer_rs=getattr(cfg, "tree_defer_rs", False),
+        bisect_group=getattr(cfg, "tree_bisect_group", 4))
+    srcs = None           # as above: pass ownership (see docstring)
+    src_fm = eq.barycentric_fm(stree, ss, cfg.order, kernel.name,
+                               pad8=False)
+    del ss, sg
     levels_t = ttree.levels
     assert levels_t > split, "need more target leaves than chunks"
     bs = ttree.block_size

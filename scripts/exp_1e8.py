@@ -38,11 +38,12 @@ def main():
     theta = float(sys.argv[3]) if len(sys.argv) > 3 else 1.2
     kernel = get_kernel("grav3d")
     cfg = SolverConfig(block_size=256, order=5, theta_dtt=theta,
-                       frontier_width=192, cap_groups_dtt=16,
+                       frontier_width=128, cap_groups_dtt=16,
                        tree_mode="span", pair_backend="pallas",
                        dtt_traversal="level", pair_fetch="pregather",
                        pair_group=16, lean_plan=True,
-                       tree_defer_rs=True)
+                       tree_defer_rs=True, mxu_precision="3xt",
+                       list_compact="sort")
     ks, kt = jax.random.split(jax.random.PRNGKey(12345))
 
     def gen():
