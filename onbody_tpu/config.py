@@ -203,7 +203,11 @@ def tuned_config(n: int) -> SolverConfig:
                             tree_mode="span", mxu_precision="3xt",
                             tree_paired=True, tree_defer_rs=True,
                             list_compact="sort")
-    return SolverConfig(block_size=128, order=4, theta_dtt=1.4,
-                        frontier_width=208, list_width=512,
-                        cap_groups_dtt=12,
-                        pair_backend="pallas", pair_group=16)
+    # 1e6 sweep (exp_r2g, docs/PERF.md r2s4): b256/o5/theta1.2 span+3x
+    # measured 0.369s vs 0.483s for the round-1 b128/o4/theta1.4 config;
+    # g32/g64 and paired+defer combos measured slightly worse at this N
+    return SolverConfig(block_size=256, order=5, theta_dtt=1.2,
+                        frontier_width=192, list_width=320,
+                        cap_groups_dtt=16, tree_mode="span",
+                        pair_backend="pallas", pair_group=16,
+                        mxu_precision="3x")

@@ -54,31 +54,52 @@ def main():
     ref = np.asarray(ref, np.float64)
     _sync(ref)
 
-    variants = [
-        ("ctrl", {}),
-        ("gc-sort", dict(group_compact="sort")),
-        ("lc-sort", dict(list_compact="sort")),
-        ("both-sort", dict(group_compact="sort", list_compact="sort")),
-        ("static-g16", dict(pair_fetch="static")),
-        ("static-g32", dict(pair_fetch="static", pair_group=32)),
-    ]
+    if n >= 4_000_000:
+        # tuned_config already stacks paired+defer/W128/3xt/lc-sort
+        variants = [
+            ("ctrl stacked", {}),
+            ("W112", dict(frontier_width=112)),
+            ("W96", dict(frontier_width=96)),
+            ("gc-sort", dict(group_compact="sort")),
+            ("lc-scatter", dict(list_compact="scatter")),
+            ("static-g16", dict(pair_fetch="static")),
+        ]
+    else:
+        # 1e6 class: measure the 1e7 winners one at a time on top of
+        # the measured-best 0.369s base (exp_r2g)
+        variants = [
+            ("ctrl", {}),
+            ("W128", dict(frontier_width=128)),
+            ("3xt", dict(mxu_precision="3xt")),
+            ("lc-sort", dict(list_compact="sort")),
+            ("gc-sort", dict(group_compact="sort")),
+            ("pair+def g16", dict(tree_paired=True, tree_defer_rs=True)),
+            ("all stacked", dict(frontier_width=128,
+                                 mxu_precision="3xt",
+                                 list_compact="sort",
+                                 tree_paired=True, tree_defer_rs=True)),
+        ]
     for name, kw in variants:
         cfg = base.replace(**kw)
         try:
             def full():
+                if n < 4_000_000:   # fused path, the bench convention
+                    (out, inv), info = dtt.solve_dtt_fused(
+                        kernel, cfg, srcs, targs, unscramble=False)
+                    return inv, out, info
                 plan = prepare(kernel, cfg, srcs, targs)
                 out, info = dtt.solve_dtt(kernel, cfg, plan,
                                           unscramble=False)
-                return plan, out, info
-            plan, out, info = full()   # warm (compile)
+                return plan.tgt_inv, out, info
+            inv, out, info = full()   # warm (compile)
             _sync(out)
             times = []
             for _ in range(3):
                 t0 = time.perf_counter()
-                plan, out, info = full()
+                inv, out, info = full()
                 _sync(out)
                 times.append(time.perf_counter() - t0)
-            o = np.asarray(out[plan.tgt_inv[::tskip]],
+            o = np.asarray(out[inv[::tskip]],
                            np.float64)[:ref.shape[0]]
             err = np.sqrt(((o - ref) ** 2).sum() / (ref ** 2).sum())
             print(f"{name:14s} {min(times):7.3f} s  rms {err:.2e}  "
