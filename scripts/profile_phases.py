@@ -47,18 +47,8 @@ def main():
     n = int(float(sys.argv[1])) if len(sys.argv) > 1 else 1_000_000
     theta = float(sys.argv[2]) if len(sys.argv) > 2 else None
     kernel = get_kernel("grav3d")
-    if n >= 4_000_000:
-        # bench.py's 1e7 configuration (docs/PERF.md r2)
-        cfg = SolverConfig(block_size=256, order=5, theta_dtt=1.2,
-                           frontier_width=192, cap_groups_dtt=16,
-                           tree_mode="span", pair_backend="pallas",
-                           dtt_traversal="level", pair_fetch="dma",
-                           mxu_precision="3x", lean_plan=True)
-    else:
-        cfg = SolverConfig(block_size=128, order=4, theta_dtt=1.4,
-                           frontier_width=208, cap_groups_dtt=12,
-                           tree_mode="span", pair_backend="pallas",
-                           dtt_traversal="level", lean_plan=True)
+    from onbody_tpu.config import tuned_config
+    cfg = tuned_config(n).replace(lean_plan=True)
     if theta is None:
         theta = cfg.theta_dtt
     ks, kt = jax.random.split(jax.random.PRNGKey(12345))
@@ -75,12 +65,23 @@ def main():
             t[name] = time.perf_counter() - t0
             return r
 
-        stree, ss, sg = run("src tree", lambda: tb.build_tree(
-            srcs, cfg.block_size, refine=cfg.order < 0, mode=cfg.tree_mode,
-            span=cfg.tree_span, span_top=cfg.tree_span_top))
-        ttree, ts, tg = run("tgt tree", lambda: tb.build_tree(
-            targs, cfg.block_size, refine=cfg.order < 0, mode=cfg.tree_mode,
-            span=cfg.tree_span, span_top=cfg.tree_span_top))
+        if getattr(cfg, "tree_paired", False):
+            (stree, ss, sg), (ttree, ts, tg) = run(
+                "trees paired", lambda: tb.build_trees_paired(
+                    srcs, targs, cfg.block_size, mode=cfg.tree_mode,
+                    span=cfg.tree_span, span_top=cfg.tree_span_top,
+                    defer_rs=getattr(cfg, "tree_defer_rs", False)))
+        else:
+            stree, ss, sg = run("src tree", lambda: tb.build_tree(
+                srcs, cfg.block_size, refine=cfg.order < 0,
+                mode=cfg.tree_mode, span=cfg.tree_span,
+                span_top=cfg.tree_span_top,
+                defer_rs=getattr(cfg, "tree_defer_rs", False)))
+            ttree, ts, tg = run("tgt tree", lambda: tb.build_tree(
+                targs, cfg.block_size, refine=cfg.order < 0,
+                mode=cfg.tree_mode, span=cfg.tree_span,
+                span_top=cfg.tree_span_top,
+                defer_rs=getattr(cfg, "tree_defer_rs", False)))
         src_fm = run("src fm", lambda: eq.barycentric_fm(
             stree, ss, cfg.order, kernel.name,
             pad8=getattr(cfg, "pair_fetch", "pregather") == "dma"))
@@ -94,7 +95,8 @@ def main():
                              tgt_blocks=None, src_gidx=sg, tgt_gidx=tg,
                              src_fm=src_fm, tgt_geo=tgt_geo, tgt_inv=tgt_inv)
         pl = run("dtt lists", lambda: lists.build_dtt_pairs_level(
-            stree, ttree, theta, cfg.frontier_width, cfg.mac_geometry))
+            stree, ttree, theta, cfg.frontier_width, cfg.mac_geometry,
+            compact=getattr(cfg, "list_compact", "scatter")))
         outb, info = run("pair exec", lambda: pexec.exec_pairs(
             kernel, cfg, plan, pl, cfg.frontier_width, cfg.cap_groups_dtt))
         outb = run("downward", lambda: dtt._downward(
