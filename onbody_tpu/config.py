@@ -48,6 +48,11 @@ class SolverConfig:
     tree_mode: str = "median"
     tree_span: int = 2
     tree_span_top: int = 6
+    # consecutive build-schedule steps fused per dispatch (tree/build.py
+    # _run_steps): >1 amortizes the measured ~35 ms/dispatch fixed cost
+    # (docs/PERF.md r2i) at the price of up to fuse+1 column sets of
+    # peak HBM — keep 1 for N >= ~4e7 on 16 GB
+    tree_fuse: int = 1
     # apply the multi-way skip from this level DOWN as well (bitonic
     # passes touch the whole array at every level, so bottom sorts cost
     # as much as mid sorts); None disables. Fattens leaf boxes —

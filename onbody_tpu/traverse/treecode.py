@@ -62,12 +62,13 @@ def prepare(kernel: Kernel, cfg: SolverConfig, srcs: Parts,
               == tree_build.plan(targs.n_real, cfg.block_size))
     defer = getattr(cfg, "tree_defer_rs", False)
     bgrp = getattr(cfg, "tree_bisect_group", 4)
+    fuse = getattr(cfg, "tree_fuse", 1)
     if paired:
         (stree, ss, sg), (ttree, ts, tg) = tree_build.build_trees_paired(
             srcs, targs, cfg.block_size, refine=refine,
             mode=cfg.tree_mode, span=cfg.tree_span,
             span_top=cfg.tree_span_top, span_bot=cfg.tree_span_bot,
-            defer_rs=defer, bisect_group=bgrp)
+            defer_rs=defer, bisect_group=bgrp, fuse=fuse)
     else:
         stree, ss, sg = tree_build.build_tree(srcs, cfg.block_size,
                                               refine=refine,
@@ -76,7 +77,8 @@ def prepare(kernel: Kernel, cfg: SolverConfig, srcs: Parts,
                                               span_top=cfg.tree_span_top,
                                               span_bot=cfg.tree_span_bot,
                                               defer_rs=defer,
-                                              bisect_group=bgrp)
+                                              bisect_group=bgrp,
+                                              fuse=fuse)
         ttree, ts, tg = tree_build.build_tree(targs, cfg.block_size,
                                               refine=refine,
                                               mode=cfg.tree_mode,
@@ -84,7 +86,8 @@ def prepare(kernel: Kernel, cfg: SolverConfig, srcs: Parts,
                                               span_top=cfg.tree_span_top,
                                               span_bot=cfg.tree_span_bot,
                                               defer_rs=defer,
-                                              bisect_group=bgrp)
+                                              bisect_group=bgrp,
+                                              fuse=fuse)
     lean = getattr(cfg, "lean_plan", False)
     if lean and cfg.order >= 0:
         # feature-major arrays built directly, no point-major Blocks:

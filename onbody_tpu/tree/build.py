@@ -150,9 +150,21 @@ def _masked_box_cols(xs, mask):
     return jnp.stack(los, axis=1), jnp.stack(his, axis=1)
 
 
-@partial(jax.jit, static_argnames=("l", "pd", "capture_box"),
-         donate_argnums=(0,))
-def _split_step(cols, n_real, l: int, pd: int, capture_box: bool):
+def _pad_dead_boxes(lo, hi, parts: int, live: int, nseg_p: int):
+    """Extend live-prefix (parts*live, pd) boxes to the full
+    (parts*nseg_p, pd) level width. Dead-segment entries are zeros —
+    inert placeholders that _dead_geometry_override replaces with
+    far-point geometry keyed on the alive mask."""
+    pd = lo.shape[1]
+    lo = jnp.pad(lo.reshape(parts, live, pd),
+                 ((0, 0), (0, nseg_p - live), (0, 0))).reshape(-1, pd)
+    hi = jnp.pad(hi.reshape(parts, live, pd),
+                 ((0, 0), (0, nseg_p - live), (0, 0))).reshape(-1, pd)
+    return lo, hi
+
+
+def _split_step_impl(cols, n_real, l: int, pd: int, capture_box: bool,
+                     n_live: int = 0, parts: int = 1):
     """One median-split level: boxes (pre-split), longest-axis keys, one
     variadic segmented sort carrying every column through the network.
 
@@ -160,33 +172,167 @@ def _split_step(cols, n_real, l: int, pd: int, capture_box: bool):
     last). A separate donated jit per level keeps peak HBM at ~2x the
     payload: unrolling all levels into one program makes XLA's buffer
     assignment keep every level's temporaries alive.
+
+    The sort key IS a coordinate column (the segment's longest axis), so
+    it rides as operand 0 instead of a duplicate 5th column: the other
+    pd-1 coordinates are packed in cyclic (axis+j) order and unpacked
+    axis-major after the sort. Every bitonic pass moves 4 columns
+    instead of 5 (-20% sort traffic — the dominant tree-build cost at
+    scale); the permutation, and hence the tree, is bit-identical, and
+    the pack/unpack where-chains are cheap elementwise passes.
+
+    live_frac / parts: padding clones sort past every real particle
+    (pad_to puts them one diameter beyond the max corner), so after the
+    first split each of the `parts` stacked particle sets keeps its
+    reals in a slot PREFIX: segments are [full, ..., full, one partial,
+    all-pad, ...]. The all-pad tail segments (statically known — 40% of
+    slots at N=1e7) are sliced out of the sort entirely; their slots
+    pass through untouched and the dead nodes above them get inert
+    geometry in the finish pass (_dead_geometry_override).
     """
     n_pad = cols[0].shape[0]
     nseg = 1 << l
     m = n_pad >> l
-    segs = [c.reshape(nseg, m) for c in cols]
+    # statically-known live segments per stacked particle set
+    nseg_p = nseg // parts
+    live = min(nseg_p, -(-n_live // m)) if n_live else nseg_p
+    sliced = live < nseg_p
+    if sliced:
+        def head_tail(c):
+            cp = c.reshape(parts, nseg_p * m)
+            return (cp[:, :live * m].reshape(parts * live, m),
+                    cp[:, live * m:])
+        pairs = [head_tail(c) for c in cols]
+        segs = [h for h, _ in pairs]
+        nseg_s = parts * live
+    else:
+        segs = [c.reshape(nseg, m) for c in cols]
+        nseg_s = nseg
     xs = segs[:pd]
     mask = segs[-1] < n_real
     lo, hi = _masked_box_cols(xs, mask)
-    axis = jnp.argmax(hi - lo, axis=1)                    # (nseg,)
+    axis = jnp.argmax(hi - lo, axis=1)                    # (nseg_s,)
     keys = xs[0]
     for d in range(1, pd):
         keys = jnp.where((axis == d)[:, None], xs[d], keys)
-    out = jax.lax.sort((keys,) + tuple(segs), dimension=1, num_keys=1)
-    new_cols = tuple(o.reshape(n_pad) for o in out[1:])
+    oth = []                       # non-axis coords, cyclic (axis+j)%pd
+    for j in range(1, pd):
+        oj = xs[0]
+        for d in range(1, pd):
+            oj = jnp.where(((axis + j) % pd == d)[:, None], xs[d], oj)
+        oth.append(oj)
+    out = jax.lax.sort((keys,) + tuple(oth) + tuple(segs[pd:]),
+                       dimension=1, num_keys=1)
+    skeys, soth, rest = out[0], out[1:pd], out[pd:]
+    new_xs = []
+    for d in range(pd):
+        xd = skeys                                        # axis == d
+        for j in range(1, pd):
+            xd = jnp.where(((axis + j) % pd == d)[:, None], soth[j - 1],
+                           xd)
+        new_xs.append(xd)
+    sorted_segs = new_xs + list(rest)
+    if sliced:
+        new_cols = tuple(
+            jnp.concatenate([s.reshape(parts, live * m), t], axis=1
+                            ).reshape(n_pad)
+            for s, (_, t) in zip(sorted_segs, pairs))
+        if capture_box:
+            lo, hi = _pad_dead_boxes(lo, hi, parts, live, nseg_p)
+    else:
+        new_cols = tuple(c.reshape(n_pad) for c in sorted_segs)
     if capture_box:
         return new_cols, lo, hi
     return new_cols, None, None
 
 
-@partial(jax.jit, static_argnames=("l", "pd"))
-def _box_step(cols, n_real, l: int, pd: int):
+def _box_step_impl(cols, n_real, l: int, pd: int, n_live: int = 0,
+                   parts: int = 1):
     n_pad = cols[0].shape[0]
     nseg = 1 << l
     m = n_pad >> l
+    nseg_p = nseg // parts
+    live = min(nseg_p, -(-n_live // m)) if n_live else nseg_p
+    if live < nseg_p:
+        def head(c):
+            cp = c.reshape(parts, nseg_p * m)
+            return cp[:, :live * m].reshape(parts * live, m)
+        xs = [head(c) for c in cols[:pd]]
+        mask = head(cols[-1]) < n_real
+        lo, hi = _masked_box_cols(xs, mask)
+        return _pad_dead_boxes(lo, hi, parts, live, nseg_p)
     xs = [c.reshape(nseg, m) for c in cols[:pd]]
     mask = cols[-1].reshape(nseg, m) < n_real
     return _masked_box_cols(xs, mask)
+
+
+_split_step = partial(jax.jit,
+                      static_argnames=("l", "pd", "capture_box",
+                                       "n_live", "parts"),
+                      donate_argnums=(0,))(_split_step_impl)
+_box_step = partial(jax.jit,
+                    static_argnames=("l", "pd", "n_live",
+                                     "parts"))(_box_step_impl)
+
+
+@partial(jax.jit, static_argnames=("schedule", "pd"), donate_argnums=(0,))
+def _run_steps(cols, n_real, schedule, pd: int):
+    """Execute a static slice of the build schedule as ONE program.
+
+    schedule: tuple of ('sort'|'box', level, capture, n_live, parts).
+    Fusing `tree_fuse` consecutive steps per dispatch trades peak HBM
+    (up to fuse+1 column sets live) for dispatch count — measured ~35 ms
+    of fixed cost per sort dispatch at N=1e7 (docs/PERF.md r2i: paired
+    halves dispatches and saves 0.45 s over 13 sorts). Large-N callers
+    keep fuse=1, which is exactly the old one-donated-jit-per-level
+    behavior. Returns (cols, [(lo, hi) per capturing step])."""
+    boxes = []
+    for kind, l, capture, n_live, parts in schedule:
+        if kind == "sort":
+            cols, lo, hi = _split_step_impl(cols, n_real, l, pd,
+                                            capture, n_live, parts)
+        else:
+            lo, hi = _box_step_impl(cols, n_real, l, pd, n_live, parts)
+        if capture:
+            boxes.append((lo, hi))
+    return cols, boxes
+
+
+def _build_schedule(levels: int, sort_levels: int, n_pad_seg: int,
+                    q: int, span_top: int, span_bot, n_live: int,
+                    parts: int, loff: int = 0):
+    """The median/span level walk as a static op list (the exact loop
+    both build_tree and build_trees_paired used to run inline)."""
+    sched = []
+    l = 0
+    while True:
+        capture = l <= levels
+        if l == sort_levels or (n_pad_seg >> l) < 2:
+            if capture:
+                sched.append(("box", l + loff, True, n_live, parts))
+            break
+        sched.append(("sort", l + loff, capture, n_live, parts))
+        l += 1
+        if l <= span_top or (span_bot is not None and l >= span_bot):
+            for _ in range(q - 1):
+                if l == sort_levels or (n_pad_seg >> l) < 2:
+                    break
+                if l <= levels:
+                    sched.append(("box", l + loff, True, n_live, parts))
+                l += 1
+    return sched
+
+
+def _run_schedule(cols, n_real, sched, pd: int, fuse: int):
+    lows, highs = [], []
+    fuse = max(1, fuse)
+    for i in range(0, len(sched), fuse):
+        cols, boxes = _run_steps(cols, n_real, tuple(sched[i:i + fuse]),
+                                 pd)
+        for lo, hi in boxes:
+            lows.append(lo)
+            highs.append(hi)
+    return cols, lows, highs
 
 
 # --------------------------------------------------- bisect group build
@@ -458,6 +604,20 @@ def _finish_median(cols, n_real, lows, highs, levels: int,
                                                  block_size, sd,
                                                  are_targets, dtype)
 
+    # dead nodes (pure padding) become zero-size boxes at a far point:
+    # the MAC separates them from every real node on their FIRST
+    # frontier appearance, so padding subtrees cost one accepted
+    # zero-strength pair instead of a multi-level descent — and the
+    # unsorted dead-tail slots (_split_step n_live) never need real
+    # geometry at all
+    diam = jnp.max(highs[0] - lows[0])
+    fp = (highs[0] + 8.0 * diam + 1.0).astype(dtype)     # (1, pd)
+    dead = ~alive
+    nc_all = jnp.where(dead[:, None], fp, nc_all)
+    ns_all = jnp.where(dead[:, None], 0.0, ns_all)
+    nr_all = jnp.where(dead, 0.0, nr_all)
+    cm_all = jnp.where(dead[:, None], fp, cm_all)
+
     tree = Tree(nc=nc_all, ns=ns_all, nr=nr_all, x=cm_all, s=s_all,
                 pr=pr_all, alive=alive, levels=levels,
                 block_size=block_size)
@@ -516,8 +676,9 @@ def build_tree(p: Parts, block_size: int = 128, refine: bool = False,
                span_top: int = 6,
                span_bot: Optional[int] = None,
                defer_rs: bool = False,
-               bisect_group: int = 4) -> Tuple[Tree, Parts,
-                                               jax.Array]:
+               bisect_group: int = 4,
+               fuse: int = 1) -> Tuple[Tree, Parts,
+                                       jax.Array]:
     """Build the tree; returns (tree, reordered+padded parts, gidx).
 
     gidx[i] = original index of the particle now in slot i (the
@@ -573,6 +734,12 @@ def build_tree(p: Parts, block_size: int = 128, refine: bool = False,
         if pp.s is not None:
             cols = cols + tuple(pp.s[:, d] for d in range(sd))
     cols = cols + (gidx,)
+    # the per-axis column slices above are fresh buffers — drop the
+    # padded (n_pad, pd) x array now so it does not sit in HBM through
+    # the whole sort network (1.6 GB at N=1e8); keep only the r/s
+    # columns the deferred final gather still needs
+    pp_r, pp_s = pp.r, pp.s
+    pp = None
 
     if mode == "morton":
         tree, x, r, s, gidx = _build_morton(cols, n_real, levels,
@@ -596,20 +763,22 @@ def build_tree(p: Parts, block_size: int = 128, refine: bool = False,
                 l += geff
             else:
                 cols, lo, hi = _split_step(cols, n_real, l, pd,
-                                           l <= levels)
+                                           l <= levels,
+                                           n_live=p.n_real)
                 if l <= levels:
                     lows.append(lo)
                     highs.append(hi)
                 l += 1
         if len(lows) == levels:  # leaf-level box still missing
-            lo, hi = _box_step(cols, n_real, levels, pd)
+            lo, hi = _box_step(cols, n_real, levels, pd,
+                               n_live=p.n_real)
             lows.append(lo)
             highs.append(hi)
         if defer:
             perm = cols[-1]
-            rcol = (pp.r[perm],)
-            scols = (tuple(pp.s[:, d][perm] for d in range(sd))
-                     if pp.s is not None else ())
+            rcol = (pp_r[perm],)
+            scols = (tuple(pp_s[:, d][perm] for d in range(sd))
+                     if pp_s is not None else ())
             cols = cols[:pd] + rcol + scols + (perm,)
         tree, x, r, s, gidx = _finish_median(
             cols, n_real, tuple(lows), tuple(highs), levels, block_size,
@@ -617,44 +786,23 @@ def build_tree(p: Parts, block_size: int = 128, refine: bool = False,
         sorted_parts = Parts(x=x, r=r, s=s, n_real=p.n_real)
         return tree, sorted_parts, gidx
 
-    # median/span mode: one donated jit step per SORT level (a single
-    # unrolled program makes XLA keep every level's temporaries live);
-    # span mode skips the sort on levels already ordered by the previous
+    # median/span mode: donated jit steps over the static schedule
+    # (`fuse` consecutive steps per dispatch; fuse=1 bounds peak HBM at
+    # large N, fuse>1 amortizes per-dispatch fixed cost); span mode
+    # skips the sort on levels already ordered by the previous
     # multi-way split and only captures their boxes
     q = span if mode == "span" else 1
     assert q >= 1
     sort_levels = levels if not refine else int(np.log2(n_pad))
-    lows, highs = [], []
-    l = 0
-    while True:
-        capture = l <= levels
-        if l == sort_levels or (n_pad >> l) < 2:
-            if capture:
-                lo, hi = _box_step(cols, n_real, l, pd)
-                lows.append(lo)
-                highs.append(hi)
-            break
-        cols, lo, hi = _split_step(cols, n_real, l, pd, capture)
-        if capture:
-            lows.append(lo)
-            highs.append(hi)
-        l += 1
-        # levels served by the sort above (already in order): box-only
-        if l <= span_top or (span_bot is not None and l >= span_bot):
-            for _ in range(q - 1):
-                if l == sort_levels or (n_pad >> l) < 2:
-                    break
-                if l <= levels:
-                    lo, hi = _box_step(cols, n_real, l, pd)
-                    lows.append(lo)
-                    highs.append(hi)
-                l += 1
+    sched = _build_schedule(levels, sort_levels, n_pad, q, span_top,
+                            span_bot, p.n_real, 1)
+    cols, lows, highs = _run_schedule(cols, n_real, sched, pd, fuse)
 
     if defer:
         perm = cols[-1]
-        rcol = (pp.r[perm],)
-        scols = (tuple(pp.s[:, d][perm] for d in range(sd))
-                 if pp.s is not None else ())
+        rcol = (pp_r[perm],)
+        scols = (tuple(pp_s[:, d][perm] for d in range(sd))
+                 if pp_s is not None else ())
         cols = cols[:pd] + rcol + scols + (perm,)
     tree, x, r, s, gidx = _finish_median(
         cols, n_real, tuple(lows), tuple(highs), levels, block_size, sd,
@@ -668,7 +816,8 @@ def build_trees_paired(ps: Parts, pt: Parts, block_size: int = 128,
                        span: int = 2, span_top: int = 6,
                        span_bot: Optional[int] = None,
                        defer_rs: bool = False,
-                       bisect_group: int = 4):
+                       bisect_group: int = 4,
+                       fuse: int = 1):
     """Build the source AND target trees from ONE sequence of stacked
     sorts (bit-identical to two build_tree calls; tests/test_tree.py).
 
@@ -725,41 +874,23 @@ def build_trees_paired(ps: Parts, pt: Parts, block_size: int = 128,
                 l += geff
             else:
                 cols, lo, hi = _split_step(cols, n_real, l + 1, pd,
-                                           l <= levels)
+                                           l <= levels,
+                                           n_live=ps.n_real, parts=2)
                 if l <= levels:
                     lows.append(lo)
                     highs.append(hi)
                 l += 1
         if len(lows) == levels:
-            lo, hi = _box_step(cols, n_real, levels + 1, pd)
+            lo, hi = _box_step(cols, n_real, levels + 1, pd,
+                               n_live=ps.n_real, parts=2)
             lows.append(lo)
             highs.append(hi)
         return _finish_paired(cols, lows, highs, pd, sd, n_pad,
                               defer_rs, pps, ppt, ps, pt, n_real,
                               levels, block_size)
-    l = 0
-    while True:
-        capture = l <= levels
-        if l == sort_levels or (n_pad >> l) < 2:
-            if capture:
-                lo, hi = _box_step(cols, n_real, l + 1, pd)
-                lows.append(lo)
-                highs.append(hi)
-            break
-        cols, lo, hi = _split_step(cols, n_real, l + 1, pd, capture)
-        if capture:
-            lows.append(lo)
-            highs.append(hi)
-        l += 1
-        if l <= span_top or (span_bot is not None and l >= span_bot):
-            for _ in range(q - 1):
-                if l == sort_levels or (n_pad >> l) < 2:
-                    break
-                if l <= levels:
-                    lo, hi = _box_step(cols, n_real, l + 1, pd)
-                    lows.append(lo)
-                    highs.append(hi)
-                l += 1
+    sched = _build_schedule(levels, sort_levels, n_pad, q, span_top,
+                            span_bot, ps.n_real, 2, loff=1)
+    cols, lows, highs = _run_schedule(cols, n_real, sched, pd, fuse)
 
     return _finish_paired(cols, lows, highs, pd, sd, n_pad, defer_rs,
                           pps, ppt, ps, pt, n_real, levels, block_size)
