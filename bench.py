@@ -96,8 +96,10 @@ def main():
         if N >= 40_000_000:
             from onbody_tpu.traverse import chunked
             (out_leaf, tg), info = chunked.solve_dtt_chunked(
-                kernel, cfg, make_problem=gen, n_chunks=16,
-                unscramble=False)
+                kernel, cfg,
+                make_srcs=lambda: P.random_in_cube(ks, N, 3, 1, True),
+                make_targs=lambda: P.random_in_cube(kt, N, 3, 0, False),
+                n_chunks=16, unscramble=False)
             perm["tg"] = tg
             return out_leaf, info
         if N < 4_000_000:

@@ -304,6 +304,31 @@ def featurize(name: str, pos, rad, s, pad8: bool = True):
     return out
 
 
+def featurize_flat(name: str, pos, rad, s):
+    """Lean feature rows flattened to ONE (C*B,) vector per block.
+
+    A (NN, C, B) array with C not a multiple of 8 tiles on TPU with the
+    sublane dim padded to 8 — grav3d's lean C=5 occupies 1.6x its bytes
+    (8 GB instead of 5 GB at N=1e8), and XLA was additionally observed
+    to re-copy the padded operand inside the chunked program. The flat
+    (NN, C*B) layout tiles exactly; the pregather fetch reshapes each
+    chunk back to (C, B) blocks after the row gather."""
+    if name == "grav3d":
+        rows = [pos.T, (rad * rad)[None, :], s.T]
+    elif name == "vort2d":
+        rows = [pos.T, rad[None, :], s.T]
+    elif name == "vort3d":
+        rows = [pos.T, rad[None, :], s.T, _cross(s, pos).T]
+    elif name == "vortgrad3d":
+        e = _cross(s, pos)
+        ws = (s[:, :, None] * pos[:, None, :]).reshape(-1, 9)
+        es = (e[:, :, None] * pos[:, None, :]).reshape(-1, 9)
+        rows = [pos.T, rad[None, :], s.T, e.T, ws.T, es.T]
+    else:
+        raise KeyError(name)
+    return jnp.concatenate([r.reshape(-1) for r in rows])
+
+
 def pad_fm_rows(name: str, blocks):
     """Pad lean feature-major blocks (..., C, B) to the f32 sublane tile
     (8 rows), filling the kernel-defined DERIVED rows — not zeros —

@@ -302,9 +302,14 @@ def _exec_chunk_static(kernel: Kernel, tgt_gathered, src_gathered,
     )(tgt_gathered, src_gathered)
 
 
-def _pregather(kernel_name, src_fm, gs):
+def _pregather(kernel_name, src_fm, gs, b: int):
     """One XLA row-gather: (P, G) block ids -> (P, G*C8, B) contiguous
     sublane-stacked source blocks (a pure reshape — no transpose).
+
+    src_fm may be (NN, C, B) or flat (NN, C*B) — the flat layout tiles
+    exactly on TPU for lean row counts (C=5 would sublane-pad 1.6x and
+    was observed to trigger a full in-program relayout copy at N=1e8);
+    the chunk is reshaped back to blocks after the gather.
 
     Unaligned feature counts (lean storage without the pad-to-8 rows,
     e.g. grav3d's true 5) are padded to the f32 sublane tile HERE, per
@@ -313,8 +318,9 @@ def _pregather(kernel_name, src_fm, gs):
     zero pad would contract zeros)."""
     from onbody_tpu.ops.kernels import pad_fm_rows
     p, g = gs.shape
-    nn, c, b = src_fm.shape
-    srcs = src_fm[gs.reshape(-1)]                # (P*G, C, B) row gather
+    srcs = src_fm[gs.reshape(-1)]          # (P*G, C, B) | (P*G, C*B)
+    if src_fm.ndim == 2:
+        srcs = srcs.reshape(p * g, -1, b)
     srcs = pad_fm_rows(kernel_name, srcs)
     return srcs.reshape(p, -1, b)
 
@@ -339,8 +345,13 @@ def exec_pairs_pallas(kernel: Kernel, tgt_geo: jax.Array,
     nn_t, _, b = tgt_geo.shape
     p = group_t.shape[0]
     od8 = -(-kernel.od // 8) * 8
-    c = -(-src_fm.shape[1] // 8) * 8     # pregather pads unaligned rows
-    if fetch == "dma" and src_fm.shape[1] % 8:
+    c_raw = (src_fm.shape[1] // b if src_fm.ndim == 2
+             else src_fm.shape[1])
+    c = -(-c_raw // 8) * 8               # pregather pads unaligned rows
+    if src_fm.ndim == 2 and fetch != "pregather":
+        raise ValueError("flat (NN, C*B) source blocks need "
+                         "fetch='pregather'")
+    if fetch == "dma" and c_raw % 8:
         raise ValueError("dma fetch needs sublane-aligned feature rows; "
                          "use fetch='pregather' with lean fm storage")
     if fetch == "static":
@@ -356,7 +367,7 @@ def exec_pairs_pallas(kernel: Kernel, tgt_geo: jax.Array,
         for i in range(0, p + pad, chunk):
             gt_c = gt_p[i:i + chunk]
             gs_c = gs_p[i:i + chunk]
-            src_c = _pregather(kernel.name, src_fm, gs_c)
+            src_c = _pregather(kernel.name, src_fm, gs_c, b)
             tgt_c = tgt_geo[gt_c]
             rows.append(_exec_chunk_static(kernel, tgt_c, src_c, core,
                                            accum_dtype, interpret,
@@ -384,7 +395,7 @@ def exec_pairs_pallas(kernel: Kernel, tgt_geo: jax.Array,
         gt_c = group_t[i:i + chunk] if p > chunk else group_t
         gs_c = group_s[i:i + chunk] if p > chunk else group_s
         if fetch == "pregather":
-            src_c = _pregather(kernel.name, src_fm, gs_c)
+            src_c = _pregather(kernel.name, src_fm, gs_c, b)
             out = _exec_chunk_pre(kernel, tgt_geo, src_c, gt_c, out,
                                   core, accum_dtype, interpret, d2_mode,
                                   group, precision)

@@ -30,6 +30,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import functools
+
 from onbody_tpu.config import SolverConfig
 from onbody_tpu.ops.kernels import Kernel
 from onbody_tpu.parts import Parts
@@ -39,11 +41,61 @@ from onbody_tpu.traverse import lists
 from onbody_tpu.parallel.mesh import _downward_local, local_rows
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("kernel", "cfg", "levels_s", "levels_t", "split",
+                     "cap", "backend"),
+    donate_argnames=("out_leaf",))
+def _chunk_step(kernel, cfg, stree, ttree, ts, src_fm, out_leaf,
+                cand_row, root, c, loc, glob_c, top_t, top_s, theta,
+                levels_s, levels_t, split, cap, backend):
+    """One target subtree: lists -> groups -> exec -> downward -> leaf
+    write, as ONE jitted program (donating out_leaf).
+
+    Eager op-by-op execution of this body kept every ~0.5 GB stage
+    buffer (geo slab, exec accumulator, pregather chunks) alive across
+    async dispatch boundaries and OOMed at N=1e8; under one jit XLA's
+    liveness analysis frees each as soon as its consumer runs, and the
+    donated out_leaf avoids a second (n, OD) result buffer."""
+    bs = ttree.block_size
+    pd = kernel.pd
+    W = cfg.frontier_width
+    wleaf = 1 << (levels_t - split)
+    n_chunks = 1 << split
+    leaf0_loc = n_chunks + wleaf - 1
+
+    sub_t, sub_s, nv, ovc = lists._dtt_lists_sub(
+        stree, ttree, theta, cand_row, root, levels_s, levels_t, split,
+        W, cfg.mac_geometry)
+    tl = jnp.concatenate([top_t, loc[sub_t]])
+    sl = jnp.concatenate([top_s, sub_s])
+    pl = lists.PairList(tgt=tl, src=sl, n_valid=nv,
+                        overflow=jnp.int32(0))
+    pg = lists.group_pairs(pl, cap, cfg.pair_group, W)
+
+    geo = eq.target_geo_slab(ttree, ts, root, cfg.order, split)
+    out = jnp.zeros((geo.shape[0], bs, kernel.od), cfg.accum_dtype)
+    from onbody_tpu.parallel.mesh import _exec_groups_slab
+    out = _exec_groups_slab(kernel, cfg, geo, src_fm, pg.tgt, pg.src,
+                            out, backend)
+    nc_l = ttree.nc[glob_c]
+    ns_l = ttree.ns[glob_c]
+    pos_l = jnp.transpose(geo[:, :pd, :], (0, 2, 1))
+    out = _downward_local(out, nc_l, ns_l, pos_l, cfg.order,
+                          levels_t, split, bs, c)
+    leaf = out[leaf0_loc:leaf0_loc + wleaf, :bs, :]
+    out_leaf = jax.lax.dynamic_update_slice_in_dim(
+        out_leaf, leaf.reshape(wleaf * bs, kernel.od),
+        c * (wleaf * bs), axis=0)
+    return out_leaf, nv, ovc + pg.overflow
+
+
 def solve_dtt_chunked(kernel: Kernel, cfg: SolverConfig,
                       srcs: Optional[Parts] = None,
                       targs: Optional[Parts] = None, n_chunks: int = 8,
                       theta: Optional[float] = None,
-                      make_problem=None, unscramble: bool = True):
+                      make_problem=None, make_srcs=None,
+                      make_targs=None, unscramble: bool = True):
     """Full DTT evaluation with target subtrees processed sequentially.
 
     Returns (out (n_real, OD), info PairList-like with n_valid/overflow).
@@ -54,10 +106,19 @@ def solve_dtt_chunked(kernel: Kernel, cfg: SolverConfig,
     as soon as the trees are built — at N=1e8 the ~4.4 GB of original
     particle arrays must not survive into the chunk loop (16 GB HBM).
     Passing srcs/targs directly keeps the caller's references alive.
+
+    make_srcs/make_targs: per-side zero-arg generators — tighter still:
+    only ONE side's original arrays are ever materialized at a time
+    (deterministic PRNG makes per-side generation identical to a joint
+    one). At N=1e8 this keeps the ~2 GB source originals out of HBM
+    during the target-side sort network, which OOMed with make_problem.
     """
     if make_problem is not None:
         assert srcs is None and targs is None
         srcs, targs = make_problem()
+    if make_targs is not None:
+        assert targs is None
+        targs = make_targs()
     assert cfg.order >= 0, "chunked solve uses the lean barycentric path"
     assert eq.n_eq_parts(cfg.block_size, cfg.order, kernel.pd) == 1, \
         "chunked solve does not support split equivalent rows (M > B)"
@@ -78,6 +139,9 @@ def solve_dtt_chunked(kernel: Kernel, cfg: SolverConfig,
     n_tgt_real = targs.n_real
     targs = None          # only the sorted copy is needed from here on
 
+    if make_srcs is not None:
+        assert srcs is None
+        srcs = make_srcs()
     stree, ss, sg = tree_build.build_tree(
         srcs, cfg.block_size, mode=cfg.tree_mode,
         span=cfg.tree_span, span_top=cfg.tree_span_top,
@@ -85,23 +149,19 @@ def solve_dtt_chunked(kernel: Kernel, cfg: SolverConfig,
         bisect_group=getattr(cfg, "tree_bisect_group", 4))
     srcs = None           # as above: pass ownership (see docstring)
     src_fm = eq.barycentric_fm(stree, ss, cfg.order, kernel.name,
-                               pad8=False)
+                               pad8=False, flat=True)
     del ss, sg
     levels_t = ttree.levels
     assert levels_t > split, "need more target leaves than chunks"
     bs = ttree.block_size
     nleaf = ttree.nleaf
-    pd = kernel.pd
 
     top_t, top_s, cand_roots, ov_top = lists._dtt_lists_top(
         stree, ttree, theta, stree.levels, split, cfg.frontier_width,
         cfg.mac_geometry)
 
-    _, local = local_rows(levels_t, n_chunks)
+    glob_all, local = local_rows(levels_t, n_chunks)
     loc = jnp.asarray(local)
-    wleaf = 1 << (levels_t - split)
-    leaf0_loc = n_chunks + wleaf - 1
-    W = cfg.frontier_width
     g = cfg.pair_group
     # static group capacity per chunk (overflow-checked)
     rows_chunk = (2 << (levels_t - split)) - 1 + n_chunks
@@ -110,45 +170,23 @@ def solve_dtt_chunked(kernel: Kernel, cfg: SolverConfig,
     out_leaf = jnp.zeros((nleaf * bs, kernel.od), cfg.accum_dtype)
     total_valid = jnp.sum(top_s != 0, dtype=jnp.int32)
     overflow = ov_top
-    from onbody_tpu.parallel.mesh import (_exec_groups_slab,
-                                          _resolve_shard_backend)
+    from onbody_tpu.parallel.mesh import _resolve_shard_backend
     backend = _resolve_shard_backend(cfg)
-    glob_all, _ = local_rows(levels_t, n_chunks)
 
+    # groups: top pairs target ids are global ids < n_chunks == the
+    # replicated slab rows; subtree ids translate through `loc`.
+    # Both segments are W-slots-per-target (W % g == 0), so group
+    # chunks never straddle a target boundary.
+    theta_dev = jnp.asarray(theta, jnp.float32)
     for c in range(n_chunks):
-        root = jnp.int32(n_chunks + c)
-        sub_t, sub_s, nv, ovc = lists._dtt_lists_sub(
-            stree, ttree, theta, cand_roots[c:c + 1], root,
-            stree.levels, levels_t, split, W, cfg.mac_geometry)
+        out_leaf, nv, ovc = _chunk_step(
+            kernel, cfg, stree, ttree, ts, src_fm, out_leaf,
+            cand_roots[c:c + 1], jnp.int32(n_chunks + c), jnp.int32(c),
+            loc, jnp.asarray(glob_all[c]), top_t, top_s, theta_dev,
+            levels_s=stree.levels, levels_t=levels_t, split=split,
+            cap=cap, backend=backend)
         total_valid = total_valid + nv
         overflow = overflow + ovc
-
-        # groups: top pairs target ids are global ids < n_chunks == the
-        # replicated slab rows; subtree ids translate through `loc`.
-        # Both segments are W-slots-per-target (W % g == 0), so group
-        # chunks never straddle a target boundary.
-        tl = jnp.concatenate([top_t, loc[sub_t]])
-        sl = jnp.concatenate([top_s, sub_s])
-        pl = lists.PairList(tgt=tl, src=sl, n_valid=nv,
-                            overflow=jnp.int32(0))
-        pg = lists.group_pairs(pl, cap, g, W)
-        overflow = overflow + pg.overflow
-
-        geo = eq.target_geo_slab(ttree, ts, root, cfg.order, split)
-        out = jnp.zeros((geo.shape[0], bs, kernel.od), cfg.accum_dtype)
-        out = _exec_groups_slab(kernel, cfg, geo, src_fm, pg.tgt,
-                                pg.src, out, backend)
-        # downward on the slab; nc/ns slabs are tiny gathers
-        glob_c = jnp.asarray(glob_all[c])
-        nc_l = ttree.nc[glob_c]
-        ns_l = ttree.ns[glob_c]
-        pos_l = jnp.transpose(geo[:, :pd, :], (0, 2, 1))
-        out = _downward_local(out, nc_l, ns_l, pos_l, cfg.order,
-                              levels_t, split, bs, jnp.int32(c))
-        leaf = out[leaf0_loc:leaf0_loc + wleaf, :bs, :]
-        out_leaf = jax.lax.dynamic_update_slice_in_dim(
-            out_leaf, leaf.reshape(wleaf * bs, kernel.od),
-            c * wleaf * bs, axis=0)
 
     ts = None             # free the sorted targets before the scatter
     info = lists.PairList(tgt=jnp.zeros((0,), jnp.int32),

@@ -89,7 +89,9 @@ def _exec_groups_xla_chunked(kernel: Kernel, tgt_geo, src_fm, pairs, out,
     gt, gs = pairs
     nn_t = out.shape[0]
     b = tgt_geo.shape[2]
-    c = src_fm.shape[1]
+    # src_fm (NN, C, B) or flat (NN, C*B) — the gather below reshapes
+    # to blocks either way (identical element order)
+    c = (src_fm.shape[1] // b if src_fm.ndim == 2 else src_fm.shape[1])
     pd = kernel.pd
     from onbody_tpu.ops.kernels import TILE_FM
 

@@ -429,11 +429,12 @@ def pairmerge_blocks(tree: Tree, sorted_parts: Parts) -> Blocks:
 # temporaries (SolverConfig.lean_plan).
 
 @partial(jax.jit, static_argnames=("order", "levels", "block_size",
-                                   "kernel_name", "pad8", "parts"))
+                                   "kernel_name", "pad8", "parts",
+                                   "flat"))
 def _bary_fm_impl(tree: Tree, x, r, s, order: int, levels: int,
                   block_size: int, kernel_name: str, pad8: bool,
-                  parts: int = 1):
-    from onbody_tpu.ops.kernels import featurize
+                  parts: int = 1, flat: bool = False):
+    from onbody_tpu.ops.kernels import featurize, featurize_flat
     pd = x.shape[1]
     sd = s.shape[1]
     dtype = x.dtype
@@ -445,14 +446,24 @@ def _bary_fm_impl(tree: Tree, x, r, s, order: int, levels: int,
     n_pad = x.shape[0]
     width = block_size
 
-    def feat(pos, rad, st):
-        return jax.vmap(lambda p, rr, ss2: featurize(
-            kernel_name, p, rr, ss2, pad8))(pos, rad, st)
+    if flat:
+        # (NN, C*B): exact T(8,128) tiling for unaligned row counts —
+        # see ops/kernels.py featurize_flat. No (.., C, B) intermediate
+        # is ever materialized (C=5 would sublane-pad 1.6x).
+        assert not pad8
+
+        def feat(pos, rad, st):
+            return jax.vmap(lambda p, rr, ss2: featurize_flat(
+                kernel_name, p, rr, ss2))(pos, rad, st)
+    else:
+        def feat(pos, rad, st):
+            return jax.vmap(lambda p, rr, ss2: featurize(
+                kernel_name, p, rr, ss2, pad8))(pos, rad, st)
 
     c_out = feat(jnp.zeros((1, width, pd), dtype),
                  jnp.ones((1, width), dtype),
                  jnp.zeros((1, width, sd), dtype)).shape[1]
-    fm = jnp.zeros((nn, c_out, width), dtype)
+    fm = jnp.zeros((nn, c_out) if flat else (nn, c_out, width), dtype)
     fm = fm.at[nleaf:2 * nleaf].set(feat(x.reshape(nleaf, width, pd),
                                          r.reshape(nleaf, width),
                                          s.reshape(nleaf, width, sd)))
@@ -508,14 +519,18 @@ def _bary_fm_impl(tree: Tree, x, r, s, order: int, levels: int,
 
 
 def barycentric_fm(tree: Tree, sorted_parts: Parts, order: int,
-                   kernel_name: str, pad8: bool = True) -> jax.Array:
+                   kernel_name: str, pad8: bool = True,
+                   flat: bool = False) -> jax.Array:
     """Feature-major source blocks with barycentric proxies, built
     without point-major intermediates. Oversized grids (M > B, e.g.
-    order 5 at block 128) split across extension rows (n_eq_parts)."""
+    order 5 at block 128) split across extension rows (n_eq_parts).
+    flat=True returns (NN, C*B) — exact TPU tiling for lean row counts
+    (see ops/kernels.py featurize_flat); requires pad8=False."""
     parts = n_eq_parts(tree.block_size, order, sorted_parts.pd)
     return _bary_fm_impl(tree, sorted_parts.x, sorted_parts.r,
                          sorted_parts.s, order, tree.levels,
-                         tree.block_size, kernel_name, pad8, parts)
+                         tree.block_size, kernel_name, pad8, parts,
+                         flat)
 
 
 @partial(jax.jit, static_argnames=("order", "levels", "block_size",

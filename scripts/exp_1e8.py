@@ -68,10 +68,11 @@ def main():
 
     for it in range(2):
         t0 = time.perf_counter()
-        (out, tg), info = chunked.solve_dtt_chunked(kernel, cfg,
-                                                    make_problem=gen,
-                                                    n_chunks=n_chunks,
-                                                    unscramble=False)
+        (out, tg), info = chunked.solve_dtt_chunked(
+            kernel, cfg,
+            make_srcs=lambda: P.random_in_cube(ks, n, 3, 1, True),
+            make_targs=lambda: P.random_in_cube(kt, n, 3, 0, False),
+            n_chunks=n_chunks, unscramble=False)
         _sync(out)
         dt = time.perf_counter() - t0
         # tree-order results (reference-driver convention, see bench.py):
