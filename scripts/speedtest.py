@@ -36,38 +36,62 @@ def _sync(x):
 
 
 def measure(kernel, cfg, plan, solver, theta, ref, tskip):
-    out, pl = solver(kernel, cfg, plan, theta=theta)
-    _sync(out)
-    t0 = time.perf_counter()
-    out, pl = solver(kernel, cfg, plan, theta=theta)
-    _sync(out)
-    dt = time.perf_counter() - t0
-    ov = int(np.asarray(pl.overflow))
-    if ov:
-        # dropped interactions: the run is invalid; report a pessimistic
-        # error so the bisection moves theta upward
-        return 1.0, dt
-    got = np.asarray(out)[::tskip][:ref.shape[0]]
-    err = float(np.linalg.norm(got - ref) / np.linalg.norm(ref))
-    return err, dt
+    """Timed solve at one theta; on frontier/group overflow retries with
+    doubled list widths (the API layer's recovery, api/solver.py) so a
+    tight theta at a small block size yields a real error instead of a
+    corrupted one. Returns (err, dt) or (None, dt) if 3 retries still
+    overflow."""
+    import dataclasses
+    for _ in range(3):
+        out, pl = solver(kernel, cfg, plan, theta=theta)
+        _sync(out)
+        t0 = time.perf_counter()
+        out, pl = solver(kernel, cfg, plan, theta=theta)
+        _sync(out)
+        dt = time.perf_counter() - t0
+        if int(np.asarray(pl.overflow)) == 0:
+            got = np.asarray(out)[::tskip][:ref.shape[0]]
+            err = float(np.linalg.norm(got - ref)
+                        / np.linalg.norm(ref))
+            return err, dt
+        cfg = dataclasses.replace(
+            cfg, frontier_width=2 * cfg.frontier_width,
+            cap_groups_dtt=2 * cfg.cap_groups_dtt)
+    return None, dt
 
 
 def bisect_theta(kernel, cfg, plan, solver, target, ref, tskip,
                  lo=0.8, hi=2.0, max_iter=12):
-    """Secant bisection in (theta, log error) space (speedtest.pl:53-96)."""
+    """Secant bisection in (theta, log error) space (speedtest.pl:53-96).
+
+    Error decreases with theta (tighter MAC). Endpoints that stay
+    invalid (overflow after retries) pull the bracket inward; a
+    non-monotone bracket (fp32 floor reached before hi) falls back to
+    plain bisection steps."""
     e_lo, t_lo = measure(kernel, cfg, plan, solver, lo, ref, tskip)
+    while e_lo is None and lo < hi - 0.05:
+        lo += 0.1
+        e_lo, t_lo = measure(kernel, cfg, plan, solver, lo, ref, tskip)
     e_hi, t_hi = measure(kernel, cfg, plan, solver, hi, ref, tskip)
+    while e_hi is None and hi > lo + 0.05:
+        hi -= 0.15
+        e_hi, t_hi = measure(kernel, cfg, plan, solver, hi, ref, tskip)
+    if e_lo is None or e_hi is None:
+        return None
     best = None
     for _ in range(max_iter):
         # interpolate log-error linearly in theta
         le_lo, le_hi, le_t = np.log(e_lo), np.log(e_hi), np.log(target)
-        if abs(le_hi - le_lo) < 1e-9:
+        if abs(le_hi - le_lo) < 1e-9 or le_hi >= le_lo:
             mid = 0.5 * (lo + hi)
         else:
             mid = lo + (hi - lo) * (le_t - le_lo) / (le_hi - le_lo)
             mid = min(max(mid, min(lo, hi)), max(lo, hi))
         e_mid, dt = measure(kernel, cfg, plan, solver, float(mid), ref,
                             tskip)
+        if e_mid is None:
+            hi = float(mid)          # overflow: tighten from above
+            continue
         best = (float(mid), e_mid, dt)
         if abs(np.log(e_mid / target)) < np.log(1.03):
             break
@@ -75,6 +99,8 @@ def bisect_theta(kernel, cfg, plan, solver, target, ref, tskip,
             lo, e_lo = mid, e_mid
         else:
             hi, e_hi = mid, e_mid
+        if hi - lo < 1e-3:
+            break
     return best
 
 
