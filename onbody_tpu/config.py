@@ -201,13 +201,16 @@ def tuned_config(n: int) -> SolverConfig:
         # r2 session-4 sweeps (docs/PERF.md): paired+defer tree build
         # -0.45s, W128 -0.25s (zero overflow at theta 1.2), transposed
         # MXU '3xt' -0.14s, sort row-compaction -0.08s
+        # tree_fuse=8: exp_fuse at 1e7 measured prepare 2.22 (fuse 1)
+        # -> 2.05 s (8) / 2.02 (99); 8 keeps per-dispatch live column
+        # sets bounded (the 1e8 chunked path shares this code)
         return SolverConfig(block_size=256, order=5, theta_dtt=1.2,
                             frontier_width=128, list_width=320,
                             cap_groups_dtt=16, pair_backend="pallas",
                             pair_group=16, pair_fetch="dma",
                             tree_mode="span", mxu_precision="3xt",
                             tree_paired=True, tree_defer_rs=True,
-                            list_compact="sort")
+                            list_compact="sort", tree_fuse=8)
     # 1e6 sweep (exp_r2g, docs/PERF.md r2s4): b256/o5/theta1.2 span+3x
     # measured 0.369s vs 0.483s for the round-1 b128/o4/theta1.4 config;
     # g32/g64 and paired+defer combos measured slightly worse at this N

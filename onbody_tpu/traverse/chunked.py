@@ -148,9 +148,12 @@ def solve_dtt_chunked(kernel: Kernel, cfg: SolverConfig,
         defer_rs=getattr(cfg, "tree_defer_rs", False),
         bisect_group=getattr(cfg, "tree_bisect_group", 4))
     srcs = None           # as above: pass ownership (see docstring)
+    del sg                # sources are never unscrambled (~0.5 GB at 1e8)
+    # donate=True: ss is consumed by the featurize program, which frees
+    # its x/r/s (~2.7 GB at 1e8) as soon as the leaf pass reads them
     src_fm = eq.barycentric_fm(stree, ss, cfg.order, kernel.name,
-                               pad8=False, flat=True)
-    del ss, sg
+                               pad8=False, flat=True, donate=True)
+    del ss
     levels_t = ttree.levels
     assert levels_t > split, "need more target leaves than chunks"
     bs = ttree.block_size

@@ -47,10 +47,16 @@ class Plan(NamedTuple):
 
 
 def prepare(kernel: Kernel, cfg: SolverConfig, srcs: Parts,
-            targs: Parts) -> Plan:
+            targs: Parts, want_inv: bool = True) -> Plan:
     """Build both trees and the unified block arrays (the setup phase the
     reference times as 'build tree' + 'calc equivalents',
-    ongrav3d.cpp:600-725)."""
+    ongrav3d.cpp:600-725).
+
+    want_inv=False skips the tgt_inv inverse-permutation scatter
+    (~0.17 s at N=1e7 — scatters are slow on TPU): callers that keep
+    results in tree order (unscramble=False, the reference drivers'
+    convention) never read it and can map validation rows through
+    tgt_gidx themselves, outside any timed region."""
     from onbody_tpu import parts as P
     srcs = P.astype(srcs, cfg.storage_dtype)
     targs = P.astype(targs, cfg.storage_dtype)
@@ -113,8 +119,10 @@ def prepare(kernel: Kernel, cfg: SolverConfig, srcs: Parts,
         src_fm = pp.build_fm_blocks(kernel, sblocks.pos, sblocks.rad,
                                     sblocks.s)
         tgt_geo = pp.build_tgt_geo(tblocks.pos, tblocks.rad)
-    tgt_inv = jnp.zeros((targs.n_real,), jnp.int32).at[tg].set(
-        jnp.arange(tg.shape[0], dtype=jnp.int32), mode="drop")
+    tgt_inv = None
+    if want_inv:
+        tgt_inv = jnp.zeros((targs.n_real,), jnp.int32).at[tg].set(
+            jnp.arange(tg.shape[0], dtype=jnp.int32), mode="drop")
     return Plan(stree=stree, ttree=ttree, src_sorted=ss, tgt_sorted=ts,
                 src_blocks=sblocks, tgt_blocks=tblocks,
                 src_gidx=sg, tgt_gidx=tg, src_fm=src_fm, tgt_geo=tgt_geo,
@@ -137,6 +145,8 @@ def _leaf_outputs(out_blocks: jax.Array, plan: Plan, kernel: Kernel,
     leaf = out_blocks[nleaf:2 * nleaf, :bs, :].reshape(-1, kernel.od)
     # gather through the precomputed inverse permutation (TPU gathers
     # are much faster than scatters; the scatter cost moved to prepare)
+    if plan.tgt_inv is None:                  # prepare(want_inv=False)
+        return _unscramble(leaf, plan.tgt_gidx, n_real)
     return leaf[plan.tgt_inv]
 
 

@@ -428,12 +428,9 @@ def pairmerge_blocks(tree: Tree, sorted_parts: Parts) -> Blocks:
 # DIRECTLY, level by level, so peak HBM is the output plus one level's
 # temporaries (SolverConfig.lean_plan).
 
-@partial(jax.jit, static_argnames=("order", "levels", "block_size",
-                                   "kernel_name", "pad8", "parts",
-                                   "flat"))
-def _bary_fm_impl(tree: Tree, x, r, s, order: int, levels: int,
-                  block_size: int, kernel_name: str, pad8: bool,
-                  parts: int = 1, flat: bool = False):
+def _bary_fm_fn(tree: Tree, x, r, s, order: int, levels: int,
+                block_size: int, kernel_name: str, pad8: bool,
+                parts: int = 1, flat: bool = False):
     from onbody_tpu.ops.kernels import featurize, featurize_flat
     pd = x.shape[1]
     sd = s.shape[1]
@@ -464,9 +461,34 @@ def _bary_fm_impl(tree: Tree, x, r, s, order: int, levels: int,
                  jnp.ones((1, width), dtype),
                  jnp.zeros((1, width, sd), dtype)).shape[1]
     fm = jnp.zeros((nn, c_out) if flat else (nn, c_out, width), dtype)
-    fm = fm.at[nleaf:2 * nleaf].set(feat(x.reshape(nleaf, width, pd),
-                                         r.reshape(nleaf, width),
-                                         s.reshape(nleaf, width, sd)))
+    # Leaf featurize in fixed chunks through a fori_loop: the carry fm
+    # is updated in place, so peak HBM is fm + one ~20 MB chunk instead
+    # of fm + a full (nleaf, C*B) temporary (2.7 GB at N=1e8 — the
+    # difference between fitting and OOM on a 16 GB chip).
+    leaf_chunk = 4096
+    if flat and nleaf > leaf_chunk:
+        xb = x.reshape(nleaf, width, pd)
+        rb = r.reshape(nleaf, width)
+        sb = s.reshape(nleaf, width, sd)
+
+        def leaf_body(i, fmc):
+            lo = i * leaf_chunk
+            fx = feat(
+                jax.lax.dynamic_slice_in_dim(xb, lo, leaf_chunk),
+                jax.lax.dynamic_slice_in_dim(rb, lo, leaf_chunk),
+                jax.lax.dynamic_slice_in_dim(sb, lo, leaf_chunk))
+            return jax.lax.dynamic_update_slice_in_dim(
+                fmc, fx, nleaf + lo, axis=0)
+
+        fm = jax.lax.fori_loop(0, nleaf // leaf_chunk, leaf_body, fm)
+    else:
+        fm = fm.at[nleaf:2 * nleaf].set(
+            feat(x.reshape(nleaf, width, pd), r.reshape(nleaf, width),
+                 s.reshape(nleaf, width, sd)))
+
+    # per-level first-radius rows come from this (nleaf,) vector, not
+    # from the full (n_pad,) radius array — lets a donated r free early
+    r_leaf_first = r.reshape(nleaf, width)[:, 0]
 
     child_pos = None
     child_str = None
@@ -498,7 +520,7 @@ def _bary_fm_impl(tree: Tree, x, r, s, order: int, levels: int,
         else:
             eq_s = anterp((src_pos, nc_l, ns_l, src_str))
 
-        r_first = r.reshape(nseg, n_pad >> l)[:, 0]
+        r_first = r_leaf_first[::(nleaf >> l)]
         rad_w = jnp.broadcast_to(r_first[:, None], (nseg, width))
         id0 = 1 << l
         for j in range(parts):
@@ -518,19 +540,33 @@ def _bary_fm_impl(tree: Tree, x, r, s, order: int, levels: int,
     return fm
 
 
+_STATIC_FM = ("order", "levels", "block_size", "kernel_name", "pad8",
+              "parts", "flat")
+_bary_fm_impl = jax.jit(_bary_fm_fn, static_argnames=_STATIC_FM)
+# donating variant: frees the sorted x/r/s buffers inside the program
+# as soon as the leaf + first interior level consume them — callers
+# that pass ownership (traverse/chunked.py at N=1e8) shave ~2.7 GB of
+# peak HBM. The non-donating variant serves callers that keep the
+# sorted arrays in their Plan.
+_bary_fm_impl_don = jax.jit(_bary_fm_fn, static_argnames=_STATIC_FM,
+                            donate_argnames=("x", "r", "s"))
+
+
 def barycentric_fm(tree: Tree, sorted_parts: Parts, order: int,
                    kernel_name: str, pad8: bool = True,
-                   flat: bool = False) -> jax.Array:
+                   flat: bool = False, donate: bool = False) -> jax.Array:
     """Feature-major source blocks with barycentric proxies, built
     without point-major intermediates. Oversized grids (M > B, e.g.
     order 5 at block 128) split across extension rows (n_eq_parts).
     flat=True returns (NN, C*B) — exact TPU tiling for lean row counts
-    (see ops/kernels.py featurize_flat); requires pad8=False."""
+    (see ops/kernels.py featurize_flat); requires pad8=False.
+    donate=True invalidates sorted_parts' x/r/s (see _bary_fm_impl_don)."""
     parts = n_eq_parts(tree.block_size, order, sorted_parts.pd)
-    return _bary_fm_impl(tree, sorted_parts.x, sorted_parts.r,
-                         sorted_parts.s, order, tree.levels,
-                         tree.block_size, kernel_name, pad8, parts,
-                         flat)
+    impl = _bary_fm_impl_don if donate else _bary_fm_impl
+    return impl(tree, sorted_parts.x, sorted_parts.r,
+                sorted_parts.s, order, tree.levels,
+                tree.block_size, kernel_name, pad8, parts,
+                flat)
 
 
 @partial(jax.jit, static_argnames=("order", "levels", "block_size",
