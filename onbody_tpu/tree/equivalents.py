@@ -430,7 +430,8 @@ def pairmerge_blocks(tree: Tree, sorted_parts: Parts) -> Blocks:
 
 def _bary_fm_fn(tree: Tree, x, r, s, order: int, levels: int,
                 block_size: int, kernel_name: str, pad8: bool,
-                parts: int = 1, flat: bool = False):
+                parts: int = 1, flat: bool = False,
+                leaf_chunk: int = 4096):
     from onbody_tpu.ops.kernels import featurize, featurize_flat
     pd = x.shape[1]
     sd = s.shape[1]
@@ -465,7 +466,6 @@ def _bary_fm_fn(tree: Tree, x, r, s, order: int, levels: int,
     # is updated in place, so peak HBM is fm + one ~20 MB chunk instead
     # of fm + a full (nleaf, C*B) temporary (2.7 GB at N=1e8 — the
     # difference between fitting and OOM on a 16 GB chip).
-    leaf_chunk = 4096
     if flat and nleaf > leaf_chunk:
         xb = x.reshape(nleaf, width, pd)
         rb = r.reshape(nleaf, width)
@@ -541,32 +541,33 @@ def _bary_fm_fn(tree: Tree, x, r, s, order: int, levels: int,
 
 
 _STATIC_FM = ("order", "levels", "block_size", "kernel_name", "pad8",
-              "parts", "flat")
+              "parts", "flat", "leaf_chunk")
+# NOTE: donating x/r/s was tried for the 1e8 path and does nothing —
+# XLA donation is output-aliasing only, and none of them matches the fm
+# output shape (the runtime reports "not usable" and keeps them alive
+# through the program). The real 1e8 memory win is the chunked leaf
+# featurize above; callers just drop their references after the call.
 _bary_fm_impl = jax.jit(_bary_fm_fn, static_argnames=_STATIC_FM)
-# donating variant: frees the sorted x/r/s buffers inside the program
-# as soon as the leaf + first interior level consume them — callers
-# that pass ownership (traverse/chunked.py at N=1e8) shave ~2.7 GB of
-# peak HBM. The non-donating variant serves callers that keep the
-# sorted arrays in their Plan.
-_bary_fm_impl_don = jax.jit(_bary_fm_fn, static_argnames=_STATIC_FM,
-                            donate_argnames=("x", "r", "s"))
 
 
 def barycentric_fm(tree: Tree, sorted_parts: Parts, order: int,
                    kernel_name: str, pad8: bool = True,
-                   flat: bool = False, donate: bool = False) -> jax.Array:
+                   flat: bool = False, donate: bool = False,
+                   leaf_chunk: int = 4096) -> jax.Array:
     """Feature-major source blocks with barycentric proxies, built
     without point-major intermediates. Oversized grids (M > B, e.g.
     order 5 at block 128) split across extension rows (n_eq_parts).
     flat=True returns (NN, C*B) — exact TPU tiling for lean row counts
     (see ops/kernels.py featurize_flat); requires pad8=False.
-    donate=True invalidates sorted_parts' x/r/s (see _bary_fm_impl_don)."""
+    donate is accepted for API compatibility and ignored (see note
+    above: donation cannot alias these shapes). leaf_chunk bounds the
+    flat leaf featurize's per-dispatch temporary (tests shrink it to
+    exercise the chunked path at small N)."""
     parts = n_eq_parts(tree.block_size, order, sorted_parts.pd)
-    impl = _bary_fm_impl_don if donate else _bary_fm_impl
-    return impl(tree, sorted_parts.x, sorted_parts.r,
-                sorted_parts.s, order, tree.levels,
-                tree.block_size, kernel_name, pad8, parts,
-                flat)
+    return _bary_fm_impl(tree, sorted_parts.x, sorted_parts.r,
+                         sorted_parts.s, order, tree.levels,
+                         tree.block_size, kernel_name, pad8, parts,
+                         flat, leaf_chunk)
 
 
 @partial(jax.jit, static_argnames=("order", "levels", "block_size",

@@ -66,7 +66,12 @@ def main():
           flush=True)
     srcs = targs = None
 
-    for it in range(2):
+    out = tg = info = None
+    for it in range(3):
+        # drop the previous iteration's device arrays BEFORE the next
+        # solve: out_leaf (1.6 GB) + tg + inv coexisting with a second
+        # solve's buffers OOMed the 16 GB chip on iteration 2
+        out = tg = info = None
         t0 = time.perf_counter()
         (out, tg), info = chunked.solve_dtt_chunked(
             kernel, cfg,
@@ -80,6 +85,7 @@ def main():
         inv = jnp.zeros((n,), jnp.int32).at[tg].set(
             jnp.arange(tg.shape[0], dtype=jnp.int32), mode="drop")
         got = np.asarray(out[inv[::nt_skip]])[:ref.shape[0]]
+        del inv
         rms = np.linalg.norm(got - ref) / np.linalg.norm(ref)
         print(f"chunked N={n:.0e} c={n_chunks} t={theta}: t={dt:.2f}s "
               f"rms={rms:.2e} nvalid={int(info.n_valid)} "

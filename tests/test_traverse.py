@@ -208,6 +208,22 @@ def test_lean_plan_matches_full():
                                rtol=1e-5, atol=1e-6)
 
 
+def test_bary_fm_leaf_chunking_exact():
+    """The fori_loop leaf featurize (leaf_chunk < nleaf — the 1e8 HBM
+    path) is bit-identical to the single-dispatch leaf featurize."""
+    from onbody_tpu.tree import build as tree_build
+    from onbody_tpu.tree import equivalents as eq
+    kernel = KERNELS["grav3d"]
+    srcs, _ = _problem(kernel, n=3000)
+    tree, ss, _ = tree_build.build_tree(srcs, 64)
+    ref = eq.barycentric_fm(tree, ss, 3, kernel.name, pad8=False,
+                            flat=True)
+    chunked_fm = eq.barycentric_fm(tree, ss, 3, kernel.name, pad8=False,
+                                   flat=True, leaf_chunk=4)
+    np.testing.assert_array_equal(np.asarray(chunked_fm),
+                                  np.asarray(ref))
+
+
 def test_chunked_solve_matches_plain():
     """Subtree-chunked DTT (the 1e8 memory path: lean fm + sequential
     target slabs) matches the monolithic solve."""
