@@ -90,12 +90,20 @@ def _chunk_step(kernel, cfg, stree, ttree, ts, src_fm, out_leaf,
     return out_leaf, nv, ovc + pg.overflow
 
 
+def _psync(x):
+    """Scalar fetch = true device sync (tunnel-safe, see bench.py)."""
+    import numpy as _np
+    a = jax.tree_util.tree_leaves(x)[0]
+    return float(_np.asarray(a[(0,) * a.ndim]))
+
+
 def solve_dtt_chunked(kernel: Kernel, cfg: SolverConfig,
                       srcs: Optional[Parts] = None,
                       targs: Optional[Parts] = None, n_chunks: int = 8,
                       theta: Optional[float] = None,
                       make_problem=None, make_srcs=None,
-                      make_targs=None, unscramble: bool = True):
+                      make_targs=None, unscramble: bool = True,
+                      profile: bool = False):
     """Full DTT evaluation with target subtrees processed sequentially.
 
     Returns (out (n_real, OD), info PairList-like with n_valid/overflow).
@@ -113,6 +121,18 @@ def solve_dtt_chunked(kernel: Kernel, cfg: SolverConfig,
     one). At N=1e8 this keeps the ~2 GB source originals out of HBM
     during the target-side sort network, which OOMed with make_problem.
     """
+    import time as _time
+    t_last = [_time.perf_counter()]
+
+    def _ph(label, sync_on):
+        if not profile:
+            return
+        _psync(sync_on)
+        now = _time.perf_counter()
+        print(f"[chunked] {label:14s} {now - t_last[0]:7.2f} s",
+              flush=True)
+        t_last[0] = now
+
     if make_problem is not None:
         assert srcs is None and targs is None
         srcs, targs = make_problem()
@@ -138,6 +158,7 @@ def solve_dtt_chunked(kernel: Kernel, cfg: SolverConfig,
         bisect_group=getattr(cfg, "tree_bisect_group", 4))
     n_tgt_real = targs.n_real
     targs = None          # only the sorted copy is needed from here on
+    _ph("tgt tree", ttree.nc)
 
     if make_srcs is not None:
         assert srcs is None
@@ -149,11 +170,14 @@ def solve_dtt_chunked(kernel: Kernel, cfg: SolverConfig,
         bisect_group=getattr(cfg, "tree_bisect_group", 4))
     srcs = None           # as above: pass ownership (see docstring)
     del sg                # sources are never unscrambled (~0.5 GB at 1e8)
-    # donate=True: ss is consumed by the featurize program, which frees
-    # its x/r/s (~2.7 GB at 1e8) as soon as the leaf pass reads them
+    _ph("src tree", stree.nc)
+    # ss is only needed by the featurize; dropping the reference right
+    # after lets x/r/s (~2.7 GB at 1e8) free when the program finishes
+    # (donation cannot alias these shapes — see equivalents.py)
     src_fm = eq.barycentric_fm(stree, ss, cfg.order, kernel.name,
-                               pad8=False, flat=True, donate=True)
+                               pad8=False, flat=True)
     del ss
+    _ph("featurize", src_fm)
     levels_t = ttree.levels
     assert levels_t > split, "need more target leaves than chunks"
     bs = ttree.block_size
@@ -163,6 +187,7 @@ def solve_dtt_chunked(kernel: Kernel, cfg: SolverConfig,
         stree, ttree, theta, stree.levels, split, cfg.frontier_width,
         cfg.mac_geometry)
 
+    _ph("lists_top", top_t)
     glob_all, local = local_rows(levels_t, n_chunks)
     loc = jnp.asarray(local)
     g = cfg.pair_group
@@ -190,6 +215,7 @@ def solve_dtt_chunked(kernel: Kernel, cfg: SolverConfig,
             cap=cap, backend=backend)
         total_valid = total_valid + nv
         overflow = overflow + ovc
+        _ph(f"chunk {c}", out_leaf)
 
     ts = None             # free the sorted targets before the scatter
     info = lists.PairList(tgt=jnp.zeros((0,), jnp.int32),

@@ -77,7 +77,8 @@ def main():
             kernel, cfg,
             make_srcs=lambda: P.random_in_cube(ks, n, 3, 1, True),
             make_targs=lambda: P.random_in_cube(kt, n, 3, 0, False),
-            n_chunks=n_chunks, unscramble=False)
+            n_chunks=n_chunks, unscramble=False,
+            profile=(it == 2))      # it0 compiles, it1 times clean
         _sync(out)
         dt = time.perf_counter() - t0
         # tree-order results (reference-driver convention, see bench.py):
