@@ -82,22 +82,28 @@ def _body(pt_ref, ps_ref, tgt_ref, src_hbm, prev_ref, out_ref,
             dma(bank, step, j).start()
 
     # double-buffered source fetch: warm up on the first step, prefetch
-    # the next step's blocks while computing this one
-    @pl.when(p == 0)
+    # the next step's blocks while computing this one. Padding steps
+    # (tgt row 0) issue NO DMAs: at 16 small DMAs x ~0.24us issue cost
+    # a pad step otherwise costs ~3.8us of pure scalar-core time — with
+    # static group caps ~2x the real group count that was ~40% of the
+    # whole exec phase (docs/PERF.md r2s7). Every start is paired with
+    # the SAME step's wait (guarded identically), so interleaved pad
+    # steps cannot leave or consume stale semaphore signals.
+    @pl.when(jnp.logical_and(p == 0, pt_ref[0] != 0))
     def _():
         start(0, 0)
 
-    @pl.when(p + 1 < n)
+    @pl.when(jnp.logical_and(p + 1 < n, pt_ref[p + 1] != 0))
     def _():
         start((p + 1) % 2, p + 1)
 
     bank = p % 2
-    for j in range(group):
-        dma(bank, p, j).wait()
 
-    # padding-tail steps (tgt row 0) skip all compute
+    # padding steps (tgt row 0) skip the waits and all compute
     @pl.when(pt_ref[p] != 0)
     def _():
+        for j in range(group):
+            dma(bank, p, j).wait()
         # targets and outputs are feature-major (rows, B): blocks with a
         # tiny trailing dim would be lane-padded to 128 by the pipeline
         # (a 32x HBM blowup at scale)

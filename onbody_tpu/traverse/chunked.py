@@ -206,7 +206,15 @@ def solve_dtt_chunked(kernel: Kernel, cfg: SolverConfig,
     # Both segments are W-slots-per-target (W % g == 0), so group
     # chunks never straddle a target boundary.
     theta_dev = jnp.asarray(theta, jnp.float32)
+    # subtree roots holding only padding clones produce nothing but
+    # still cost a full chunk step (~1.6 s each at N=1e8, where 4 of 16
+    # roots are dead — power-of-two leaf padding is 34%): skip them on
+    # the host. Their out_leaf rows stay zero, matching the masked
+    # result the step would have produced.
+    alive_roots = np.asarray(ttree.alive[n_chunks:2 * n_chunks])
     for c in range(n_chunks):
+        if not bool(alive_roots[c]):
+            continue
         out_leaf, nv, ovc = _chunk_step(
             kernel, cfg, stree, ttree, ts, src_fm, out_leaf,
             cand_roots[c:c + 1], jnp.int32(n_chunks + c), jnp.int32(c),

@@ -146,3 +146,32 @@ def test_pregather_lean_storage_vs_oracle(name):
     rel = (np.linalg.norm(np.asarray(out) - np.asarray(ref)) /
            np.linalg.norm(np.asarray(ref)))
     assert rel < 2e-2, rel
+
+
+def test_dma_kernel_pad_steps_skipped():
+    """Padding group steps (tgt row 0) issue no source DMAs and no
+    compute; pads between different targets and at the tail must leave
+    results identical to the XLA grouped executor. (Pads may NOT split
+    one target's run — _compact_groups front-packs, preserving runs.)"""
+    kernel = KERNELS["grav3d"]
+    B, NN = 32, 8
+    ks = jax.random.split(jax.random.PRNGKey(3), 3)
+    pos = jax.random.uniform(ks[0], (NN, B, 3))
+    rad = jnp.full((NN, B), 0.05).at[0].set(1.0)     # row 0 inert
+    s = (jax.random.normal(ks[1], (NN, B, 1)) / B).at[0].set(0.0)
+    src_fm = pp.build_fm_blocks(kernel, pos, rad, s)
+    tgt_geo = pp.build_tgt_geo(pos, rad)
+    for gt_list in ([1, 1, 2, 3, 3, 0, 0, 0],      # tail pads
+                    [1, 1, 0, 2, 2, 0, 3, 0],      # between-target pads
+                    [0] * 8):                      # all pads
+        gt = jnp.array(gt_list, jnp.int32)
+        gs = jax.random.randint(ks[2], (8, pp.GROUP), 1, NN)
+        gs = jnp.where((gt == 0)[:, None], 0, gs)
+        out = pp.exec_pairs_pallas(kernel, tgt_geo, src_fm, gt, gs,
+                                   interpret=True, fetch="dma")
+        ref = pexec._exec_groups_xla_chunked(
+            kernel, tgt_geo, src_fm, (gt, gs), jnp.zeros_like(out),
+            "rm", jnp.float32, "outer", pp.GROUP, 1024, "highest")
+        scale = max(float(jnp.max(jnp.abs(ref[1:]))), 1e-30)
+        rel = float(jnp.max(jnp.abs(out[1:] - ref[1:]))) / scale
+        assert rel < 1e-4, (gt_list, rel)

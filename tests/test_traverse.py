@@ -252,6 +252,28 @@ def test_chunked_solve_matches_plain():
                                rtol=1e-4, atol=1e-6)
 
 
+def test_chunked_solve_dead_chunk_skipped():
+    """Ragged N where a whole level-`split` subtree is padding: the
+    host-side dead-root skip must return the same result as the
+    monolithic solve (1e8 has 4 dead roots of 16 at 34% leaf padding)."""
+    from onbody_tpu.traverse import chunked
+    kernel = KERNELS["grav3d"]
+    # 6144 at block 64 -> 96 live leaves of 128 padded; with 4 chunks
+    # (level-2 roots of 32 leaves) chunk 3 is entirely dead
+    srcs, targs = _problem(kernel, n=6144)
+    cfg = SolverConfig(block_size=64, order=3, frontier_width=192,
+                       list_width=512, pair_backend="xla",
+                       cap_groups_dtt=32)
+    plan = treecode.prepare(kernel, cfg, srcs, targs)
+    ref, rinfo = dtt.solve_dtt(kernel, cfg, plan)
+    assert int(rinfo.overflow) == 0
+    out, info = chunked.solve_dtt_chunked(kernel, cfg, srcs, targs,
+                                          n_chunks=4)
+    assert int(np.asarray(info.overflow)) == 0
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-6)
+
+
 @pytest.mark.parametrize("trav", ["level", "refine"])
 def test_split_equivalent_rows(trav):
     """Split equivalent rows (equivalents.n_eq_parts > 1): a proxy grid
