@@ -196,7 +196,7 @@ def tuned_config(n: int) -> SolverConfig:
                             tree_mode="span", pair_backend="pallas",
                             pair_group=16, pair_fetch="pregather",
                             mxu_precision="3x", lean_plan=True,
-                            tree_defer_rs=True)
+                            tree_defer_rs=True, tree_fuse=2)
     if n >= 4_000_000:
         # r2 session-4 sweeps (docs/PERF.md): paired+defer tree build
         # -0.45s, W128 -0.25s (zero overflow at theta 1.2), transposed

@@ -151,11 +151,14 @@ def solve_dtt_chunked(kernel: Kernel, cfg: SolverConfig,
     # target-build -> source-build -> featurize keeps peak HBM to
     # max(originals + sort buffers, sorted arrays + src_fm) ~ 11 GB
     # instead of the ~14 GB+ that OOMed with sources first.
+    # fuse>1 amortizes per-sort dispatch cost but keeps up to fuse+1
+    # live column sets; clamp to 2 here (3 sets ~ 6.4 GB at N=1e8)
+    fuse = max(1, min(getattr(cfg, "tree_fuse", 1), 2))
     ttree, ts, tg = tree_build.build_tree(
         targs, cfg.block_size, mode=cfg.tree_mode,
         span=cfg.tree_span, span_top=cfg.tree_span_top,
         defer_rs=getattr(cfg, "tree_defer_rs", False),
-        bisect_group=getattr(cfg, "tree_bisect_group", 4))
+        bisect_group=getattr(cfg, "tree_bisect_group", 4), fuse=fuse)
     n_tgt_real = targs.n_real
     targs = None          # only the sorted copy is needed from here on
     _ph("tgt tree", ttree.nc)
@@ -167,7 +170,7 @@ def solve_dtt_chunked(kernel: Kernel, cfg: SolverConfig,
         srcs, cfg.block_size, mode=cfg.tree_mode,
         span=cfg.tree_span, span_top=cfg.tree_span_top,
         defer_rs=getattr(cfg, "tree_defer_rs", False),
-        bisect_group=getattr(cfg, "tree_bisect_group", 4))
+        bisect_group=getattr(cfg, "tree_bisect_group", 4), fuse=fuse)
     srcs = None           # as above: pass ownership (see docstring)
     del sg                # sources are never unscrambled (~0.5 GB at 1e8)
     _ph("src tree", stree.nc)
