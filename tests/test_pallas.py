@@ -73,8 +73,8 @@ def test_group_pairs_chunking():
     K, G = 16, 8
     tgt = jnp.repeat(jnp.arange(1, 5, dtype=jnp.int32), K)
     src = jnp.zeros((4, K), jnp.int32)
-    src = src.at[0, :3].set(jnp.array([7, 8, 9]))
-    src = src.at[2, :10].set(jnp.arange(10, 20))
+    src = src.at[0, :3].set(jnp.array([7, 8, 9], jnp.int32))
+    src = src.at[2, :10].set(jnp.arange(10, 20, dtype=jnp.int32))
     raw = lists.PairList(tgt=tgt, src=src.reshape(-1),
                          n_valid=jnp.int32(13), overflow=jnp.int32(0))
     pg = lists.group_pairs(raw, cap=8, group=G, slot_width=K)
