@@ -191,12 +191,18 @@ def tuned_config(n: int) -> SolverConfig:
     if n >= 40_000_000:
         # beyond ~4e7 the monolithic plan exceeds 16 GB HBM: callers
         # should run traverse/chunked.solve_dtt_chunked with this
+        # settings measured at N=1e8 (scripts/exp_1e8.py, docs/PERF.md
+        # r2s7): W128 zero-overflow, transposed 3xt MXU tier, sort
+        # row-compaction, fused tree dispatches (clamped to 2 in
+        # chunked), cap 8 (real ~214k groups/chunk vs old 524k cap —
+        # pregather fetches the padded volume)
         return SolverConfig(block_size=256, order=5, theta_dtt=1.2,
-                            frontier_width=192, cap_groups_dtt=16,
+                            frontier_width=128, cap_groups_dtt=8,
                             tree_mode="span", pair_backend="pallas",
                             pair_group=16, pair_fetch="pregather",
-                            mxu_precision="3x", lean_plan=True,
-                            tree_defer_rs=True, tree_fuse=2)
+                            mxu_precision="3xt", lean_plan=True,
+                            tree_defer_rs=True, tree_fuse=2,
+                            list_compact="sort")
     if n >= 4_000_000:
         # r2 session-4 sweeps (docs/PERF.md): paired+defer tree build
         # -0.45s, W128 -0.25s (zero overflow at theta 1.2), transposed
