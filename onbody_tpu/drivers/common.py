@@ -82,6 +82,15 @@ def run_driver(kernel_name: str, progname: str, argv: List[str],
                test_iterations=(1, 1, 1, 1, 1), use_charges: bool = True,
                defaults: Optional[dict] = None,
                cfg_overrides: Optional[dict] = None) -> None:
+    # ONBODY_DRIVER_PLATFORM=cpu forces local execution (the axon
+    # sitecustomize freezes JAX_PLATFORMS too early; jax.config.update
+    # before first backend use is the only reliable switch — see
+    # tests/conftest.py). Lets driver smokes run without touching the
+    # shared TPU tunnel.
+    import os
+    plat = os.environ.get("ONBODY_DRIVER_PLATFORM")
+    if plat:
+        jax.config.update("jax_platforms", plat)
     base = dict(n=10000, order=-1, block_size=128, iters=1,
                 theta1=2.0, theta2=1.05, theta3=1.0, theta4=1.35,
                 galaxy=False, test_iterations=test_iterations,
