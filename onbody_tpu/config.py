@@ -130,10 +130,17 @@ class SolverConfig:
     pair_group: int = 8
 
     # source fetch strategy inside the executor: 'pregather' (one XLA
-    # row-gather per chunk feeds the kernel a contiguous block per step)
-    # or 'dma' (GROUP small in-kernel row DMAs per step — measured
-    # ~3.8us/step of pure fetch latency, ~95% of step time)
+    # row-gather per chunk feeds the kernel a contiguous block per step),
+    # 'dma' (GROUP small in-kernel row DMAs per step — measured
+    # ~3.8us/step of pure fetch latency, ~95% of step time), or 'dma_i'
+    # (dma with the next step's starts software-pipelined through the
+    # compute sub-tiles — ops/pallas_pairs._body_interleaved)
     pair_fetch: str = "pregather"
+
+    # blocks per TILE_FM sub-call in the interleaved dma kernel (caps
+    # the (B, tile_g*B) VPU intermediates; also the issue/compute
+    # interleave granularity)
+    pair_tile_g: int = 4
 
     # static interaction-list capacity, in 8-wide source groups per
     # emitted target row (keeps the solve path free of host syncs; the

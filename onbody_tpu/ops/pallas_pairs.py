@@ -93,7 +93,10 @@ def _body(pt_ref, ps_ref, tgt_ref, src_hbm, prev_ref, out_ref,
     def _():
         start(0, 0)
 
-    @pl.when(jnp.logical_and(p + 1 < n, pt_ref[p + 1] != 0))
+    # clamp: the predicate expression is evaluated unconditionally, so
+    # pt_ref[p+1] must not read out of bounds on the last step
+    @pl.when(jnp.logical_and(p + 1 < n,
+                             pt_ref[jnp.minimum(p + 1, n - 1)] != 0))
     def _():
         start((p + 1) % 2, p + 1)
 
@@ -119,6 +122,80 @@ def _body(pt_ref, ps_ref, tgt_ref, src_hbm, prev_ref, out_ref,
         prev_t = pt_ref[jnp.maximum(p - 1, 0)]
         first = jnp.logical_or(p == 0, prev_t != pt_ref[p])
         out_ref[0] = jnp.where(first, prev_ref[0], out_ref[0]) + tile_fm
+
+
+def _body_interleaved(pt_ref, ps_ref, tgt_ref, src_hbm, prev_ref,
+                      out_ref, scratch, sems, *, kernel_name: str,
+                      core: str, accum_dtype, pd: int, od: int,
+                      d2_mode: str, group: int, tile_g: int,
+                      precision: str = "highest"):
+    """dma fetch with SOFTWARE-PIPELINED issue: the next step's DMA
+    starts are spread through this step's compute, one slot batch per
+    sub-tile, so the scalar core's ~0.24us-per-start descriptor setup
+    runs while the VPU/MXU crunch the current sub-tile. The plain dma
+    body measured fully SERIALIZED issue+compute (~3.9 + ~3.7 us/step
+    at g16/b256 — docs/PERF.md r2s7); per-block issue (~225 scalar
+    cycles) and per-block compute (~215 cycles) are almost perfectly
+    matched, so interleaving can hide nearly all of one of them.
+
+    Sub-tiling the compute (tile_g blocks per TILE_FM call) also caps
+    the (B, tile_g*B) VPU intermediates, which is what VMEM-capped the
+    full-width tile at larger groups."""
+    p = pl.program_id(0)
+    n = pl.num_programs(0)
+
+    def dma(bank, step, j):
+        return pltpu.make_async_copy(
+            src_hbm.at[ps_ref[step * group + j]],
+            scratch.at[bank, j],
+            sems.at[bank, j])
+
+    @pl.when(jnp.logical_and(p == 0, pt_ref[0] != 0))
+    def _():
+        for j in range(group):
+            dma(0, 0, j).start()
+
+    bank = p % 2
+    nxt_ok = jnp.logical_and(p + 1 < n,
+                             pt_ref[jnp.minimum(p + 1, n - 1)] != 0)
+
+    @pl.when(pt_ref[p] != 0)
+    def _():
+        for j in range(group):
+            dma(bank, p, j).wait()
+        tg = tgt_ref[0]                                  # (8, B)
+        t = tg[:pd + 1].T
+        tile = None
+        n_sub = group // tile_g
+        for s_i in range(n_sub):
+            # issue the NEXT step's DMAs for this slot batch, then
+            # compute this step's sub-tile — scalar and vector streams
+            # proceed concurrently
+            @pl.when(nxt_ok)
+            def _(s_i=s_i):
+                for j in range(s_i * tile_g, (s_i + 1) * tile_g):
+                    dma((p + 1) % 2, p + 1, j).start()
+            s = jnp.concatenate(
+                [scratch[bank, j]
+                 for j in range(s_i * tile_g, (s_i + 1) * tile_g)],
+                axis=1)                                  # (C, tg*B)
+            tj = TILE_FM[kernel_name](t[:, :pd], t[:, pd], s, core,
+                                      accum_dtype, d2_mode,
+                                      precision=precision)
+            tile = tj if tile is None else tile + tj
+        od8 = out_ref.shape[1]
+        tile_fm = jnp.pad(tile.T, ((0, od8 - od), (0, 0)))
+        prev_t = pt_ref[jnp.maximum(p - 1, 0)]
+        first = jnp.logical_or(p == 0, prev_t != pt_ref[p])
+        out_ref[0] = jnp.where(first, prev_ref[0], out_ref[0]) + tile_fm
+
+    # a padding step still prefetches the next REAL step's blocks
+    # (otherwise the first step after a pad run would stall on cold
+    # buffers); issue them all at once — there is no compute to overlap
+    @pl.when(jnp.logical_and(pt_ref[p] == 0, nxt_ok))
+    def _():
+        for j in range(group):
+            dma((p + 1) % 2, p + 1, j).start()
 
 
 def _body_pre(pt_ref, tgt_ref, src_ref, prev_ref, out_ref, *,
@@ -202,12 +279,14 @@ def _exec_chunk_pre(kernel: Kernel, tgt_geo, src_gathered, pair_t, out,
 
 @functools.partial(
     jax.jit, static_argnames=("kernel", "core", "accum_dtype", "interpret",
-                              "d2_mode", "group", "precision"),
+                              "d2_mode", "group", "precision",
+                              "interleave", "tile_g"),
     donate_argnums=(5,))
 def _exec_chunk(kernel: Kernel, tgt_geo, src_fm, pair_t, pair_s, out,
                 core: str, accum_dtype, interpret: bool,
                 d2_mode: str = "outer", group: int = GROUP,
-                precision: str = "highest"):
+                precision: str = "highest", interleave: bool = False,
+                tile_g: int = 4):
     nn_t, _, b = tgt_geo.shape
     c = src_fm.shape[1]
     p = pair_t.shape[0]
@@ -229,10 +308,18 @@ def _exec_chunk(kernel: Kernel, tgt_geo, src_fm, pair_t, pair_s, out,
             pltpu.SemaphoreType.DMA((2, group)),
         ],
     )
-    body = functools.partial(_body, kernel_name=kernel.name, core=core,
-                             accum_dtype=accum_dtype, pd=pd, od=kernel.od,
-                             d2_mode=d2_mode, group=group,
-                             precision=precision)
+    if interleave:
+        body = functools.partial(_body_interleaved,
+                                 kernel_name=kernel.name, core=core,
+                                 accum_dtype=accum_dtype, pd=pd,
+                                 od=kernel.od, d2_mode=d2_mode,
+                                 group=group, tile_g=tile_g,
+                                 precision=precision)
+    else:
+        body = functools.partial(_body, kernel_name=kernel.name, core=core,
+                                 accum_dtype=accum_dtype, pd=pd,
+                                 od=kernel.od, d2_mode=d2_mode,
+                                 group=group, precision=precision)
     flops_per_step = group * b * b * kernel.flops_fn(core)
     return pl.pallas_call(
         body,
@@ -339,7 +426,8 @@ def exec_pairs_pallas(kernel: Kernel, tgt_geo: jax.Array,
                       d2_mode: str = "outer",
                       group: int = GROUP,
                       fetch: str = "pregather",
-                      precision: str = "highest") -> jax.Array:
+                      precision: str = "highest",
+                      tile_g: int = 4) -> jax.Array:
     """tgt_geo (NN_t, B, PD+1), src_fm (NN_s, C, B), group_t (P,),
     group_s (P, GROUP) — groups ordered by target row. Returns
     out (NN_t, B, OD); rows with no groups are zero.
@@ -347,7 +435,9 @@ def exec_pairs_pallas(kernel: Kernel, tgt_geo: jax.Array,
     fetch: 'pregather' (default — one XLA row-gather per chunk feeds the
     kernel one contiguous (C, G*B) block per step) or 'dma' (the kernel
     issues GROUP small row DMAs per step; measured ~3.8us/step of pure
-    fetch latency, ~10x the pregathered fixed cost)."""
+    fetch latency, ~10x the pregathered fixed cost) or 'dma_i'
+    (dma with the next step's starts software-pipelined through the
+    compute sub-tiles — see _body_interleaved)."""
     nn_t, _, b = tgt_geo.shape
     p = group_t.shape[0]
     od8 = -(-kernel.od // 8) * 8
@@ -357,7 +447,7 @@ def exec_pairs_pallas(kernel: Kernel, tgt_geo: jax.Array,
     if src_fm.ndim == 2 and fetch != "pregather":
         raise ValueError("flat (NN, C*B) source blocks need "
                          "fetch='pregather'")
-    if fetch == "dma" and c_raw % 8:
+    if fetch.startswith("dma") and c_raw % 8:
         raise ValueError("dma fetch needs sublane-aligned feature rows; "
                          "use fetch='pregather' with lean fm storage")
     if fetch == "static":
@@ -408,7 +498,9 @@ def exec_pairs_pallas(kernel: Kernel, tgt_geo: jax.Array,
         else:
             out = _exec_chunk(kernel, tgt_geo, src_fm, gt_c, gs_c, out,
                               core, accum_dtype, interpret, d2_mode,
-                              group, precision)
+                              group, precision,
+                              interleave=(fetch == "dma_i"),
+                              tile_g=min(tile_g, group))
     # back to the framework-standard (NN, B, OD) point-major layout
     return jnp.transpose(out[:, :kernel.od, :], (0, 2, 1))
 

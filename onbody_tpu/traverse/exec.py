@@ -176,7 +176,8 @@ def exec_groups(kernel: Kernel, cfg, plan, pg, interpret: bool = False):
                                    fetch=getattr(cfg, "pair_fetch",
                                                  "pregather"),
                                    precision=getattr(cfg, "mxu_precision",
-                                                     "highest"))
+                                                     "highest"),
+                                   tile_g=getattr(cfg, "pair_tile_g", 4))
         return out, pg
     pl = PairList(tgt=jnp.repeat(pg.tgt, g), src=pg.src.reshape(-1),
                   n_valid=pg.n_valid, overflow=pg.overflow)
