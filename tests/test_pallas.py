@@ -175,3 +175,10 @@ def test_dma_kernel_pad_steps_skipped():
         scale = max(float(jnp.max(jnp.abs(ref[1:]))), 1e-30)
         rel = float(jnp.max(jnp.abs(out[1:] - ref[1:]))) / scale
         assert rel < 1e-4, (gt_list, rel)
+        # interleaved-issue variant: same result modulo sub-tile dot
+        # reassociation (~1e-5)
+        out_i = pp.exec_pairs_pallas(kernel, tgt_geo, src_fm, gt, gs,
+                                     interpret=True, fetch="dma_i",
+                                     tile_g=2)
+        rel_i = float(jnp.max(jnp.abs(out_i[1:] - ref[1:]))) / scale
+        assert rel_i < 1e-4, (gt_list, rel_i)
