@@ -776,10 +776,9 @@ def build_tree(p: Parts, block_size: int = 128, refine: bool = False,
             highs.append(hi)
         if defer:
             perm = cols[-1]
-            rcol = (pp_r[perm],)
-            scols = (tuple(pp_s[:, d][perm] for d in range(sd))
-                     if pp_s is not None else ())
-            cols = cols[:pd] + rcol + scols + (perm,)
+            cols = (cols[:pd]
+                    + _gather_rs_packed(perm, pp_r, pp_s, sd)
+                    + (perm,))
         tree, x, r, s, gidx = _finish_median(
             cols, n_real, tuple(lows), tuple(highs), levels, block_size,
             sd, are_targets)
@@ -800,10 +799,9 @@ def build_tree(p: Parts, block_size: int = 128, refine: bool = False,
 
     if defer:
         perm = cols[-1]
-        rcol = (pp_r[perm],)
-        scols = (tuple(pp_s[:, d][perm] for d in range(sd))
-                 if pp_s is not None else ())
-        cols = cols[:pd] + rcol + scols + (perm,)
+        cols = (cols[:pd]
+                + _gather_rs_packed(perm, pp_r, pp_s, sd)
+                + (perm,))
     tree, x, r, s, gidx = _finish_median(
         cols, n_real, tuple(lows), tuple(highs), levels, block_size, sd,
         are_targets)
@@ -896,6 +894,28 @@ def build_trees_paired(ps: Parts, pt: Parts, block_size: int = 128,
                           pps, ppt, ps, pt, n_real, levels, block_size)
 
 
+def _gather_rs_packed(perm, r_pad, s_pad, sd: int):
+    """Apply the final permutation to the deferred radius/strength
+    columns with HALF the gathers: TPU gathers cost ~7.4 ns/element
+    regardless of width (docs/PERF.md r2s4), so packing two f32 columns
+    into one complex64 gather halves the dominant per-element cost.
+    Bit-exact: lax.complex/real/imag preserve the f32 payloads."""
+    cols = [r_pad] + ([s_pad[:, d] for d in range(sd)]
+                      if s_pad is not None else [])
+    out = []
+    i = 0
+    while i < len(cols):
+        if i + 1 < len(cols):
+            g = jax.lax.complex(cols[i], cols[i + 1])[perm]
+            out.append(jax.lax.real(g))
+            out.append(jax.lax.imag(g))
+            i += 2
+        else:
+            out.append(cols[i][perm])
+            i += 1
+    return tuple(out)
+
+
 def _finish_paired(cols, lows, highs, pd, sd, n_pad, defer_rs, pps, ppt,
                    ps, pt, n_real, levels, block_size):
     """Split the stacked columns back into halves and finish each tree."""
@@ -904,10 +924,9 @@ def _finish_paired(cols, lows, highs, pd, sd, n_pad, defer_rs, pps, ppt,
         if defer_rs:
             perm = hcols[-1]
             pr_pad = (pps if i == 0 else ppt).r
-            rcol = (pr_pad[perm],)
-            scols = (tuple(pps.s[:, d][perm] for d in range(sd))
-                     if keep_s and sd else ())
-            hcols = hcols[:pd] + rcol + scols + (perm,)
+            rs = _gather_rs_packed(perm, pr_pad,
+                                   pps.s if keep_s and sd else None, sd)
+            hcols = hcols[:pd] + rs + (perm,)
         elif not keep_s and sd:
             hcols = hcols[:pd + 1] + (hcols[-1],)
         hlows = tuple(lo.reshape(2, -1, pd)[i] for lo in lows)
