@@ -70,18 +70,21 @@ def main():
                 "trees paired", lambda: tb.build_trees_paired(
                     srcs, targs, cfg.block_size, mode=cfg.tree_mode,
                     span=cfg.tree_span, span_top=cfg.tree_span_top,
-                    defer_rs=getattr(cfg, "tree_defer_rs", False)))
+                    defer_rs=getattr(cfg, "tree_defer_rs", False),
+                    fuse=getattr(cfg, "tree_fuse", 1)))
         else:
             stree, ss, sg = run("src tree", lambda: tb.build_tree(
                 srcs, cfg.block_size, refine=cfg.order < 0,
                 mode=cfg.tree_mode, span=cfg.tree_span,
                 span_top=cfg.tree_span_top,
-                defer_rs=getattr(cfg, "tree_defer_rs", False)))
+                defer_rs=getattr(cfg, "tree_defer_rs", False),
+                fuse=getattr(cfg, "tree_fuse", 1)))
             ttree, ts, tg = run("tgt tree", lambda: tb.build_tree(
                 targs, cfg.block_size, refine=cfg.order < 0,
                 mode=cfg.tree_mode, span=cfg.tree_span,
                 span_top=cfg.tree_span_top,
-                defer_rs=getattr(cfg, "tree_defer_rs", False)))
+                defer_rs=getattr(cfg, "tree_defer_rs", False),
+                fuse=getattr(cfg, "tree_fuse", 1)))
         src_fm = run("src fm", lambda: eq.barycentric_fm(
             stree, ss, cfg.order, kernel.name,
             pad8=getattr(cfg, "pair_fetch", "pregather") == "dma"))
