@@ -319,3 +319,23 @@ def test_split_equivalent_rows_treecode3():
     out, info = treecode.solve_treecode3(kernel, cfg, plan)
     assert int(info.overflow) == 0
     assert rel_rms(out, ref) < 1e-4, rel_rms(out, ref)
+
+
+def test_fused_solve_matches_split():
+    """solve_dtt_fused (the 1e6 bench path: whole pipeline as one jit)
+    matches the phase-split prepare + solve_dtt, in both unscrambled and
+    tree-order forms."""
+    kernel = KERNELS["grav3d"]
+    srcs, targs = _problem(kernel, n=5000)
+    cfg = SolverConfig(block_size=64, order=3, pair_backend="xla")
+    plan = treecode.prepare(kernel, cfg, srcs, targs)
+    ref, rinfo = dtt.solve_dtt(kernel, cfg, plan)
+    out, info = dtt.solve_dtt_fused(kernel, cfg, srcs, targs)
+    assert int(np.asarray(info.overflow)) == 0
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-7)
+    (outs, inv), _ = dtt.solve_dtt_fused(kernel, cfg, srcs, targs,
+                                         unscramble=False)
+    res = np.asarray(outs)[np.asarray(inv)]
+    np.testing.assert_allclose(res, np.asarray(ref), rtol=1e-5,
+                               atol=1e-7)
