@@ -370,7 +370,8 @@ def _exec_groups_slab(kernel: Kernel, cfg, tgt_geo, src_fm, gt, gs,
                                    fetch=getattr(cfg, "pair_fetch",
                                                  "pregather"),
                                    precision=getattr(cfg, "mxu_precision",
-                                                     "highest"))
+                                                     "highest"),
+                                   tile_g=getattr(cfg, "pair_tile_g", 4))
         return out + add
     return pexec._exec_groups_xla_chunked(
         kernel, tgt_geo, src_fm, (gt, gs), out, cfg.core_func,
