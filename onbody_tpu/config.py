@@ -216,11 +216,15 @@ def tuned_config(n: int) -> SolverConfig:
         # MXU '3xt' -0.14s, sort row-compaction -0.08s
         # tree_fuse=8: exp_fuse at 1e7 measured prepare 2.22 (fuse 1)
         # -> 2.05 s (8) / 2.02 (99); 8 keeps per-dispatch live column
-        # sets bounded (the 1e8 chunked path shares this code)
+        # sets bounded (the 1e8 chunked path shares this code).
+        # dma_i g32/tg4: exp_dmai measured 4.36 vs 4.45 (dma g16) —
+        # the interleaved-issue kernel's win is small (Mosaic still
+        # serializes scalar DMA starts with vector compute) but free
         return SolverConfig(block_size=256, order=5, theta_dtt=1.2,
                             frontier_width=128, list_width=320,
                             cap_groups_dtt=16, pair_backend="pallas",
-                            pair_group=16, pair_fetch="dma",
+                            pair_group=32, pair_fetch="dma_i",
+                            pair_tile_g=4,
                             tree_mode="span", mxu_precision="3xt",
                             tree_paired=True, tree_defer_rs=True,
                             list_compact="sort", tree_fuse=8)

@@ -1,6 +1,7 @@
 #!/bin/bash
-# Round-2 batch 10: 1e8 rerun with cap 8 + fused tree dispatches
-# + packed deferred gathers (chained on queue9).
+# Round-2 batch 10 (relaunch): 1e8 rerun with cap 8 + fused tree
+# dispatches + packed deferred gathers; fused-pipeline experiment and
+# bench confirm at 1e7 with the adopted dma_i config.
 cd /root/repo
 
 probe() {
@@ -10,8 +11,6 @@ a = jnp.arange(8.0)
 assert float(np.asarray((a * a)[3])) == 9.0
 PYEOF
 }
-
-while ! grep -q "ALL DONE" /tmp/queue9.log 2>/dev/null; do sleep 60; done
 
 echo "[queue10] waiting for TPU tunnel..." >&2
 until probe; do
@@ -28,4 +27,7 @@ run() {
 }
 
 run e8 10000 python scripts/exp_1e8.py
+run fused7 6000 python scripts/exp_fused7.py 1e7
+run bench7 3600 env ONBODY_BENCH_N=1e7 python bench.py
+run bench6 1800 python bench.py
 echo "[queue10] ALL DONE $(date +%H:%M:%S)" >&2
