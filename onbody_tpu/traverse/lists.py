@@ -599,6 +599,22 @@ def _dtt_lists_level(stree: Tree, ttree: Tree, theta,
                 defer = valid & ~accept
             return accept, expand, defer
 
+        if t_is_leaf and levels_s <= levels_t:
+            # every candidate here is a source LEAF (ids descend one
+            # source level per target level), and leaf-leaf pairs always
+            # accept — a leaf's fm row holds its real particles, so the
+            # far/near distinction is vacuous at this level. Skip the
+            # classify (the single biggest gather+MAC round: nt*W
+            # candidates) AND the output compaction (cand rows are
+            # already front-packed by the previous level's compaction).
+            out = cand
+            overflow = overflow + jnp.int32(0)
+            total_valid = total_valid + jnp.sum(out != 0,
+                                                dtype=jnp.int32)
+            all_tgt.append(jnp.broadcast_to(
+                tgt_ids[:, None], (nt, out.shape[1])).reshape(-1))
+            all_src.append(out.reshape(-1))
+            continue
         accept, expand, defer = classify(cand)
         out = jnp.where(accept, cand, 0)
         if t_is_leaf and levels_s > levels_t:
@@ -823,6 +839,15 @@ def _dtt_lists_sub(stree: Tree, ttree: Tree, theta, cand0, root,
         alive = jax.lax.dynamic_slice_in_dim(ttree.alive, id0, w)
         tgeo = prep(tcm, tnr)
         cand = jnp.where(alive[:, None], cand, 0)
+        if t_is_leaf and levels_s <= levels_t:
+            # vacuous leaf classify — see _dtt_lists_level
+            out = cand
+            total_valid = total_valid + jnp.sum(out != 0,
+                                                dtype=jnp.int32)
+            all_tgt.append(jnp.where(out != 0, tgt_ids[:, None], 0
+                                     ).reshape(-1))
+            all_src.append(out.reshape(-1))
+            continue
         accept, expand, defer = classify(cand, tgeo, t_is_leaf)
         out = jnp.where(accept, cand, 0)
         if t_is_leaf and levels_s > levels_t:
