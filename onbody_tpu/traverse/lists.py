@@ -68,15 +68,25 @@ def _compact_rows(vals: jax.Array, width: int,
     measurement: beat per-row argsort + take_along_axis gathers).
     mode='sort': a stable lane-dim variadic sort with a zeros-last key —
     identical rows (verified), different mover; scripts/exp_listcost.py
-    measures which wins at 1e7 frontier shapes."""
+    measures which wins at 1e7 frontier shapes.
+    mode='idsort': zeros-last + ASCENDING source ids (same pair set;
+    per-row order differs). Sibling nodes (2c, 2c+1) end up in adjacent
+    slots — the layout a sibling-bundled fetch kernel needs — and
+    ascending ids give the pregather row-gather monotone indices."""
     L, K = vals.shape
     valid = vals != 0
     counts = jnp.sum(valid, axis=1, dtype=jnp.int32)
     overflow = jnp.sum(jnp.maximum(counts - width, 0), dtype=jnp.int32)
-    if mode == "sort":
-        key = (~valid).astype(jnp.int32)
-        out = jax.lax.sort((key, vals), dimension=1, num_keys=1,
-                           is_stable=True)[1]
+    if mode in ("sort", "idsort"):
+        if mode == "idsort":
+            big = jnp.int32(2 ** 30)
+            out = jax.lax.sort(
+                (jnp.where(valid, vals, big),) + (vals,),
+                dimension=1, num_keys=1, is_stable=False)[1]
+        else:
+            key = (~valid).astype(jnp.int32)
+            out = jax.lax.sort((key, vals), dimension=1, num_keys=1,
+                               is_stable=True)[1]
         if width > K:
             out = jnp.pad(out, ((0, 0), (0, width - K)))
         return out[:, :width], overflow
