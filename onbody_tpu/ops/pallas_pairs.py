@@ -198,6 +198,111 @@ def _body_interleaved(pt_ref, ps_ref, tgt_ref, src_hbm, prev_ref,
             dma((p + 1) % 2, p + 1, j).start()
 
 
+def _body_pair(pt_ref, ps_ref, tgt_ref, src_hbm, prev_ref, out_ref,
+               scratch, sems, *, kernel_name: str, core: str,
+               accum_dtype, pd: int, od: int, d2_mode: str, group: int,
+               tile_g: int, precision: str = "highest"):
+    """dma fetch with ADJACENT-ROW BUNDLING: slots j, j+1 holding
+    consecutive source ids (a, a+1) are fetched by ONE 2-row DMA —
+    their feature rows are contiguous in HBM. With id-ordered row
+    compaction (lists mode 'idsort') sibling leaf blocks are always
+    adjacent (consecutive integers sort together), and measured lists
+    bundle ~92% of entries -> ~0.54x the DMA-start count, the dominant
+    serialized scalar cost of the dma executor (docs/PERF.md r2s8).
+
+    The greedy head/consumed scan is an unrolled scalar chain: head[j]
+    starts a bundle iff ids are adjacent and j is not already covered;
+    starts and waits recompute the same predicates, so every issued
+    copy is waited exactly once."""
+    p = pl.program_id(0)
+    n = pl.num_programs(0)
+
+    def sid(step, j):
+        return ps_ref[step * group + j]
+
+    def plan_step(step):
+        heads, cons = [], []
+        consumed = None
+        for j in range(group):
+            if j < group - 1:
+                a = sid(step, j)
+                adj = jnp.logical_and(a != 0, sid(step, j + 1) == a + 1)
+            else:
+                adj = jnp.bool_(False)
+            head = (adj if consumed is None
+                    else jnp.logical_and(adj, jnp.logical_not(consumed)))
+            heads.append(head)
+            cons.append(jnp.bool_(False) if consumed is None else consumed)
+            consumed = head
+        return heads, cons
+
+    def dma1(bank, step, j):
+        return pltpu.make_async_copy(src_hbm.at[sid(step, j)],
+                                     scratch.at[bank, j],
+                                     sems.at[bank, j])
+
+    def dma2(bank, step, j):
+        return pltpu.make_async_copy(
+            src_hbm.at[pl.ds(sid(step, j), 2)],
+            scratch.at[bank, pl.ds(j, 2)],
+            sems.at[bank, j])
+
+    def start(bank, step):
+        heads, cons = plan_step(step)
+        for j in range(group):
+            if j < group - 1:          # last slot can never head a pair
+                @pl.when(heads[j])
+                def _(j=j):
+                    dma2(bank, step, j).start()
+
+            @pl.when(jnp.logical_not(jnp.logical_or(heads[j], cons[j])))
+            def _(j=j):
+                dma1(bank, step, j).start()
+
+    def wait(bank, step):
+        heads, cons = plan_step(step)
+        for j in range(group):
+            if j < group - 1:
+                @pl.when(heads[j])
+                def _(j=j):
+                    dma2(bank, step, j).wait()
+
+            @pl.when(jnp.logical_not(jnp.logical_or(heads[j], cons[j])))
+            def _(j=j):
+                dma1(bank, step, j).wait()
+
+    @pl.when(jnp.logical_and(p == 0, pt_ref[0] != 0))
+    def _():
+        start(0, 0)
+
+    @pl.when(jnp.logical_and(p + 1 < n,
+                             pt_ref[jnp.minimum(p + 1, n - 1)] != 0))
+    def _():
+        start((p + 1) % 2, p + 1)
+
+    bank = p % 2
+
+    @pl.when(pt_ref[p] != 0)
+    def _():
+        wait(bank, p)
+        tg = tgt_ref[0]                                  # (8, B)
+        t = tg[:pd + 1].T
+        tile = None
+        for s_i in range(0, group, tile_g):
+            s = jnp.concatenate(
+                [scratch[bank, j] for j in range(s_i, s_i + tile_g)],
+                axis=1)                                  # (C, tg*B)
+            tj = TILE_FM[kernel_name](t[:, :pd], t[:, pd], s, core,
+                                      accum_dtype, d2_mode,
+                                      precision=precision)
+            tile = tj if tile is None else tile + tj
+        od8 = out_ref.shape[1]
+        tile_fm = jnp.pad(tile.T, ((0, od8 - od), (0, 0)))
+        prev_t = pt_ref[jnp.maximum(p - 1, 0)]
+        first = jnp.logical_or(p == 0, prev_t != pt_ref[p])
+        out_ref[0] = jnp.where(first, prev_ref[0], out_ref[0]) + tile_fm
+
+
 def _body_pre(pt_ref, tgt_ref, src_ref, prev_ref, out_ref, *,
               kernel_name: str, core: str, accum_dtype, pd: int, od: int,
               d2_mode: str, group: int, c: int,
@@ -280,12 +385,12 @@ def _exec_chunk_pre(kernel: Kernel, tgt_geo, src_gathered, pair_t, out,
 @functools.partial(
     jax.jit, static_argnames=("kernel", "core", "accum_dtype", "interpret",
                               "d2_mode", "group", "precision",
-                              "interleave", "tile_g"),
+                              "body_kind", "tile_g"),
     donate_argnums=(5,))
 def _exec_chunk(kernel: Kernel, tgt_geo, src_fm, pair_t, pair_s, out,
                 core: str, accum_dtype, interpret: bool,
                 d2_mode: str = "outer", group: int = GROUP,
-                precision: str = "highest", interleave: bool = False,
+                precision: str = "highest", body_kind: str = "plain",
                 tile_g: int = 4):
     nn_t, _, b = tgt_geo.shape
     c = src_fm.shape[1]
@@ -308,8 +413,15 @@ def _exec_chunk(kernel: Kernel, tgt_geo, src_fm, pair_t, pair_s, out,
             pltpu.SemaphoreType.DMA((2, group)),
         ],
     )
-    if interleave:
+    if body_kind == "interleaved":
         body = functools.partial(_body_interleaved,
+                                 kernel_name=kernel.name, core=core,
+                                 accum_dtype=accum_dtype, pd=pd,
+                                 od=kernel.od, d2_mode=d2_mode,
+                                 group=group, tile_g=tile_g,
+                                 precision=precision)
+    elif body_kind == "pair":
+        body = functools.partial(_body_pair,
                                  kernel_name=kernel.name, core=core,
                                  accum_dtype=accum_dtype, pd=pd,
                                  od=kernel.od, d2_mode=d2_mode,
@@ -496,10 +608,11 @@ def exec_pairs_pallas(kernel: Kernel, tgt_geo: jax.Array,
                                   core, accum_dtype, interpret, d2_mode,
                                   group, precision)
         else:
+            kind = {"dma_i": "interleaved", "dma_p": "pair"}.get(
+                fetch, "plain")
             out = _exec_chunk(kernel, tgt_geo, src_fm, gt_c, gs_c, out,
                               core, accum_dtype, interpret, d2_mode,
-                              group, precision,
-                              interleave=(fetch == "dma_i"),
+                              group, precision, body_kind=kind,
                               tile_g=min(tile_g, group))
     # back to the framework-standard (NN, B, OD) point-major layout
     return jnp.transpose(out[:, :kernel.od, :], (0, 2, 1))

@@ -182,3 +182,33 @@ def test_dma_kernel_pad_steps_skipped():
                                      tile_g=2)
         rel_i = float(jnp.max(jnp.abs(out_i[1:] - ref[1:]))) / scale
         assert rel_i < 1e-4, (gt_list, rel_i)
+
+
+def test_dma_pair_bundled_kernel():
+    """Adjacent-row bundled fetch (fetch='dma_p') matches the XLA
+    executor across adjacency patterns: full ascending runs, mixed
+    singles/pairs/pads, last-slot adjacency (cannot head a pair), and
+    3-long consecutive runs (greedy takes (a,a+1), then a+2 single)."""
+    kernel = KERNELS["grav3d"]
+    B, NN = 32, 16
+    ks = jax.random.split(jax.random.PRNGKey(3), 3)
+    pos = jax.random.uniform(ks[0], (NN, B, 3))
+    rad = jnp.full((NN, B), 0.05).at[0].set(1.0)
+    s = (jax.random.normal(ks[1], (NN, B, 1)) / B).at[0].set(0.0)
+    src_fm = pp.build_fm_blocks(kernel, pos, rad, s)
+    tgt_geo = pp.build_tgt_geo(pos, rad)
+    for rows in ([[2, 3, 4, 5, 6, 7, 8, 9]],
+                 [[3, 4, 7, 9, 10, 13, 0, 0]],
+                 [[5, 9, 11, 2, 6, 8, 14, 15]],
+                 [[4, 5, 6, 1, 12, 2, 0, 0]]):
+        gs = jnp.array(rows * 4, jnp.int32)
+        gt = jnp.array([1, 2, 3, 3], jnp.int32)
+        out = pp.exec_pairs_pallas(kernel, tgt_geo, src_fm, gt, gs,
+                                   interpret=True, fetch="dma_p",
+                                   tile_g=4)
+        ref = pexec._exec_groups_xla_chunked(
+            kernel, tgt_geo, src_fm, (gt, gs), jnp.zeros_like(out),
+            "rm", jnp.float32, "outer", gs.shape[1], 1024, "highest")
+        scale = max(float(jnp.max(jnp.abs(ref[1:]))), 1e-30)
+        rel = float(jnp.max(jnp.abs(out[1:] - ref[1:]))) / scale
+        assert rel < 1e-4, (rows, rel)
