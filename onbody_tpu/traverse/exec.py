@@ -158,16 +158,24 @@ def exec_groups(kernel: Kernel, cfg, plan, pg, interpret: bool = False):
         from onbody_tpu.ops import pallas_pairs as pp
         interpret = interpret or jax.devices()[0].platform == "cpu"
         tgt, src = pg.tgt, pg.src
-        try:
+        fetch = getattr(cfg, "pair_fetch", "pregather")
+        if fetch == "pregather":
             # groups are front-packed by the builder: trim the padding
-            # tail to the next chunk boundary (one scalar fetch)
-            n_groups = int(jax.device_get(jnp.sum(tgt != 0)))
-            chunk = pp._chunk_groups(g)
-            cap = tgt.shape[0]
-            trim = min(cap, -(-max(n_groups, 1) // chunk) * chunk)
-            tgt, src = tgt[:trim], src[:trim]
-        except jax.errors.ConcretizationTypeError:
-            pass
+            # tail to the next chunk boundary. The scalar fetch is a
+            # full pipeline SYNC (it drains every queued dispatch before
+            # the exec kernels can even be enqueued), so it only pays
+            # where pad steps have a real cost — the pregather path's
+            # row-gathers fetch padded groups too. The dma-family
+            # kernels skip pad steps in-kernel for ~free and keep the
+            # solve fully asynchronous.
+            try:
+                n_groups = int(jax.device_get(jnp.sum(tgt != 0)))
+                chunk = pp._chunk_groups(g)
+                cap = tgt.shape[0]
+                trim = min(cap, -(-max(n_groups, 1) // chunk) * chunk)
+                tgt, src = tgt[:trim], src[:trim]
+            except jax.errors.ConcretizationTypeError:
+                pass
         d2m = "center" if cfg.d2_mode == "center" else "outer"
         out = pp.exec_pairs_pallas(kernel, plan.tgt_geo, plan.src_fm,
                                    tgt, src, cfg.core_func,
