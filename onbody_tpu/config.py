@@ -201,10 +201,11 @@ def tuned_config(n: int) -> SolverConfig:
         # settings measured at N=1e8 (scripts/exp_1e8.py, docs/PERF.md
         # r2s7): W128 zero-overflow, transposed 3xt MXU tier, sort
         # row-compaction, fused tree dispatches (clamped to 2 in
-        # chunked), cap 8 (real ~214k groups/chunk vs old 524k cap —
-        # pregather fetches the padded volume)
+        # chunked). cap 8 was tried and OVERFLOWED (440k dropped groups:
+        # per-target ceil(v/g) quantization inflates the group count far
+        # above pairs/g) — 16 is the verified setting.
         return SolverConfig(block_size=256, order=5, theta_dtt=1.2,
-                            frontier_width=128, cap_groups_dtt=8,
+                            frontier_width=128, cap_groups_dtt=16,
                             tree_mode="span", pair_backend="pallas",
                             pair_group=16, pair_fetch="pregather",
                             mxu_precision="3xt", lean_plan=True,

@@ -37,12 +37,11 @@ def main():
     n_chunks = int(sys.argv[2]) if len(sys.argv) > 2 else 16
     theta = float(sys.argv[3]) if len(sys.argv) > 3 else 1.2
     kernel = get_kernel("grav3d")
-    # cap_groups_dtt=8: measured real group count is ~214k/chunk vs the
-    # old cap 524k — pregather gathers the PADDED group volume, so a
-    # 2.2x cap was ~2.2x the fetch traffic (overflow-guarded, so a
-    # too-tight cap fails loudly, never silently)
+    # cap_groups_dtt: 8 overflowed (440k dropped groups — per-target
+    # ceil(v/g) quantization inflates group count far above pairs/g);
+    # 16 is the verified zero-overflow setting
     cfg = SolverConfig(block_size=256, order=5, theta_dtt=theta,
-                       frontier_width=128, cap_groups_dtt=8,
+                       frontier_width=128, cap_groups_dtt=16,
                        tree_mode="span", pair_backend="pallas",
                        dtt_traversal="level", pair_fetch="pregather",
                        pair_group=16, lean_plan=True,
