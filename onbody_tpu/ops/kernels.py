@@ -534,13 +534,17 @@ def _vort3d_tile_fm(tpos, trad, srcT, core="rm",
     rows = srcT[4:10, :]
     if precision != "highest":
         # centered identity: e' = w x (s - cc) = e - w x cc; then
-        # vel = C@e' - (C@w) x (t - cc) (see _grav3d_tile_fm)
+        # vel = C@e' - (C@w) x (t - cc) (see _grav3d_tile_fm).
+        # w x cc is built from CONTIGUOUS rolled row slices of [w3; w3]
+        # — a jnp.stack of three separately-computed (1, B) rows hits
+        # Mosaic's unimplemented offset-mismatch tpu.concatenate.
         cc = jnp.mean(txa, axis=0)
         w3 = srcT[4:7, :]
-        e_c = srcT[7:10, :] - jnp.stack(
-            [w3[1] * cc[2] - w3[2] * cc[1],
-             w3[2] * cc[0] - w3[0] * cc[2],
-             w3[0] * cc[1] - w3[1] * cc[0]])
+        ww = jnp.concatenate([w3, w3], axis=0)        # (6, B)
+        cc2 = jnp.concatenate([cc, cc])
+        # (w x cc)_i = w_{i+1} cc_{i+2} - w_{i+2} cc_{i+1} (cyclic)
+        wxcc = ww[1:4] * cc2[2:5, None] - ww[2:5] * cc2[1:4, None]
+        e_c = srcT[7:10, :] - wxcc
         rows = jnp.concatenate([w3, e_c], axis=0)
         txa = txa - cc[None, :]
     o = _dotg_fm(c, rows, accum_dtype, precision)    # (B, 6): C@w, C@e

@@ -158,7 +158,8 @@ def solve_dtt_chunked(kernel: Kernel, cfg: SolverConfig,
         targs, cfg.block_size, mode=cfg.tree_mode,
         span=cfg.tree_span, span_top=cfg.tree_span_top,
         defer_rs=getattr(cfg, "tree_defer_rs", False),
-        bisect_group=getattr(cfg, "tree_bisect_group", 4), fuse=fuse)
+        bisect_group=getattr(cfg, "tree_bisect_group", 4), fuse=fuse,
+        need_r=kernel.uses_tr)
     n_tgt_real = targs.n_real
     targs = None          # only the sorted copy is needed from here on
     _ph("tgt tree", ttree.nc)

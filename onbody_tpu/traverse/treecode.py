@@ -69,12 +69,16 @@ def prepare(kernel: Kernel, cfg: SolverConfig, srcs: Parts,
     defer = getattr(cfg, "tree_defer_rs", False)
     bgrp = getattr(cfg, "tree_bisect_group", 4)
     fuse = getattr(cfg, "tree_fuse", 1)
+    # kernels with uses_tr=False never read target radii: skip their
+    # sort payload / deferred gather (tree/build.py need_r)
+    need_tr = kernel.uses_tr
     if paired:
         (stree, ss, sg), (ttree, ts, tg) = tree_build.build_trees_paired(
             srcs, targs, cfg.block_size, refine=refine,
             mode=cfg.tree_mode, span=cfg.tree_span,
             span_top=cfg.tree_span_top, span_bot=cfg.tree_span_bot,
-            defer_rs=defer, bisect_group=bgrp, fuse=fuse)
+            defer_rs=defer, bisect_group=bgrp, fuse=fuse,
+            need_tgt_r=need_tr)
     else:
         stree, ss, sg = tree_build.build_tree(srcs, cfg.block_size,
                                               refine=refine,
@@ -93,7 +97,8 @@ def prepare(kernel: Kernel, cfg: SolverConfig, srcs: Parts,
                                               span_bot=cfg.tree_span_bot,
                                               defer_rs=defer,
                                               bisect_group=bgrp,
-                                              fuse=fuse)
+                                              fuse=fuse,
+                                              need_r=need_tr)
     lean = getattr(cfg, "lean_plan", False)
     if lean and cfg.order >= 0:
         # feature-major arrays built directly, no point-major Blocks:

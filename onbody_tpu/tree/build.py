@@ -52,6 +52,13 @@ def next_pow2(x: int) -> int:
     return 1 if x <= 1 else 1 << (int(x - 1).bit_length())
 
 
+# Prefix slicing (sort only the real prefix of each segment) pays a
+# second sort dispatch per level to skip the pad tail; below this many
+# real particles the pad volume cannot cover that fixed cost (and the
+# extra per-level compile dominates small/test problems).
+PREFIX_SORT_MIN = 1 << 18
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class Tree:
@@ -189,6 +196,17 @@ def _split_step_impl(cols, n_real, l: int, pd: int, capture_box: bool,
     slots at N=1e7) are sliced out of the sort entirely; their slots
     pass through untouched and the dead nodes above them get inert
     geometry in the finish pass (_dead_geometry_override).
+
+    Prefix slicing: the same invariant (every pad coordinate exceeds
+    every real coordinate on every axis) means the partial segment's
+    pad TAIL never moves under its sort either — sorting just the
+    [0:lp) real prefix of the partial segment produces the identical
+    real layout. Each level therefore sorts exactly n_live rows
+    (full segments at (parts*full, m) plus one (parts, lp) prefix
+    sort), not n_pad — a 40% volume cut at N=1e7/bs256. Pad slots keep
+    their incoming order instead of being coordinate-sorted, which no
+    consumer observes: boxes/CM/alive are real-masked, dead nodes get
+    far-point geometry, and pad sources carry zero strength.
     """
     n_pad = cols[0].shape[0]
     nseg = 1 << l
@@ -196,6 +214,74 @@ def _split_step_impl(cols, n_real, l: int, pd: int, capture_box: bool,
     # statically-known live segments per stacked particle set
     nseg_p = nseg // parts
     live = min(nseg_p, -(-n_live // m)) if n_live else nseg_p
+    full = min(nseg_p, n_live // m) if n_live else nseg_p
+    lp = (n_live - full * m
+          if (n_live >= PREFIX_SORT_MIN and full < nseg_p) else 0)
+
+    def _sort_allreal(xs_g, rest_g):
+        """Box -> axis keys -> variadic sort -> coord unpack for one
+        group of equal-length ALL-REAL segments (unmasked boxes)."""
+        lo = jnp.stack([jnp.min(x, axis=1) for x in xs_g], axis=1)
+        hi = jnp.stack([jnp.max(x, axis=1) for x in xs_g], axis=1)
+        axis_g = jnp.argmax(hi - lo, axis=1)
+        keys = xs_g[0]
+        for d in range(1, pd):
+            keys = jnp.where((axis_g == d)[:, None], xs_g[d], keys)
+        oth_g = []
+        for j in range(1, pd):
+            oj = xs_g[0]
+            for d in range(1, pd):
+                oj = jnp.where(((axis_g + j) % pd == d)[:, None],
+                               xs_g[d], oj)
+            oth_g.append(oj)
+        out_g = jax.lax.sort((keys,) + tuple(oth_g) + tuple(rest_g),
+                             dimension=1, num_keys=1)
+        sk, so, rest = out_g[0], out_g[1:pd], out_g[pd:]
+        new_xs = []
+        for d in range(pd):
+            xd = sk
+            for j in range(1, pd):
+                xd = jnp.where(((axis_g + j) % pd == d)[:, None],
+                               so[j - 1], xd)
+            new_xs.append(xd)
+        return list(new_xs) + list(rest), lo, hi
+
+    if lp > 0:
+        # prefix slicing (see docstring): sort the full segments at
+        # (parts*full, m) and ONLY the [0:lp) real prefix of each
+        # part's partial segment; pad slots pass through untouched.
+        per_part = nseg_p * m
+        trip = [((cp := c.reshape(parts, per_part))[:, :full * m],
+                 cp[:, full * m:full * m + lp],
+                 cp[:, full * m + lp:]) for c in cols]
+        if full:
+            fcols = [f.reshape(parts * full, m) for f, _, _ in trip]
+            fsorted, lo_f, hi_f = _sort_allreal(fcols[:pd], fcols[pd:])
+        pcols = [p for _, p, _ in trip]                  # (parts, lp)
+        psorted, lo_p, hi_p = _sort_allreal(pcols[:pd], pcols[pd:])
+        new_cols = []
+        for i in range(len(cols)):
+            pieces = ([fsorted[i].reshape(parts, full * m)] if full
+                      else [])
+            pieces += [psorted[i], trip[i][2]]
+            new_cols.append(
+                jnp.concatenate(pieces, axis=1).reshape(n_pad))
+        new_cols = tuple(new_cols)
+        if not capture_box:
+            return new_cols, None, None
+        live_n = full + 1
+        if full:
+            lo = jnp.concatenate([lo_f.reshape(parts, full, pd),
+                                  lo_p[:, None, :]],
+                                 axis=1).reshape(parts * live_n, pd)
+            hi = jnp.concatenate([hi_f.reshape(parts, full, pd),
+                                  hi_p[:, None, :]],
+                                 axis=1).reshape(parts * live_n, pd)
+        else:
+            lo, hi = lo_p, hi_p
+        lo, hi = _pad_dead_boxes(lo, hi, parts, live_n, nseg_p)
+        return new_cols, lo, hi
+
     sliced = live < nseg_p
     if sliced:
         def head_tail(c):
@@ -677,13 +763,20 @@ def build_tree(p: Parts, block_size: int = 128, refine: bool = False,
                span_bot: Optional[int] = None,
                defer_rs: bool = False,
                bisect_group: int = 4,
-               fuse: int = 1) -> Tuple[Tree, Parts,
-                                       jax.Array]:
+               fuse: int = 1,
+               need_r: bool = True) -> Tuple[Tree, Parts,
+                                             jax.Array]:
     """Build the tree; returns (tree, reordered+padded parts, gidx).
 
     gidx[i] = original index of the particle now in slot i (the
     un-scrambling permutation the C-ABI layer needs,
     interface2dvort.cpp:301-304). Padded slots have gidx >= n_real.
+
+    need_r=False (targets of a kernel with uses_tr=False — grav3d,
+    vort3d, vortgrad3d ignore target radii entirely): the sorted radius
+    column comes back as zeros instead of riding the sort payload /
+    paying the deferred ~7.4 ns/element gather. Node pr stats are then
+    zeros too (never read for such kernels).
 
     mode:
     * 'median' — VAMsplit-equivalent per-level median splits, one
@@ -728,9 +821,11 @@ def build_tree(p: Parts, block_size: int = 128, refine: bool = False,
     # leave them out of the sort network (fewer operands per bitonic
     # pass) and gather them once through the final permutation.
     defer = defer_rs and mode != "morton"
+    skip_r = (not need_r) and mode != "morton"
     cols = tuple(pp.x[:, d] for d in range(pd))
     if not defer:
-        cols = cols + (jnp.copy(pp.r),)
+        if not skip_r:
+            cols = cols + (jnp.copy(pp.r),)
         if pp.s is not None:
             cols = cols + tuple(pp.s[:, d] for d in range(sd))
     cols = cols + (gidx,)
@@ -777,8 +872,10 @@ def build_tree(p: Parts, block_size: int = 128, refine: bool = False,
         if defer:
             perm = cols[-1]
             cols = (cols[:pd]
-                    + _gather_rs_packed(perm, pp_r, pp_s, sd)
+                    + _gather_rs_packed(perm, pp_r, pp_s, sd, need_r)
                     + (perm,))
+        elif skip_r:
+            cols = cols[:pd] + (jnp.zeros_like(cols[0]),) + cols[pd:]
         tree, x, r, s, gidx = _finish_median(
             cols, n_real, tuple(lows), tuple(highs), levels, block_size,
             sd, are_targets)
@@ -800,8 +897,10 @@ def build_tree(p: Parts, block_size: int = 128, refine: bool = False,
     if defer:
         perm = cols[-1]
         cols = (cols[:pd]
-                + _gather_rs_packed(perm, pp_r, pp_s, sd)
+                + _gather_rs_packed(perm, pp_r, pp_s, sd, need_r)
                 + (perm,))
+    elif skip_r:
+        cols = cols[:pd] + (jnp.zeros_like(cols[0]),) + cols[pd:]
     tree, x, r, s, gidx = _finish_median(
         cols, n_real, tuple(lows), tuple(highs), levels, block_size, sd,
         are_targets)
@@ -815,7 +914,8 @@ def build_trees_paired(ps: Parts, pt: Parts, block_size: int = 128,
                        span_bot: Optional[int] = None,
                        defer_rs: bool = False,
                        bisect_group: int = 4,
-                       fuse: int = 1):
+                       fuse: int = 1,
+                       need_tgt_r: bool = True):
     """Build the source AND target trees from ONE sequence of stacked
     sorts (bit-identical to two build_tree calls; tests/test_tree.py).
 
@@ -885,23 +985,26 @@ def build_trees_paired(ps: Parts, pt: Parts, block_size: int = 128,
             highs.append(hi)
         return _finish_paired(cols, lows, highs, pd, sd, n_pad,
                               defer_rs, pps, ppt, ps, pt, n_real,
-                              levels, block_size)
+                              levels, block_size, need_tgt_r)
     sched = _build_schedule(levels, sort_levels, n_pad, q, span_top,
                             span_bot, ps.n_real, 2, loff=1)
     cols, lows, highs = _run_schedule(cols, n_real, sched, pd, fuse)
 
     return _finish_paired(cols, lows, highs, pd, sd, n_pad, defer_rs,
-                          pps, ppt, ps, pt, n_real, levels, block_size)
+                          pps, ppt, ps, pt, n_real, levels, block_size,
+                          need_tgt_r)
 
 
-def _gather_rs_packed(perm, r_pad, s_pad, sd: int):
+def _gather_rs_packed(perm, r_pad, s_pad, sd: int, need_r: bool = True):
     """Apply the final permutation to the deferred radius/strength
     columns with HALF the gathers: TPU gathers cost ~7.4 ns/element
     regardless of width (docs/PERF.md r2s4), so packing two f32 columns
     into one complex64 gather halves the dominant per-element cost.
-    Bit-exact: lax.complex/real/imag preserve the f32 payloads."""
-    cols = [r_pad] + ([s_pad[:, d] for d in range(sd)]
-                      if s_pad is not None else [])
+    Bit-exact: lax.complex/real/imag preserve the f32 payloads.
+    need_r=False skips the radius gather (kernel ignores these radii)
+    and substitutes zeros."""
+    cols = ([r_pad] if need_r else []) + (
+        [s_pad[:, d] for d in range(sd)] if s_pad is not None else [])
     out = []
     i = 0
     while i < len(cols):
@@ -913,11 +1016,14 @@ def _gather_rs_packed(perm, r_pad, s_pad, sd: int):
         else:
             out.append(cols[i][perm])
             i += 1
+    if not need_r:
+        out.insert(0, jnp.zeros_like(r_pad))
     return tuple(out)
 
 
 def _finish_paired(cols, lows, highs, pd, sd, n_pad, defer_rs, pps, ppt,
-                   ps, pt, n_real, levels, block_size):
+                   ps, pt, n_real, levels, block_size,
+                   need_tgt_r: bool = True):
     """Split the stacked columns back into halves and finish each tree."""
     def half(i, keep_s):
         hcols = tuple(c[i * n_pad:(i + 1) * n_pad] for c in cols)
@@ -925,7 +1031,8 @@ def _finish_paired(cols, lows, highs, pd, sd, n_pad, defer_rs, pps, ppt,
             perm = hcols[-1]
             pr_pad = (pps if i == 0 else ppt).r
             rs = _gather_rs_packed(perm, pr_pad,
-                                   pps.s if keep_s and sd else None, sd)
+                                   pps.s if keep_s and sd else None,
+                                   sd, need_r=(i == 0 or need_tgt_r))
             hcols = hcols[:pd] + rs + (perm,)
         elif not keep_s and sd:
             hcols = hcols[:pd + 1] + (hcols[-1],)

@@ -266,8 +266,12 @@ def test_span_mode_boxes_and_dtt():
             if not len(seg_real):
                 continue
             ax = int(np.argmax(seg_real.max(0) - seg_real.min(0)))
-            quarts = [seg[j * m // 4:(j + 1) * m // 4, ax]
-                      for j in range(4)]
+            # quantile ordering holds on REAL slots (pads keep their
+            # incoming order under prefix slicing — build._split_step)
+            rl = real[k * m:(k + 1) * m]
+            quarts = [seg[j * m // 4:(j + 1) * m // 4, ax][
+                rl[j * m // 4:(j + 1) * m // 4]] for j in range(4)]
+            quarts = [q for q in quarts if len(q)]
             for a, b in zip(quarts[:-1], quarts[1:]):
                 assert a.max() <= b.min() + 1e-6
 
@@ -493,3 +497,47 @@ def test_paired_build_via_config():
         kernel, cfgd, srcs, targs))
     assert int(info_d.overflow) == 0
     assert np.array_equal(np.asarray(out_d), np.asarray(out_ref))
+
+
+@pytest.mark.parametrize("mode", ["median", "span"])
+def test_prefix_sort_matches_full_sort(mode, monkeypatch):
+    """Prefix slicing (build._split_step sorting only the real prefix
+    of each segment; gated by PREFIX_SORT_MIN) must reproduce the full
+    sort on every REAL slot and on every tree array. Pad slots may
+    permute (they are never coordinate-sorted on the prefix path), but
+    no consumer observes pad order: boxes/CM/alive are real-masked and
+    dead nodes get far-point geometry."""
+    ks, kt = jax.random.split(jax.random.PRNGKey(11))
+    srcs = P.random_in_cube(ks, 5000, 3, 1, True)   # 39% padding at b64
+    targs = P.random_in_cube(kt, 5000, 3, 0, False)
+
+    monkeypatch.setattr(build, "PREFIX_SORT_MIN", 1 << 62)
+    ref = build.build_tree(srcs, 64, mode=mode)
+    ref_paired = build.build_trees_paired(srcs, targs, 64, mode=mode,
+                                          defer_rs=True)
+    monkeypatch.setattr(build, "PREFIX_SORT_MIN", 0)
+    got = build.build_tree(srcs, 64, mode=mode)
+    got_paired = build.build_trees_paired(srcs, targs, 64, mode=mode,
+                                          defer_rs=True)
+
+    def check(got3, ref3):
+        tree, parts, gidx = got3
+        tree_r, parts_r, gidx_r = ref3
+        for f in ("nc", "ns", "nr", "x", "s", "pr", "alive"):
+            a = np.asarray(getattr(tree, f))
+            b = np.asarray(getattr(tree_r, f))
+            assert np.array_equal(a, b), f
+        real = np.asarray(gidx_r) < 5000
+        assert np.array_equal(np.asarray(gidx)[real],
+                              np.asarray(gidx_r)[real])
+        assert np.array_equal(np.asarray(parts.x)[real],
+                              np.asarray(parts_r.x)[real])
+        assert np.array_equal(np.asarray(parts.r)[real],
+                              np.asarray(parts_r.r)[real])
+        if parts_r.s is not None:
+            assert np.array_equal(np.asarray(parts.s)[real],
+                                  np.asarray(parts_r.s)[real])
+
+    check(got, ref)
+    check(got_paired[0], ref_paired[0])
+    check(got_paired[1], ref_paired[1])
