@@ -178,8 +178,14 @@ def solve_dtt_chunked(kernel: Kernel, cfg: SolverConfig,
     # ss is only needed by the featurize; dropping the reference right
     # after lets x/r/s (~2.7 GB at 1e8) free when the program finishes
     # (donation cannot alias these shapes — see equivalents.py)
+    # fm layout follows the fetch strategy: the dma kernels need
+    # sublane-aligned (C, B) rows per block (pad8 — 8 rows at 1e8 is
+    # ~8.6 GB vs the flat 5-row 5.4 GB; the padded rows carry the
+    # mass-premultiplied positions, ops/kernels.py featurize), while
+    # pregather consumes the lean flat (NN, C*B) layout.
+    pad8 = getattr(cfg, "pair_fetch", "pregather").startswith("dma")
     src_fm = eq.barycentric_fm(stree, ss, cfg.order, kernel.name,
-                               pad8=False, flat=True)
+                               pad8=pad8, flat=not pad8)
     del ss
     _ph("featurize", src_fm)
     levels_t = ttree.levels

@@ -108,7 +108,7 @@ def prepare(kernel: Kernel, cfg: SolverConfig, srcs: Parts,
         # chunk (grav3d: 5 rows stored instead of 8).
         # the dma fetch DMAs whole fm rows and needs sublane-aligned
         # feature counts; pregather pads per chunk so raw rows are fine
-        pad8 = getattr(cfg, "pair_fetch", "pregather") == "dma"
+        pad8 = getattr(cfg, "pair_fetch", "pregather").startswith("dma")
         src_fm = eq.barycentric_fm(stree, ss, cfg.order, kernel.name,
                                    pad8=pad8)
         tgt_geo = eq.target_geo_fm(ttree, ts, cfg.order)

@@ -466,7 +466,7 @@ def _bary_fm_fn(tree: Tree, x, r, s, order: int, levels: int,
     # is updated in place, so peak HBM is fm + one ~20 MB chunk instead
     # of fm + a full (nleaf, C*B) temporary (2.7 GB at N=1e8 — the
     # difference between fitting and OOM on a 16 GB chip).
-    if flat and nleaf > leaf_chunk:
+    if nleaf > leaf_chunk and nleaf % leaf_chunk == 0:
         xb = x.reshape(nleaf, width, pd)
         rb = r.reshape(nleaf, width)
         sb = s.reshape(nleaf, width, sd)

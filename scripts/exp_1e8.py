@@ -5,7 +5,8 @@ the lean feature-major source blocks resident and materializes one
 target subtree at a time (traverse/chunked.py). Reference anchor: the
 12-core CPU baseline runs N=1e8 DTT in 114 s (README.md:89).
 
-Usage: python scripts/exp_1e8.py [N] [n_chunks] [theta]
+Usage: python scripts/exp_1e8.py [N] [n_chunks] [theta] [fetch] [group]
+  fetch: pregather (default) | dma | dma_i   group: blocks/step (16)
 """
 
 import os
@@ -36,6 +37,8 @@ def main():
     n = int(float(sys.argv[1])) if len(sys.argv) > 1 else 100_000_000
     n_chunks = int(sys.argv[2]) if len(sys.argv) > 2 else 16
     theta = float(sys.argv[3]) if len(sys.argv) > 3 else 1.2
+    fetch = sys.argv[4] if len(sys.argv) > 4 else "pregather"
+    group = int(sys.argv[5]) if len(sys.argv) > 5 else 16
     kernel = get_kernel("grav3d")
     # cap_groups_dtt: 8 overflowed (440k dropped groups — per-target
     # ceil(v/g) quantization inflates group count far above pairs/g);
@@ -43,8 +46,8 @@ def main():
     cfg = SolverConfig(block_size=256, order=5, theta_dtt=theta,
                        frontier_width=128, cap_groups_dtt=16,
                        tree_mode="span", pair_backend="pallas",
-                       dtt_traversal="level", pair_fetch="pregather",
-                       pair_group=16, lean_plan=True,
+                       dtt_traversal="level", pair_fetch=fetch,
+                       pair_group=group, pair_tile_g=4, lean_plan=True,
                        tree_defer_rs=True, mxu_precision="3xt",
                        list_compact="sort", tree_fuse=2)
     ks, kt = jax.random.split(jax.random.PRNGKey(12345))

@@ -252,6 +252,30 @@ def test_chunked_solve_matches_plain():
                                rtol=1e-4, atol=1e-6)
 
 
+def test_chunked_solve_dma_fetch_matches():
+    """chunked solve with the dma_i Pallas fetch (pad8 feature-major
+    source blocks) matches the flat/pregather chunked result — the 1e8
+    config switch motivated by the 1e7 pregather-vs-dma_i gap
+    (docs/PERF.md r2k/r2s8)."""
+    from onbody_tpu.traverse import chunked
+    kernel = KERNELS["grav3d"]
+    srcs, targs = _problem(kernel, n=8192)
+    cfg = SolverConfig(block_size=128, order=3, frontier_width=192,
+                       list_width=512, pair_backend="xla",
+                       cap_groups_dtt=32)
+    ref, rinfo = chunked.solve_dtt_chunked(kernel, cfg, srcs, targs,
+                                           n_chunks=4)
+    assert int(np.asarray(rinfo.overflow)) == 0
+    cfg_dma = cfg.replace(pair_backend="pallas", pair_fetch="dma_i",
+                          pair_group=8, pair_tile_g=4)
+    out, info = chunked.solve_dtt_chunked(kernel, cfg_dma, srcs, targs,
+                                          n_chunks=4)
+    assert int(np.asarray(info.overflow)) == 0
+    # same pairs, different executor/accumulation order (~1e-7 abs)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-6)
+
+
 def test_chunked_solve_dead_chunk_skipped():
     """Ragged N where a whole level-`split` subtree is padding: the
     host-side dead-root skip must return the same result as the
