@@ -184,17 +184,35 @@ class SolverConfig:
         return self.order + 1
 
 
-def tuned_config(n: int) -> SolverConfig:
+def tuned_config(n: int, kernel: str = "grav3d") -> SolverConfig:
     """Measured-best full-evaluation (DTT) configuration per problem
     size on one TPU v5e chip (sweep history in docs/PERF.md; the
     reference analogue is the hard-coded library tuning of
     interface2dvort.cpp:189-195). bench.py and callers that just want
     "the fast settings for this N" use this single table.
 
+    kernel: per-workload MAC adjustments on top of the size-tuned
+    settings — the 2D Biot-Savart kernel decays slower (1/r vs 1/r^2),
+    so the grav-tuned theta 1.2 measured 1.9-2.2e-4 rel-RMS at 1e6/1e7;
+    theta 1.3 restores the 1e-4 class (the reference's own 2D tuning is
+    theta=1.3 at order 4, interface2dvort.cpp:189-192).
+
     Frontier widths are overflow-verified for the bench seed (12345) at
     the bench sizes; other particle distributions should check
     PairList.overflow (the API layer retries wider automatically).
     """
+    cfg = _tuned_config_n(n)
+    if kernel == "vort2d":
+        cfg = cfg.replace(theta_dtt=max(cfg.theta_dtt, 1.3))
+    if kernel == "vortgrad3d" and n >= 4_000_000:
+        # 28 feature rows + 12 outputs: point-major Blocks OOM 16 GB at
+        # 1e7 — lean feature-major plan (scripts/exp_vort.py)
+        cfg = cfg.replace(lean_plan=True, pair_fetch="pregather",
+                          pair_group=16)
+    return cfg
+
+
+def _tuned_config_n(n: int) -> SolverConfig:
     if n >= 40_000_000:
         # beyond ~4e7 the monolithic plan exceeds 16 GB HBM: callers
         # should run traverse/chunked.solve_dtt_chunked with this

@@ -34,20 +34,14 @@ def _sync(x):
 
 def main():
     n = int(float(sys.argv[1])) if len(sys.argv) > 1 else 1_000_000
-    for name in ("vort2d", "vort2d_t13", "vort3d", "vortgrad3d"):
+    for name in ("vort2d", "vort2d_grav_theta", "vort3d", "vortgrad3d"):
         kernel = get_kernel(name.split("_")[0])
-        cfg = tuned_config(n)
-        if name == "vort2d_t13":
-            # the grav-tuned theta 1.2 measured 1.9e-4 at 1e7 — outside
-            # the 1e-4 class; the reference's own 2D tuning uses
-            # theta=1.3 at order 4 (interface2dvort.cpp:189-192)
-            cfg = cfg.replace(theta_dtt=1.3)
-        if name == "vortgrad3d" and n >= 4_000_000:
-            # 28 feature rows + 12 outputs: the point-major Blocks of
-            # the default plan OOM 16 GB at 1e7 — use the lean
-            # feature-major plan (pregather fetch) and halve the group
-            cfg = cfg.replace(lean_plan=True, pair_fetch="pregather",
-                              pair_group=16)
+        # per-kernel tuned settings (vort2d theta 1.3, vortgrad3d lean
+        # plan at large N — config.tuned_config); the _grav_theta row
+        # records the out-of-envelope grav-tuned theta for comparison
+        cfg = tuned_config(n, kernel.name)
+        if name == "vort2d_grav_theta":
+            cfg = tuned_config(n)
         ks, kt = jax.random.split(jax.random.PRNGKey(12345))
         srcs = P.random_in_cube(ks, n, kernel.pd, kernel.sd, True)
         targs = P.random_in_cube(kt, n, kernel.pd, 0, False)
