@@ -250,11 +250,17 @@ def _tuned_config_n(n: int) -> SolverConfig:
                             tree_mode="span", mxu_precision="3xt",
                             tree_paired=True, tree_defer_rs=True,
                             list_compact="sort", tree_fuse=8)
-    # 1e6 sweep (exp_r2g, docs/PERF.md r2s4): b256/o5/theta1.2 span+3x
-    # measured 0.369s vs 0.483s for the round-1 b128/o4/theta1.4 config;
-    # g32/g64 and paired+defer combos measured slightly worse at this N
+    # 1e6 retune at the 1e7-class knobs (exp_r4g6, docs/PERF.md r2s12):
+    # W128 + 3xt + sort-compact + dma_i g32/tg4 + paired+defer+fuse8
+    # measured 0.352 s vs 0.367 ctrl — the individual knobs are washes
+    # or slight losses at this N (3xt 0.389, dma_i 0.384) but the combo
+    # wins. theta 1.15 REJECTED here: rms 1.02e-4 breaches the 1e-4
+    # envelope at 1e6 (the 1e7 problem has more far-field averaging).
     return SolverConfig(block_size=256, order=5, theta_dtt=1.2,
-                        frontier_width=192, list_width=320,
+                        frontier_width=128, list_width=320,
                         cap_groups_dtt=16, tree_mode="span",
-                        pair_backend="pallas", pair_group=16,
-                        mxu_precision="3x")
+                        pair_backend="pallas", pair_group=32,
+                        pair_fetch="dma_i", pair_tile_g=4,
+                        mxu_precision="3xt", tree_paired=True,
+                        tree_defer_rs=True, tree_fuse=8,
+                        list_compact="sort")

@@ -215,7 +215,8 @@ def solve_dtt(kernel: Kernel, cfg: SolverConfig, plan: Plan,
                                              tgt_parts=parts,
                                              compact=getattr(
                                                  cfg, "list_compact",
-                                                 "scatter"))
+                                                 "scatter"),
+                                             n_live=plan.tgt_sorted.n_real)
             slot_width = cfg.frontier_width
         else:
             pl = lists.build_dtt_pairs(plan.stree, plan.ttree, theta,

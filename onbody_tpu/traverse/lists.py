@@ -498,11 +498,12 @@ def top_prefix_len(split: int, levels_t: int, W: int) -> int:
 
 @partial(jax.jit, static_argnames=("levels_s", "levels_t", "frontier_width",
                                    "mac_geometry", "src_parts",
-                                   "tgt_parts", "compact"))
+                                   "tgt_parts", "compact", "n_live"))
 def _dtt_lists_level(stree: Tree, ttree: Tree, theta,
                      levels_s: int, levels_t: int, frontier_width: int,
                      mac_geometry: str = "quant", src_parts: int = 1,
-                     tgt_parts: int = 1, compact: str = "scatter"):
+                     tgt_parts: int = 1, compact: str = "scatter",
+                     n_live: int = 0):
     """Simultaneous-descent dual-tree traversal: ONE MAC classification
     per target level.
 
@@ -521,11 +522,30 @@ def _dtt_lists_level(stree: Tree, ttree: Tree, theta,
     If the source tree is deeper than the target tree, leaf-level target
     nodes may still hold interior source candidates; a (statically
     emitted) refinement loop finishes those off.
+
+    n_live (static): the number of REAL target particles. Padding clones
+    sort past every real particle on every axis (parts.pad_to puts them
+    beyond the max corner — the same invariant build._split_step's
+    prefix sorts rely on), so reals occupy slot prefix [0, n_live) and
+    node k at level l is alive iff k < ceil(n_live / m_l). Each level is
+    then statically sliced to its live-row prefix — at N=1e7/bs256 the
+    padded tree is 1.68x the real size, so 40% of every classify gather,
+    MAC evaluation, and row compaction vanishes, and the emitted flat
+    pair list shrinks the same way (less group-compaction volume
+    downstream). The alive-row mask becomes redundant (alive == within
+    the prefix). 0 disables (callers whose trees do not carry the
+    invariant, e.g. sharded subtree slices).
     """
     nleaf_s = 1 << levels_s
     W = frontier_width
     pd = stree.nc.shape[1]
     theta = jnp.asarray(theta, jnp.float32)
+    n_pad_t = (1 << levels_t) * ttree.block_size
+
+    def live_rows(l: int) -> int:
+        if not n_live:
+            return 1 << l
+        return min(1 << l, -(-n_live // (n_pad_t >> l)))
 
     if mac_geometry == "quant":
         # ONE c64 gather per candidate: 16-bit grid-quantized geometry
@@ -559,19 +579,22 @@ def _dtt_lists_level(stree: Tree, ttree: Tree, theta,
 
     for l in range(levels_t + 1):
         nt = 1 << l
+        rows = live_rows(l)
         Wl = level_width(l, levels_t, W)
-        tgt_ids = jnp.arange(nt, 2 * nt, dtype=jnp.int32)
+        tgt_ids = jnp.arange(nt, nt + rows, dtype=jnp.int32)
         t_is_leaf = (l == levels_t)
-        tnr = ttree.nr[nt:2 * nt]
-        tcm = ttree.x[nt:2 * nt]
+        tnr = ttree.nr[nt:nt + rows]
+        tcm = ttree.x[nt:nt + rows]
         if mac_geometry == "quant":
             # target geometry in grid units (f32, unrounded)
             tcm_u = (tcm - lo[None, :]) * inv
             tnr_u = tnr * inv
-        # dead target subtrees (pure padding — 40% of all leaves at
-        # N=1e7) produce no pairs and starve immediately: their outputs
-        # are discarded, so killing the row loses nothing
-        cand = jnp.where(ttree.alive[nt:2 * nt][:, None], cand, 0)
+        if not n_live:
+            # dead target subtrees (pure padding — 40% of all leaves at
+            # N=1e7) produce no pairs and starve immediately: their
+            # outputs are discarded, so killing the row loses nothing.
+            # With n_live the static prefix slice already excludes them.
+            cand = jnp.where(ttree.alive[nt:nt + rows][:, None], cand, 0)
 
         def classify(cand):
             valid = cand != 0
@@ -622,15 +645,15 @@ def _dtt_lists_level(stree: Tree, ttree: Tree, theta,
             total_valid = total_valid + jnp.sum(out != 0,
                                                 dtype=jnp.int32)
             all_tgt.append(jnp.broadcast_to(
-                tgt_ids[:, None], (nt, out.shape[1])).reshape(-1))
+                tgt_ids[:, None], (rows, out.shape[1])).reshape(-1))
             all_src.append(out.reshape(-1))
             continue
         accept, expand, defer = classify(cand)
         out = jnp.where(accept, cand, 0)
         if t_is_leaf and levels_s > levels_t:
             # deep source tree: refine remaining interior sources in place
-            out_ext = jnp.zeros((nt, W + 1), jnp.int32)
-            out_cnt = jnp.zeros((nt,), jnp.int32)
+            out_ext = jnp.zeros((rows, W + 1), jnp.int32)
+            out_cnt = jnp.zeros((rows,), jnp.int32)
             out_ext, out_cnt, ov0 = _append_rows(
                 out_ext, out_cnt, _ext_src(out, nleaf_s, src_parts))
             overflow = overflow + ov0
@@ -656,7 +679,7 @@ def _dtt_lists_level(stree: Tree, ttree: Tree, theta,
             total_valid = total_valid + jnp.sum(out != 0, dtype=jnp.int32)
 
         all_tgt.append(jnp.broadcast_to(tgt_ids[:, None],
-                                        (nt, out.shape[1])).reshape(-1))
+                                        (rows, out.shape[1])).reshape(-1))
         all_src.append(out.reshape(-1))
         if tgt_parts > 1 and not t_is_leaf:
             # split equivalent-target rows: interior target node i's
@@ -666,7 +689,7 @@ def _dtt_lists_level(stree: Tree, ttree: Tree, theta,
             for j in range(1, tgt_parts):
                 all_tgt.append(jnp.broadcast_to(
                     (tgt_ids + (j + 1) * nleaf_t)[:, None],
-                    (nt, out.shape[1])).reshape(-1))
+                    (rows, out.shape[1])).reshape(-1))
                 all_src.append(out.reshape(-1))
                 total_valid = total_valid + jnp.sum(out != 0,
                                                     dtype=jnp.int32)
@@ -686,7 +709,10 @@ def _dtt_lists_level(stree: Tree, ttree: Tree, theta,
             nxt, ovc = _compact_rows(kids, level_width(l + 1, levels_t, W),
                                      compact)
             overflow = overflow + ovc
-            cand = jnp.repeat(nxt, 2, axis=0)
+            # children of the live rows, sliced to the next level's live
+            # prefix (the boundary node's dead child, if any, is exactly
+            # the row the slice drops)
+            cand = jnp.repeat(nxt, 2, axis=0)[:live_rows(l + 1)]
 
     tgt = jnp.concatenate(all_tgt)
     src = jnp.concatenate(all_src)
@@ -906,12 +932,17 @@ def build_dtt_pairs_level(stree: Tree, ttree: Tree, theta,
                           mac_geometry: str = "quant",
                           src_parts: int = 1,
                           tgt_parts: int = 1,
-                          compact: str = "scatter") -> PairList:
-    """Simultaneous-descent DTT pair list; slot width == frontier_width."""
+                          compact: str = "scatter",
+                          n_live: int = 0) -> PairList:
+    """Simultaneous-descent DTT pair list; slot width == frontier_width.
+
+    n_live: static real-target count enabling live-prefix level slicing
+    (see _dtt_lists_level) — pass targs.n_real for trees built by
+    tree.build (the pad-sorts-last invariant holds in every mode)."""
     tgt, src, nv, ov = _dtt_lists_level(stree, ttree, theta, stree.levels,
                                         ttree.levels, frontier_width,
                                         mac_geometry, src_parts, tgt_parts,
-                                        compact)
+                                        compact, n_live)
     return PairList(tgt=tgt, src=src, n_valid=nv, overflow=ov)
 
 

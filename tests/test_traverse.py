@@ -115,6 +115,49 @@ def test_dtt_level_traversal(nsrc, ntgt):
     assert rel_rms(out, ref) < 3e-3, rel_rms(out, ref)
 
 
+@pytest.mark.parametrize("nsrc,ntgt", [(600, 600), (5000, 5000),
+                                       (4096, 1500), (1500, 4096)])
+def test_dtt_level_live_prefix(nsrc, ntgt):
+    """Static live-prefix level slicing (lists._dtt_lists_level n_live)
+    emits the IDENTICAL valid pair set as the full padded walk: real
+    particles occupy a slot prefix at every level (pads sort last in
+    every build mode), so dead rows beyond ceil(n_real/m_l) can be
+    statically dropped. Shapes chosen so padding is heavy (ceil to the
+    next power-of-two leaf count) and both tree-depth orders occur."""
+    from onbody_tpu.tree import equivalents as eq
+    from onbody_tpu.traverse import lists
+
+    kernel = KERNELS["grav3d"]
+    ks, kt = jax.random.split(jax.random.PRNGKey(7))
+    srcs = P.random_in_cube(ks, nsrc, 3, 1, True)
+    targs = P.random_in_cube(kt, ntgt, 3, 0, False)
+    cfg = CFG.replace(dtt_traversal="level", frontier_width=160)
+    plan = treecode.prepare(kernel, cfg, srcs, targs)
+    parts = eq.n_eq_parts(plan.tgt_geo.shape[-1], cfg.order, kernel.pd)
+
+    def pairset(pl):
+        t = np.asarray(pl.tgt)
+        s = np.asarray(pl.src)
+        return set(zip(t[s != 0].tolist(), s[s != 0].tolist()))
+
+    pl0 = lists.build_dtt_pairs_level(plan.stree, plan.ttree,
+                                      cfg.theta_dtt, cfg.frontier_width,
+                                      src_parts=parts, tgt_parts=parts)
+    pl1 = lists.build_dtt_pairs_level(plan.stree, plan.ttree,
+                                      cfg.theta_dtt, cfg.frontier_width,
+                                      src_parts=parts, tgt_parts=parts,
+                                      n_live=ntgt)
+    assert pl1.tgt.shape[0] <= pl0.tgt.shape[0]
+    assert pairset(pl0) == pairset(pl1)
+    assert int(pl0.n_valid) == int(pl1.n_valid)
+    assert int(pl0.overflow) == int(pl1.overflow) == 0
+    # and the full solve (which now passes n_live) stays accurate
+    ref = direct.direct_oracle(kernel, srcs, targs)
+    out, pl = dtt.solve_dtt(kernel, cfg, plan)
+    assert int(pl.overflow) == 0
+    assert rel_rms(out, ref) < 3e-3, rel_rms(out, ref)
+
+
 @pytest.mark.parametrize("nsrc,ntgt", [(2048, 2048), (4096, 1024),
                                        (2080, 2080)])
 def test_dtt_flat_lists(nsrc, ntgt):
