@@ -584,7 +584,7 @@ def _bisect_group_step(cols, n_real, l0: int, g: int, pd: int, ncap: int):
 
 
 def _upward_stats(x, r, s, mask, levels: int, block_size: int, sd: int,
-                  are_targets: bool, dtype):
+                  are_targets: bool, dtype, n_live: int = 0):
     """Leaf + interior centers of mass, strength sums, mean radii
     (finishTree, barneshut.hpp:718-807), excluding padding clones.
 
@@ -594,20 +594,30 @@ def _upward_stats(x, r, s, mask, levels: int, block_size: int, sd: int,
     Interior merges are weight-sum-weighted (the analogue of the
     reference's count-weighted merge, barneshut.hpp:733-746).
     Returns (cm_all, s_all, pr_all) of shapes (NN, pd)/(NN, sd)/(NN,).
+
+    n_live (static): real-particle count. Reals occupy a slot prefix
+    (pads sort last), so stats are computed only for the live prefix of
+    every level; dead rows keep zeros (alive=False, zero strengths —
+    inert by the padding contract, and their cm/box geometry is
+    overridden with the far point in _finish_median anyway). At
+    N=1e7/bs256 this skips 40% of the leaf reductions. 0 disables.
     """
     nleaf = 1 << levels
     nn = 2 * nleaf
     pd = x.shape[1]
+    n_pad = nleaf * block_size
+    lleaf = min(nleaf, -(-n_live // block_size)) if n_live else nleaf
 
     cm_all = jnp.zeros((nn, pd), dtype)
     s_all = jnp.zeros((nn, max(sd, 1)), dtype)
     pr_all = jnp.zeros((nn,), dtype)
     alive_all = jnp.zeros((nn,), jnp.bool_)
 
-    xs = x.reshape(nleaf, block_size, pd)
-    maskf = mask.reshape(nleaf, block_size).astype(dtype)
+    lb = lleaf * block_size
+    xs = x[:lb].reshape(lleaf, block_size, pd)
+    maskf = mask[:lb].reshape(lleaf, block_size).astype(dtype)
     if s is not None and not are_targets:
-        ss = s.reshape(nleaf, block_size, sd)
+        ss = s[:lb].reshape(lleaf, block_size, sd)
         if sd == 1:
             w = jnp.abs(ss[..., 0])
         else:
@@ -622,22 +632,29 @@ def _upward_stats(x, r, s, mask, levels: int, block_size: int, sd: int,
     # so their CM is never a bogus origin inside the real domain
     leaf_cm = jnp.where((wsum > 1e-12)[:, None], leaf_cm,
                         jnp.mean(xs, axis=1))
-    leaf_s = (jnp.sum(s.reshape(nleaf, block_size, sd), axis=1)
-              if s is not None else jnp.zeros((nleaf, 1), dtype))
+    leaf_s = (jnp.sum(s[:lb].reshape(lleaf, block_size, sd), axis=1)
+              if s is not None else jnp.zeros((lleaf, 1), dtype))
     # mean radius over real particles (falling back to the plain mean)
-    rs = r.reshape(nleaf, block_size)
+    rs = r[:lb].reshape(lleaf, block_size)
     msum = jnp.sum(maskf, axis=1)
     leaf_pr = jnp.where(msum > 0,
                         jnp.sum(rs * maskf, axis=1) / (1e-20 + msum),
                         jnp.mean(rs, axis=1))
 
-    cm_all = cm_all.at[nleaf:].set(leaf_cm)
-    s_all = s_all.at[nleaf:].set(leaf_s)
-    pr_all = pr_all.at[nleaf:].set(leaf_pr)
+    cm_all = cm_all.at[nleaf:nleaf + lleaf].set(leaf_cm)
+    s_all = s_all.at[nleaf:nleaf + lleaf].set(leaf_s)
+    pr_all = pr_all.at[nleaf:nleaf + lleaf].set(leaf_pr)
     alive_l = msum > 0
-    alive_all = alive_all.at[nleaf:].set(alive_l)
+    alive_all = alive_all.at[nleaf:nleaf + lleaf].set(alive_l)
 
-    cm_l, s_l, pr_l, w_l = leaf_cm, leaf_s, leaf_pr, wsum
+    def pad_even(a):
+        # the merge consumes children two at a time: pad an odd live
+        # prefix with one dead (zero-weight) row
+        return jnp.pad(a, ((0, a.shape[0] % 2),) + ((0, 0),) * (a.ndim - 1))
+
+    cm_l, s_l, pr_l, w_l = (pad_even(leaf_cm), pad_even(leaf_s),
+                            pad_even(leaf_pr), pad_even(wsum))
+    alive_l = pad_even(alive_l)
     for l in range(levels - 1, -1, -1):
         nseg = 1 << l
         w0, w1 = w_l[0::2], w_l[1::2]
@@ -653,18 +670,22 @@ def _upward_stats(x, r, s, mask, levels: int, block_size: int, sd: int,
         s_l = s_l[0::2] + s_l[1::2]
         w_l = wp
         alive_l = alive_l[0::2] | alive_l[1::2]
-        sl = slice(nseg, 2 * nseg)
-        cm_all = cm_all.at[sl].set(cm_l)
-        s_all = s_all.at[sl].set(s_l)
-        pr_all = pr_all.at[sl].set(pr_l)
-        alive_all = alive_all.at[sl].set(alive_l)
+        lseg = cm_l.shape[0]                     # live nodes this level
+        cm_all = cm_all.at[nseg:nseg + lseg].set(cm_l)
+        s_all = s_all.at[nseg:nseg + lseg].set(s_l)
+        pr_all = pr_all.at[nseg:nseg + lseg].set(pr_l)
+        alive_all = alive_all.at[nseg:nseg + lseg].set(alive_l)
+        if l:
+            cm_l, s_l, pr_l = pad_even(cm_l), pad_even(s_l), pad_even(pr_l)
+            w_l, alive_l = pad_even(w_l), pad_even(alive_l)
     return cm_all, s_all, pr_all, alive_all
 
 
 @partial(jax.jit, static_argnames=("levels", "block_size", "sd",
-                                   "are_targets"))
+                                   "are_targets", "n_live"))
 def _finish_median(cols, n_real, lows, highs, levels: int,
-                   block_size: int, sd: int, are_targets: bool):
+                   block_size: int, sd: int, are_targets: bool,
+                   n_live: int = 0):
     """Assemble Tree arrays and upward stats from the sorted columns and
     per-level pre-split boxes (finishTree, barneshut.hpp:718-807)."""
     pd = lows[0].shape[-1]
@@ -688,7 +709,8 @@ def _finish_median(cols, n_real, lows, highs, levels: int,
 
     cm_all, s_all, pr_all, alive = _upward_stats(x, r, s, mask, levels,
                                                  block_size, sd,
-                                                 are_targets, dtype)
+                                                 are_targets, dtype,
+                                                 n_live=n_live)
 
     # dead nodes (pure padding) become zero-size boxes at a far point:
     # the MAC separates them from every real node on their FIRST
@@ -703,6 +725,10 @@ def _finish_median(cols, n_real, lows, highs, levels: int,
     ns_all = jnp.where(dead[:, None], 0.0, ns_all)
     nr_all = jnp.where(dead, 0.0, nr_all)
     cm_all = jnp.where(dead[:, None], fp, cm_all)
+    # dead pr is 0 regardless of n_live slicing (the unsliced path's
+    # fallback mean over pad clones was never read — zero-strength far
+    # pairs contribute nothing — but keep the two paths bit-identical)
+    pr_all = jnp.where(dead, 0.0, pr_all)
 
     tree = Tree(nc=nc_all, ns=ns_all, nr=nr_all, x=cm_all, s=s_all,
                 pr=pr_all, alive=alive, levels=levels,
@@ -878,7 +904,7 @@ def build_tree(p: Parts, block_size: int = 128, refine: bool = False,
             cols = cols[:pd] + (jnp.zeros_like(cols[0]),) + cols[pd:]
         tree, x, r, s, gidx = _finish_median(
             cols, n_real, tuple(lows), tuple(highs), levels, block_size,
-            sd, are_targets)
+            sd, are_targets, n_live=p.n_real)
         sorted_parts = Parts(x=x, r=r, s=s, n_real=p.n_real)
         return tree, sorted_parts, gidx
 
@@ -903,7 +929,7 @@ def build_tree(p: Parts, block_size: int = 128, refine: bool = False,
         cols = cols[:pd] + (jnp.zeros_like(cols[0]),) + cols[pd:]
     tree, x, r, s, gidx = _finish_median(
         cols, n_real, tuple(lows), tuple(highs), levels, block_size, sd,
-        are_targets)
+        are_targets, n_live=p.n_real)
     sorted_parts = Parts(x=x, r=r, s=s, n_real=p.n_real)
     return tree, sorted_parts, gidx
 
@@ -1043,10 +1069,12 @@ def _finish_paired(cols, lows, highs, pd, sd, n_pad, defer_rs, pps, ppt,
     scols, slo, shi = half(0, keep_s=True)
     stree, xs, rs, ss, gs = _finish_median(scols, n_real, slo, shi,
                                            levels, block_size, sd,
-                                           not ps.are_sources)
+                                           not ps.are_sources,
+                                           n_live=ps.n_real)
     tcols, tlo, thi = half(1, keep_s=False)
     ttree, xt, rt, st, gt = _finish_median(tcols, n_real, tlo, thi,
-                                           levels, block_size, 0, True)
+                                           levels, block_size, 0, True,
+                                           n_live=pt.n_real)
     src = Parts(x=xs, r=rs, s=ss, n_real=ps.n_real)
     tgt = Parts(x=xt, r=rt, s=st, n_real=pt.n_real)
     return (stree, src, gs), (ttree, tgt, gt)
