@@ -542,8 +542,12 @@ def _vort3d_tile_fm(tpos, trad, srcT, core="rm",
         w3 = srcT[4:7, :]
         ww = jnp.concatenate([w3, w3], axis=0)        # (6, B)
         cc2 = jnp.concatenate([cc, cc])
-        # (w x cc)_i = w_{i+1} cc_{i+2} - w_{i+2} cc_{i+1} (cyclic)
-        wxcc = ww[1:4] * cc2[2:5, None] - ww[2:5] * cc2[1:4, None]
+        # (w x cc)_i = w_{i+1} cc_{i+2} - w_{i+2} cc_{i+1} (cyclic).
+        # NOTE: cc2[2:5, None] (slice+newaxis in ONE getitem on a 1D
+        # array) traces as a 1D lax.gather, which Mosaic rejects
+        # ("Only 2D gather is supported"); the split form is a slice
+        wxcc = (ww[1:4] * cc2[2:5][:, None]
+                - ww[2:5] * cc2[1:4][:, None])
         e_c = srcT[7:10, :] - wxcc
         rows = jnp.concatenate([w3, e_c], axis=0)
         txa = txa - cc[None, :]
@@ -577,6 +581,42 @@ def _vortgrad_combine(oR, oB, txa):
     return jnp.concatenate([vel, grads], axis=-1)
 
 
+def _vortgrad_combine_2d(oR, oB, txa):
+    """_vortgrad_combine re-expressed in pure rank-2 ops for the Pallas
+    TPU path: Mosaic cannot lower the (B, 3, 3) scatter-adds /
+    transposes of the point-major form (KernelType.TC scatter-add is
+    unimplemented), so the 3x3 tensor A is carried as three (B, 3) row
+    arrays and the output columns are assembled by lane concatenation.
+    Same arithmetic as _vortgrad_combine (validated against it in
+    tests/test_kernels.py)."""
+    G, He = oR[:, 0:3], oR[:, 3:6]
+    tx0, tx1, tx2 = txa[:, 0:1], txa[:, 1:2], txa[:, 2:3]
+    g0, g1, g2 = G[:, 0:1], G[:, 1:2], G[:, 2:3]
+    vel = jnp.concatenate([g1 * tx2 - g2 * tx1,
+                           g2 * tx0 - g0 * tx2,
+                           g0 * tx1 - g1 * tx0], axis=-1) - He
+    P, Rv = oB[:, 0:3], oB[:, 3:6]
+    p0, p1, p2 = P[:, 0:1], P[:, 1:2], P[:, 2:3]
+    # Pt = P x t, then T1 - T3 = (Pt - Rv) outer t, built row-wise
+    pt = jnp.concatenate([p1 * tx2 - p2 * tx1,
+                          p2 * tx0 - p0 * tx2,
+                          p0 * tx1 - p1 * tx0], axis=-1) - Rv
+    # T2 rows: T2[b,i,:] = eps_{iml} t_m Q[b,l,:] — a cross of t with
+    # the ROWS of Q (each row is a contiguous (B, 3) lane slice of oB)
+    q0, q1, q2 = oB[:, 6:9], oB[:, 9:12], oB[:, 12:15]
+    a0 = pt[:, 0:1] * txa + (tx1 * q2 - tx2 * q1) + oB[:, 15:18]
+    a1 = pt[:, 1:2] * txa + (tx2 * q0 - tx0 * q2) + oB[:, 18:21]
+    a2 = pt[:, 2:3] * txa + (tx0 * q1 - tx1 * q0) + oB[:, 21:24]
+    # antisymmetric velocity-curl part: A[i,j] += -eps_{ijk} G_k;
+    # output layout matches transpose(A,(0,2,1)).reshape(-1,9):
+    # grads[:, 3j+i] = A[:, i, j] (columns of A, stacked)
+    grads = jnp.concatenate([
+        a0[:, 0:1],      a1[:, 0:1] + g2, a2[:, 0:1] - g1,
+        a0[:, 1:2] - g2, a1[:, 1:2],      a2[:, 1:2] + g0,
+        a0[:, 2:3] + g1, a1[:, 2:3] - g0, a2[:, 2:3]], axis=-1)
+    return jnp.concatenate([vel, grads], axis=-1)
+
+
 def _vortgrad3d_tile_fm(tpos, trad, srcT, core="rm",
                         accum_dtype=jnp.float32, d2_mode="outer",
                         precision: str = "highest"):
@@ -591,7 +631,7 @@ def _vortgrad3d_tile_fm(tpos, trad, srcT, core="rm",
     r3, bbb = cf.core_3d_grads(core)(d2, sr)
     oR = _dotg_fm(r3, srcT[4:10, :], accum_dtype)
     oB = _dotg_fm(bbb, srcT[4:28, :], accum_dtype)
-    return _vortgrad_combine(oR, oB, tpos.astype(accum_dtype))
+    return _vortgrad_combine_2d(oR, oB, tpos.astype(accum_dtype))
 
 
 TILE_FM = {

@@ -183,21 +183,25 @@ def solve_dtt_chunked(kernel: Kernel, cfg: SolverConfig,
     # ~8.6 GB vs the flat 5-row 5.4 GB; the padded rows carry the
     # mass-premultiplied positions, ops/kernels.py featurize), while
     # pregather consumes the lean flat (NN, C*B) layout.
-    pad8 = getattr(cfg, "pair_fetch", "pregather").startswith("dma")
-    src_fm = eq.barycentric_fm(stree, ss, cfg.order, kernel.name,
-                               pad8=pad8, flat=not pad8)
-    del ss
-    _ph("featurize", src_fm)
     levels_t = ttree.levels
     assert levels_t > split, "need more target leaves than chunks"
     bs = ttree.block_size
     nleaf = ttree.nleaf
 
+    # top lists need only tree geometry: build them BEFORE the
+    # featurize so their frontier buffers never coexist with src_fm
+    # (the pad8 dma layout is ~8.6 GB at 1e8 — lists_top after it
+    # RESOURCE_EXHAUSTED, docs/PERF.md r2s12)
     top_t, top_s, cand_roots, ov_top = lists._dtt_lists_top(
         stree, ttree, theta, stree.levels, split, cfg.frontier_width,
         cfg.mac_geometry)
-
     _ph("lists_top", top_t)
+
+    pad8 = getattr(cfg, "pair_fetch", "pregather").startswith("dma")
+    src_fm = eq.barycentric_fm(stree, ss, cfg.order, kernel.name,
+                               pad8=pad8, flat=not pad8)
+    del ss
+    _ph("featurize", src_fm)
     glob_all, local = local_rows(levels_t, n_chunks)
     loc = jnp.asarray(local)
     g = cfg.pair_group

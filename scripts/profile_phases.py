@@ -87,7 +87,8 @@ def main():
                 fuse=getattr(cfg, "tree_fuse", 1)))
         src_fm = run("src fm", lambda: eq.barycentric_fm(
             stree, ss, cfg.order, kernel.name,
-            pad8=getattr(cfg, "pair_fetch", "pregather") == "dma"))
+            pad8=getattr(cfg, "pair_fetch",
+                         "pregather").startswith("dma")))
         tgt_geo = run("tgt geo", lambda: eq.target_geo_fm(
             ttree, ts, cfg.order))
         tgt_inv = run("tgt inv", lambda: jnp.zeros(

@@ -128,3 +128,22 @@ def test_dotg_fm_precision_modes():
     a = np.asarray(_dotg_fm(w, rows, jnp.float32, "3x"))
     b = np.asarray(_dotg_fm(w, rows, jnp.float32, "3xt"))
     assert np.max(np.abs(a - b)) / scale < 1e-6
+
+
+def test_vortgrad_combine_2d_matches_3d():
+    """The Pallas-safe rank-2 recombination (_vortgrad_combine_2d —
+    Mosaic has no scatter-add / rank-3 transpose lowering) is the same
+    arithmetic as the point-major _vortgrad_combine, up to f32
+    reassociation of the T1+T3 fold."""
+    from onbody_tpu.ops.kernels import (_vortgrad_combine,
+                                        _vortgrad_combine_2d)
+    k = jax.random.PRNGKey(3)
+    oR = jax.random.normal(k, (96, 6), jnp.float32)
+    oB = jax.random.normal(jax.random.fold_in(k, 1), (96, 24),
+                           jnp.float32)
+    txa = jax.random.normal(jax.random.fold_in(k, 2), (96, 3),
+                            jnp.float32)
+    a = np.asarray(_vortgrad_combine(oR, oB, txa))
+    b = np.asarray(_vortgrad_combine_2d(oR, oB, txa))
+    assert a.shape == b.shape == (96, 12)
+    assert np.max(np.abs(a - b)) / np.max(np.abs(a)) < 1e-5
