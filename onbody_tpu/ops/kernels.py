@@ -83,6 +83,42 @@ def _cross(a, b):
     return jnp.cross(a, b)
 
 
+# Cyclic-shift permutation matrices, generated INLINE via 2D iota
+# (pallas_call rejects captured array constants, and Mosaic lowers
+# iota+compare+convert everywhere). Cross products inside Pallas
+# kernels are built from these via tiny matmuls (always-lowerable
+# dot_general + elementwise) instead of per-row slice/stack patterns,
+# several of which Mosaic cannot lay out ('result/input offset
+# mismatch' tpu.concatenate, 1D-gather from slice+newaxis).
+
+def _perm3(shift: int, dtype):
+    """(3, 3) cyclic permutation: (P @ v)[i] = v[(i+shift)%3]."""
+    r = lax.broadcasted_iota(jnp.int32, (3, 3), 0)
+    c = lax.broadcasted_iota(jnp.int32, (3, 3), 1)
+    return ((c - r) % 3 == shift).astype(dtype)
+
+
+def _mdot(m, a):
+    # exact 0/1-matrix matmul — HIGHEST so Mosaic never bf16-truncates
+    return jnp.dot(m, a, preferred_element_type=a.dtype,
+                   precision=lax.Precision.HIGHEST)
+
+
+def _cross_rows(a, b):
+    """(3, B) x (3, B) row-major cross product, Mosaic-safe."""
+    p1 = _perm3(1, a.dtype)
+    p2 = _perm3(2, a.dtype)
+    return (_mdot(p1, a) * _mdot(p2, b) - _mdot(p2, a) * _mdot(p1, b))
+
+
+def _cross_lanes(a, b):
+    """(B, 3) x (B, 3) lane-major cross product, Mosaic-safe: column
+    rolls via (B,3) @ (3,3)^T permutation matmuls."""
+    p1 = _perm3(1, a.dtype).T
+    p2 = _perm3(2, a.dtype).T
+    return (_mdot(a, p1) * _mdot(b, p2) - _mdot(a, p2) * _mdot(b, p1))
+
+
 @dataclasses.dataclass(frozen=True)
 class Kernel:
     """One physics workload: dims, flop model, pairwise + tile forms."""
@@ -167,11 +203,16 @@ def _vort3d_tile(tx, tr, sx, sr, ss, core="rm",
     tx, sx, sr, ss = _pm(accum_dtype, tx, sx, sr, ss)
     d2 = dist2(tx, sx, d2_mode)
     c = cf.core_3d(core)(d2, sr[None, :])        # (T,S)
-    e = _cross(ss, sx)                           # omega_j x s_j, (S,3)
+    # center on the target tile mean: every pair term depends only on
+    # d = s - t, so e may be built from s' = s - cc. The absolute form
+    # e = w x s carries domain-scale magnitude whose recombination
+    # cancels to the interaction scale — an fp32 floor ~1e-7*|s|/d.
+    cc = jnp.mean(tx, axis=0)
+    e = _cross(ss, sx - cc[None, :])             # omega_j x s'_j, (S,3)
     feats = jnp.concatenate([e, ss], axis=1)     # (S,6)
     o = _dot(c, feats, accum_dtype)              # (T,6)
-    txa = tx.astype(accum_dtype)
-    # omega x d = omega x s - omega x t  =>  u = C@e - (C@omega) x t
+    txa = tx.astype(accum_dtype) - cc[None, :]
+    # omega x d = omega x s' - omega x t'  =>  u = C@e - (C@omega) x t'
     return o[:, :3] - _cross(o[:, 3:6], txa)
 
 
@@ -210,15 +251,24 @@ def _vortgrad3d_tile(tx, tr, sx, sr, ss, core="rm",
     tx, sx, sr, ss = _pm(accum_dtype, tx, sx, sr, ss)
     d2 = dist2(tx, sx, d2_mode)
     r3, bbb = cf.core_3d_grads(core)(d2, sr[None, :])
-    e = _cross(ss, sx)                           # (S,3)
+    # center every position on the target tile mean: each pair term
+    # depends only on d = s - t, so the factored moments may be built
+    # from (s - c, t - c) — absolute second moments w(x)s / e(x)s carry
+    # domain-scale magnitudes whose recombination cancels to the
+    # interaction scale, an fp32 floor measured at ~9e-4 rel-RMS on the
+    # gradient components (theta-independent); centered moments leave
+    # truncation relative to the local scale (~4e-5, docs/PERF.md)
+    c = jnp.mean(tx, axis=0)
+    sxc = sx - c[None, :]
+    e = _cross(ss, sxc)                          # (S,3)
     # R-features: [omega, e] ; B-features: [omega, e, omega(x)s, e(x)s]
-    outer_ws = (ss[:, :, None] * sx[:, None, :]).reshape(-1, 9)
-    outer_es = (e[:, :, None] * sx[:, None, :]).reshape(-1, 9)
+    outer_ws = (ss[:, :, None] * sxc[:, None, :]).reshape(-1, 9)
+    outer_es = (e[:, :, None] * sxc[:, None, :]).reshape(-1, 9)
     featsR = jnp.concatenate([ss, e], axis=1)            # (S,6)
     featsB = jnp.concatenate([ss, e, outer_ws, outer_es], axis=1)  # (S,24)
     oR = _dot(r3, featsR, accum_dtype)           # (T,6)
     oB = _dot(bbb, featsB, accum_dtype)          # (T,24)
-    txa = tx.astype(accum_dtype)
+    txa = tx.astype(accum_dtype) - c[None, :]
 
     G, He = oR[:, 0:3], oR[:, 3:6]
     vel = _cross(G, txa) - He                    # u = (R@w) x t - R@e
@@ -254,8 +304,8 @@ def _vortgrad3d_tile(tx, tr, sx, sr, ss, core="rm",
 FM_ROWS = {  # used rows of the feature-major source block, per kernel
     "grav3d": 5,        # x, y, z, sr2, m (pad8 adds m*x, m*y, m*z)
     "vort2d": 4,        # x, y, sr, ss (pad8 adds ss*x, ss*y)
-    "vort3d": 10,       # x, y, z, r, w(3), e(3)
-    "vortgrad3d": 28,   # x(3), r, w(3), e(3), w(x)s(9), e(x)s(9)
+    "vort3d": 7,        # x, y, z, r, w(3) — e built in-kernel, centered
+    "vortgrad3d": 7,    # x(3), r, w(3) — all moments built in-kernel
 }
 
 
@@ -287,15 +337,12 @@ def featurize(name: str, pos, rad, s, pad8: bool = True):
         if pad8:
             base.append((s * pos).T)
         out = jnp.concatenate(base, axis=0)
-    elif name == "vort3d":
-        e = _cross(s, pos)
-        out = jnp.concatenate([pos.T, rad[None, :], s.T, e.T], axis=0)
-    elif name == "vortgrad3d":
-        e = _cross(s, pos)
-        ws = (s[:, :, None] * pos[:, None, :]).reshape(-1, 9)
-        es = (e[:, :, None] * pos[:, None, :]).reshape(-1, 9)
-        out = jnp.concatenate([pos.T, rad[None, :], s.T, e.T, ws.T, es.T],
-                              axis=0)
+    elif name in ("vort3d", "vortgrad3d"):
+        # lean 7 rows: the cross/outer moment rows are built in-kernel
+        # from tile-centered positions (see _vort3d_tile_fm — storing
+        # them absolute was an fp32 cancellation floor and, for
+        # vortgrad3d, 4x the fetch volume)
+        out = jnp.concatenate([pos.T, rad[None, :], s.T], axis=0)
     else:
         raise KeyError(name)
     pad = -out.shape[0] % 8
@@ -317,13 +364,8 @@ def featurize_flat(name: str, pos, rad, s):
         rows = [pos.T, (rad * rad)[None, :], s.T]
     elif name == "vort2d":
         rows = [pos.T, rad[None, :], s.T]
-    elif name == "vort3d":
-        rows = [pos.T, rad[None, :], s.T, _cross(s, pos).T]
-    elif name == "vortgrad3d":
-        e = _cross(s, pos)
-        ws = (s[:, :, None] * pos[:, None, :]).reshape(-1, 9)
-        es = (e[:, :, None] * pos[:, None, :]).reshape(-1, 9)
-        rows = [pos.T, rad[None, :], s.T, e.T, ws.T, es.T]
+    elif name in ("vort3d", "vortgrad3d"):
+        rows = [pos.T, rad[None, :], s.T]   # moments built in-kernel
     else:
         raise KeyError(name)
     return jnp.concatenate([r.reshape(-1) for r in rows])
@@ -526,33 +568,30 @@ def _vort2d_tile_fm(tpos, trad, srcT, core="rm",
 def _vort3d_tile_fm(tpos, trad, srcT, core="rm",
                     accum_dtype=jnp.float32, d2_mode="outer",
                     precision: str = "highest"):
+    # Lean 7-row layout [x(3), r, w(3)]: the e = w x s feature is built
+    # IN-KERNEL from tile-centered positions s' = s - cc instead of
+    # being stored absolute. Storing e at domain scale bakes an fp32
+    # cancellation floor of ~1e-7*|s|/d into every recombination (d =
+    # pair separation — ~1e-5 rel at leaf scale), and its 10-row layout
+    # cost 25% more fetch volume. The cross uses constant-permutation
+    # matmuls (_cross_rows) — the only formulation of the cyclic shifts
+    # Mosaic reliably lays out (row slice/stack forms hit
+    # 'offset mismatch' tpu.concatenate, slice+newaxis of 1D traces as
+    # an unsupported 1D gather).
     tpos, srcT = _pm(accum_dtype, tpos, srcT)
     d2 = _d2_fm(tpos, srcT, 3, d2_mode)
     sr = srcT[3:4, :]
     c = cf.core_3d(core)(d2, sr)
     txa = tpos.astype(accum_dtype)
-    rows = srcT[4:10, :]
-    if precision != "highest":
-        # centered identity: e' = w x (s - cc) = e - w x cc; then
-        # vel = C@e' - (C@w) x (t - cc) (see _grav3d_tile_fm).
-        # w x cc is built from CONTIGUOUS rolled row slices of [w3; w3]
-        # — a jnp.stack of three separately-computed (1, B) rows hits
-        # Mosaic's unimplemented offset-mismatch tpu.concatenate.
-        cc = jnp.mean(txa, axis=0)
-        w3 = srcT[4:7, :]
-        ww = jnp.concatenate([w3, w3], axis=0)        # (6, B)
-        cc2 = jnp.concatenate([cc, cc])
-        # (w x cc)_i = w_{i+1} cc_{i+2} - w_{i+2} cc_{i+1} (cyclic).
-        # NOTE: cc2[2:5, None] (slice+newaxis in ONE getitem on a 1D
-        # array) traces as a 1D lax.gather, which Mosaic rejects
-        # ("Only 2D gather is supported"); the split form is a slice
-        wxcc = (ww[1:4] * cc2[2:5][:, None]
-                - ww[2:5] * cc2[1:4][:, None])
-        e_c = srcT[7:10, :] - wxcc
-        rows = jnp.concatenate([w3, e_c], axis=0)
-        txa = txa - cc[None, :]
+    cc = jnp.mean(txa, axis=0)                       # (3,)
+    w3 = srcT[4:7, :]
+    xc = srcT[0:3, :] - cc[:, None]                  # s' rows (3, B)
+    e3 = _cross_rows(w3, xc)                         # w x s' rows
+    rows = jnp.concatenate([w3, e3], axis=0)         # (6, B)
+    txa = txa - cc[None, :]
     o = _dotg_fm(c, rows, accum_dtype, precision)    # (B, 6): C@w, C@e
-    return o[:, 3:6] - _cross(o[:, 0:3], txa)
+    # vel = C@e' - (C@w) x t'
+    return o[:, 3:6] - _cross_lanes(o[:, 0:3], txa)
 
 
 def _vortgrad_combine(oR, oB, txa):
@@ -617,21 +656,50 @@ def _vortgrad_combine_2d(oR, oB, txa):
     return jnp.concatenate([vel, grads], axis=-1)
 
 
+def _expand9(dtype):
+    """Expansion matrices for (9, B) outer-product rows, inline-iota
+    generated (see _perm3): (k1 @ v3)[3i+j] = v_i (components repeated
+    over 3-row chunks), (k2 @ u3)[3i+j] = u_j (the vector tiled 3x).
+    Their elementwise product is the row-major flattened v (x) u."""
+    r = lax.broadcasted_iota(jnp.int32, (9, 3), 0)
+    c = lax.broadcasted_iota(jnp.int32, (9, 3), 1)
+    return (c == r // 3).astype(dtype), (c == r % 3).astype(dtype)
+
+
 def _vortgrad3d_tile_fm(tpos, trad, srcT, core="rm",
                         accum_dtype=jnp.float32, d2_mode="outer",
                         precision: str = "highest"):
-    # reduced mxu_precision is NOT applied here: the gradient features
-    # (w(x)s, e(x)s outer products) carry domain-scale magnitudes whose
-    # centered re-expression needs per-tile row recombination; until
-    # that identity is implemented and validated, this kernel always
-    # contracts at full f32.
+    # Lean 7-row layout [x(3), r, w(3)]: ALL moment rows — e' = w x s',
+    # (w (x) s'), (e' (x) s') with s' = s - cc centered on the target
+    # tile mean — are built in-kernel via constant-permutation matmuls
+    # (_cross_rows / _K1 / _K2; Mosaic-safe, see _vort3d_tile_fm).
+    # Storing the absolute 28-row moments was both 3.5x the fetch
+    # volume and an fp32 accuracy wall: es = (w x s)(x)s carries
+    # |s|^2-scale magnitudes, so its recombination at pair separation d
+    # leaves ~1e-7*(|s|/d)^2 relative error — measured 3.9e-4 at
+    # N=3e4 (leaf extent 0.03) growing to 1.2e-2 at N=1e7, swamping
+    # the 1e-4 envelope. In-kernel centered features restore the
+    # grav-class floor. With locally-scaled rows the reduced
+    # mxu_precision tiers are valid here too, so `precision` is wired
+    # through (the 24-row oB contraction dominates the pass count).
     tpos, srcT = _pm(accum_dtype, tpos, srcT)
     d2 = _d2_fm(tpos, srcT, 3, d2_mode)
     sr = srcT[3:4, :]
     r3, bbb = cf.core_3d_grads(core)(d2, sr)
-    oR = _dotg_fm(r3, srcT[4:10, :], accum_dtype)
-    oB = _dotg_fm(bbb, srcT[4:28, :], accum_dtype)
-    return _vortgrad_combine_2d(oR, oB, tpos.astype(accum_dtype))
+    txa = tpos.astype(accum_dtype)
+    cc = jnp.mean(txa, axis=0)                       # (3,)
+    w3 = srcT[4:7, :]
+    xc = srcT[0:3, :] - cc[:, None]                  # s' rows (3, B)
+    e3 = _cross_rows(w3, xc)                         # e' = w x s'
+    k1, k2 = _expand9(xc.dtype)
+    x9 = _mdot(k2, xc)                               # (9, B): s'_j rows
+    ws9 = _mdot(k1, w3) * x9                         # (w (x) s') rows
+    es9 = _mdot(k1, e3) * x9                         # (e' (x) s') rows
+    rows_r = jnp.concatenate([w3, e3], axis=0)           # (6, B)
+    rows_b = jnp.concatenate([w3, e3, ws9, es9], axis=0)  # (24, B)
+    oR = _dotg_fm(r3, rows_r, accum_dtype, precision)
+    oB = _dotg_fm(bbb, rows_b, accum_dtype, precision)
+    return _vortgrad_combine_2d(oR, oB, txa - cc[None, :])
 
 
 TILE_FM = {

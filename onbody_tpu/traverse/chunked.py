@@ -129,7 +129,14 @@ def solve_dtt_chunked(kernel: Kernel, cfg: SolverConfig,
             return
         _psync(sync_on)
         now = _time.perf_counter()
-        print(f"[chunked] {label:14s} {now - t_last[0]:7.2f} s",
+        mem = ""
+        try:
+            st = jax.devices()[0].memory_stats()
+            mem = (f"  hbm {st['bytes_in_use'] / 2**30:5.2f} GiB"
+                   f" (peak {st['peak_bytes_in_use'] / 2**30:5.2f})")
+        except Exception:  # noqa: BLE001 — stats are best-effort
+            pass
+        print(f"[chunked] {label:14s} {now - t_last[0]:7.2f} s{mem}",
               flush=True)
         t_last[0] = now
 

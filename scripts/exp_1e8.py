@@ -84,7 +84,11 @@ def main():
             make_srcs=lambda: P.random_in_cube(ks, n, 3, 1, True),
             make_targs=lambda: P.random_in_cube(kt, n, 3, 0, False),
             n_chunks=n_chunks, unscramble=False,
-            profile=(it == 2))      # it0 compiles, it1 times clean
+            # it0 profiles too: the per-phase syncs localize failures
+            # (the dma_i RESOURCE_EXHAUSTED surfaced at lists_top with
+            # everything dispatched async) and print HBM watermarks;
+            # it1 times clean
+            profile=(it != 1))
         _sync(out)
         dt = time.perf_counter() - t0
         # tree-order results (reference-driver convention, see bench.py):

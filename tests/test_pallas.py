@@ -36,6 +36,34 @@ def test_tile_fm_matches_tile(name):
                                rtol=1e-8, atol=1e-12)
 
 
+@pytest.mark.parametrize("name", ["vort3d", "vortgrad3d"])
+def test_tile_fm_off_origin_f32_floor(name):
+    """f32 fm tiles must build moment rows from tile-LOCAL coordinates.
+
+    Regression guard: the earlier layout stored ABSOLUTE moments
+    (e = w x s, w(x)s, e(x)s) whose f32 rounding is relative to the
+    domain scale; recombining them at pair separation d amplifies it by
+    (|s|/d)^k — measured 2.2e-4 rel for vortgrad3d with tiles at offset
+    5 (and 3.9e-4 end-to-end at N=3e4). The lean in-kernel centered
+    form stays at the ~3e-7 f32 floor regardless of tile placement."""
+    kernel = KERNELS[name]
+    rng = np.random.default_rng(7)
+    B, off = 64, 5.0
+    tx = jnp.asarray(rng.random((B, 3), np.float32) * 0.05 + off)
+    tr = jnp.asarray(rng.random((B,), np.float32) * 0.01)
+    sx = jnp.asarray(rng.random((B, 3), np.float32) * 0.05 + off + 0.1)
+    sr = jnp.asarray(rng.random((B,), np.float32) * 0.01 + 0.01)
+    ss = jnp.asarray(rng.random((B, 3), np.float32) - 0.5)
+    ref = np.asarray(kernel.pairwise(
+        tx.astype(jnp.float64), tr.astype(jnp.float64),
+        sx.astype(jnp.float64), sr.astype(jnp.float64),
+        ss.astype(jnp.float64)).sum(axis=1))
+    srcT = featurize(name, sx, sr, ss)
+    out = np.asarray(TILE_FM[name](tx, tr, srcT, "rm"))
+    rel = np.linalg.norm(out - ref) / np.linalg.norm(ref)
+    assert rel < 5e-6, rel
+
+
 @pytest.mark.parametrize("name", ["grav3d", "vort2d", "vortgrad3d"])
 def test_pallas_exec_matches_jnp(name):
     kernel = KERNELS[name]
