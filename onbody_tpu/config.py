@@ -256,6 +256,19 @@ def _tuned_config_n(n: int) -> SolverConfig:
     # or slight losses at this N (3xt 0.389, dma_i 0.384) but the combo
     # wins. theta 1.15 REJECTED here: rms 1.02e-4 breaches the 1e-4
     # envelope at 1e6 (the 1e7 problem has more far-field averaging).
+    if n <= 300_000:
+        # below the bench sizes the verified-tight widths can overflow
+        # (shallow trees concentrate partners: 76 dropped rows for the
+        # 3D vortex kernels at 1e5 with W128/L320) and the wider-list
+        # cost is noise at this scale — keep generous static shapes
+        return SolverConfig(block_size=256, order=5, theta_dtt=1.2,
+                            frontier_width=256, list_width=1024,
+                            cap_groups_dtt=32, tree_mode="span",
+                            pair_backend="pallas", pair_group=32,
+                            pair_fetch="dma_i", pair_tile_g=4,
+                            mxu_precision="3xt", tree_paired=True,
+                            tree_defer_rs=True, tree_fuse=8,
+                            list_compact="sort")
     return SolverConfig(block_size=256, order=5, theta_dtt=1.2,
                         frontier_width=128, list_width=320,
                         cap_groups_dtt=16, tree_mode="span",
