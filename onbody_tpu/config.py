@@ -203,7 +203,10 @@ def tuned_config(n: int, kernel: str = "grav3d") -> SolverConfig:
     """
     cfg = _tuned_config_n(n)
     if kernel == "vort2d":
-        cfg = cfg.replace(theta_dtt=max(cfg.theta_dtt, 1.3))
+        # exp_v2theta at 1e6: 1.3 -> 1.03e-4 (just outside the
+        # envelope), 1.4 -> 5.97e-5 at +2% time; 1e7 at 1.3 measured
+        # 1.21e-4, so 1.4 is the envelope-restoring setting
+        cfg = cfg.replace(theta_dtt=max(cfg.theta_dtt, 1.4))
     if kernel == "vortgrad3d" and n >= 4_000_000:
         # 28 feature rows + 12 outputs: point-major Blocks OOM 16 GB at
         # 1e7 — lean feature-major plan (scripts/exp_vort.py)

@@ -428,6 +428,16 @@ def _split_bf16(a):
     return hi, lo
 
 
+def _split3_bf16(a):
+    """3-way bf16 split (8+8+8 mantissa bits — the full f32 mantissa):
+    a ~= hi + mid + lo to ~2^-24 relative."""
+    hi = a.astype(jnp.bfloat16)
+    r = a - hi.astype(jnp.float32)
+    mid = r.astype(jnp.bfloat16)
+    lo = (r - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, mid, lo
+
+
 def _dotg_fm(w, rows, accum_dtype, precision: str = "highest"):
     """(B_t, B_s) x (F, B_s) -> (B_t, F), contracting the source axis.
 
@@ -472,6 +482,23 @@ def _dotg_fm(w, rows, accum_dtype, precision: str = "highest"):
         f = rows.shape[0]
         o = dot(jnp.concatenate([rh, rl], axis=0), wh, d)  # (2F, B_t)
         return (o[:f] + o[f:] + dot(rh, wl, d)).T
+    if precision == "6xt":
+        # full-f32-mantissa tier at transposed-streaming cost: 3-way
+        # splits, the 6 significant product terms (hh, mh, lh, hm, mm,
+        # hl — XLA's own HIGHEST algorithm) fused into 3 dispatches of
+        # 3F/2F/F streamed rows. Per-element accuracy ~2^-24 relative —
+        # needed where the contraction CANCELS across sources and the
+        # 3x tiers' 2^-16 per-element noise survives the cancellation
+        # un-reduced (vortgrad3d gradients: 1.3e-3 at 3xt vs 6e-5 at
+        # full f32, N=2e4 DTT).
+        wh, wm, wl = _split3_bf16(w)
+        rh, rm, rl = _split3_bf16(rows)
+        f = rows.shape[0]
+        o1 = dot(jnp.concatenate([rh, rm, rl], axis=0), wh, d)  # (3F, .)
+        o2 = dot(jnp.concatenate([rh, rm], axis=0), wm, d)      # (2F, .)
+        o3 = dot(rh, wl, d)                                     # (F, .)
+        return (o1[:f] + o1[f:2 * f] + o1[2 * f:]
+                + o2[:f] + o2[f:] + o3).T
     wh, wl = _split_bf16(w)
     if precision == "w2x":
         rb = rows.astype(jnp.bfloat16)
@@ -697,8 +724,14 @@ def _vortgrad3d_tile_fm(tpos, trad, srcT, core="rm",
     es9 = _mdot(k1, e3) * x9                         # (e' (x) s') rows
     rows_r = jnp.concatenate([w3, e3], axis=0)           # (6, B)
     rows_b = jnp.concatenate([w3, e3, ws9, es9], axis=0)  # (24, B)
+    # the gradient (oB) contraction cancels across sources, so the 3x
+    # tiers' 2^-16 per-element split noise survives un-averaged
+    # (1.3e-3 vs 6e-5 rel at N=2e4); clamp reduced tiers to the
+    # full-mantissa 6xt there. oR feeds the velocity (near-positive
+    # sums) and the antisymmetric grad terms — reduced tiers hold.
+    prec_b = ("highest" if precision == "highest" else "6xt")
     oR = _dotg_fm(r3, rows_r, accum_dtype, precision)
-    oB = _dotg_fm(bbb, rows_b, accum_dtype, precision)
+    oB = _dotg_fm(bbb, rows_b, accum_dtype, prec_b)
     return _vortgrad_combine_2d(oR, oB, txa - cc[None, :])
 
 
