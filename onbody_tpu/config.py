@@ -208,10 +208,11 @@ def tuned_config(n: int, kernel: str = "grav3d") -> SolverConfig:
         # 1.21e-4, so 1.4 is the envelope-restoring setting
         cfg = cfg.replace(theta_dtt=max(cfg.theta_dtt, 1.4))
     if kernel == "vortgrad3d" and n >= 4_000_000:
-        # 28 feature rows + 12 outputs: point-major Blocks OOM 16 GB at
-        # 1e7 — lean feature-major plan (scripts/exp_vort.py)
-        cfg = cfg.replace(lean_plan=True, pair_fetch="pregather",
-                          pair_group=16)
+        # the lean 7-row layout (pad8 -> 8, dma-aligned) replaced the
+        # 28-row absolute moments that OOMed the point-major plan at
+        # 1e7; keep the lean fm plan for headroom but the dma_i fetch
+        # now applies (q21 measured the pregather path at 17.5 s)
+        cfg = cfg.replace(lean_plan=True)
     return cfg
 
 
