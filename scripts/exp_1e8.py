@@ -40,6 +40,12 @@ def main():
     fetch = sys.argv[4] if len(sys.argv) > 4 else "pregather"
     group = int(sys.argv[5]) if len(sys.argv) > 5 else 16
     kernel = get_kernel("grav3d")
+    try:
+        st = jax.devices()[0].memory_stats()
+        print(f"startup hbm: {st['bytes_in_use'] / 2**30:.2f} GiB in use,"
+              f" limit {st.get('bytes_limit', 0) / 2**30:.2f}", flush=True)
+    except Exception as e:  # noqa: BLE001 — stats are best-effort
+        print(f"startup hbm: memory_stats unavailable ({e})", flush=True)
     # cap_groups_dtt: 8 overflowed (440k dropped groups — per-target
     # ceil(v/g) quantization inflates group count far above pairs/g);
     # 16 is the verified zero-overflow setting
