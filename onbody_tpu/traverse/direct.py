@@ -131,8 +131,13 @@ def direct(kernel: Kernel, srcs: Parts, targs: Parts,
     if form == "auto":
         form = "pairwise" if kernel.name in ("vort3d", "vortgrad3d") \
             else "tile"
-    if form == "pairwise" and tile_t > 256:
-        tile_t = 256               # bound the (T, S, OD) tile buffer
+    if form == "pairwise":
+        # bound the (T, S, OD) tile buffer; the square shape also keeps
+        # the XLA:CPU codegen of the broadcast cross products small —
+        # the (256, 1024, 12) variant segfaulted LLVM deterministically
+        # at the 37th compile of a long pytest session
+        tile_t = min(tile_t, 256)
+        tile_s = min(tile_s, 256)
     tr = _target_radii(kernel, targs, targs.x.dtype)
     return _direct_impl(kernel, targs.x, tr, srcs.x, srcs.r, srcs.s,
                         core, accum_dtype, d2_mode, tile_t, tile_s,

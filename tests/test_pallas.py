@@ -212,6 +212,65 @@ def test_dma_kernel_pad_steps_skipped():
         assert rel_i < 1e-4, (gt_list, rel_i)
 
 
+@pytest.mark.parametrize("name", ["vort3d", "vortgrad3d"])
+def test_dma_i_vortex_kernels(name):
+    """dma_i fetch for the vector-strength kernels (8-row aligned lean
+    layout, in-kernel moments): interpret-mode vs the XLA grouped
+    executor. The q21 on-chip coverage only ran grav3d through dma_i at
+    the bench sizes; the vortex tiles add the permutation-matmul cross
+    path inside the dma pipeline."""
+    kernel = KERNELS[name]
+    B, NN = 32, 8
+    ks = jax.random.split(jax.random.PRNGKey(5), 3)
+    pos = jax.random.uniform(ks[0], (NN, B, 3))
+    rad = jnp.full((NN, B), 0.05)
+    s = jax.random.normal(ks[1], (NN, B, 3)) / B
+    src_fm = pp.build_fm_blocks(kernel, pos, rad, s)
+    tgt_geo = pp.build_tgt_geo(pos, rad)
+    gt = jnp.array([1, 1, 2, 3, 3, 0, 0, 0], jnp.int32)
+    gs = jax.random.randint(ks[2], (8, pp.GROUP), 1, NN)
+    gs = jnp.where((gt == 0)[:, None], 0, gs)
+    ref = pexec._exec_groups_xla_chunked(
+        kernel, tgt_geo, src_fm, (gt, gs),
+        jnp.zeros((NN, B, kernel.od), jnp.float32),
+        "rm", jnp.float32, "outer", pp.GROUP, 1024, "highest")
+    out = pp.exec_pairs_pallas(kernel, tgt_geo, src_fm, gt, gs,
+                               interpret=True, fetch="dma_i", tile_g=2)
+    scale = max(float(jnp.max(jnp.abs(ref[1:]))), 1e-30)
+    rel = float(jnp.max(jnp.abs(out[1:] - ref[1:]))) / scale
+    assert rel < 1e-4, rel
+
+
+@pytest.mark.parametrize("prec,tol_grad", [("highest", 2e-6),
+                                           ("6xt", 2e-6),
+                                           ("3xt", 1e-4)])
+def test_vortgrad_precision_tiers(prec, tol_grad):
+    """Per-tile accuracy of the _dotg_fm tiers on vortgrad3d. The oB
+    (gradient) contraction is clamped to 6xt inside the kernel whenever
+    a reduced tier is requested — the 3xt row therefore bounds only the
+    residual oR noise (the un-clamped 3xt oB measured 1.4e-5/tile and
+    1.3e-3 end-to-end, docs/PERF.md r2s12)."""
+    kernel = KERNELS["vortgrad3d"]
+    rng = np.random.default_rng(11)
+    B = 256
+    ext = 0.127
+    tx = jnp.asarray(rng.random((B, 3), np.float32) * ext + 0.3)
+    tr = jnp.zeros((B,), jnp.float32)
+    sx = jnp.asarray(rng.random((B, 3), np.float32) * ext + 0.3 + ext)
+    sr = jnp.full((B,), 1e-2, jnp.float32)
+    ss = jnp.asarray((rng.random((B, 3), np.float32) - 0.5) * 2e-6)
+    ref = np.asarray(kernel.pairwise(
+        tx.astype(jnp.float64), tr.astype(jnp.float64),
+        sx.astype(jnp.float64), sr.astype(jnp.float64),
+        ss.astype(jnp.float64)).sum(axis=1))
+    srcT = featurize("vortgrad3d", sx, sr, ss)
+    out = np.asarray(TILE_FM["vortgrad3d"](tx, tr, srcT, "rm",
+                                           jnp.float32, "outer", prec))
+    rg = (np.linalg.norm(out[:, 3:] - ref[:, 3:])
+          / np.linalg.norm(ref[:, 3:]))
+    assert rg < tol_grad, (prec, rg)
+
+
 def test_dma_pair_bundled_kernel():
     """Adjacent-row bundled fetch (fetch='dma_p') matches the XLA
     executor across adjacency patterns: full ascending runs, mixed
