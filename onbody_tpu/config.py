@@ -110,6 +110,19 @@ class SolverConfig:
     # more robust to strongly non-uniform source/target distributions)
     dtt_traversal: str = "level"
 
+    # sibling-paired leaf execution: at the target leaf level both
+    # children of a parent carry IDENTICAL accepted source lists (the
+    # leaf candidate rows are literally jnp.repeat of the parent rows —
+    # lists._dtt_lists_level), so the executor can evaluate each fetched
+    # source group against a (2, B) sibling target block and halve the
+    # serialized per-block DMA-issue cost (~0.24us/block, the measured
+    # exec floor — docs/PERF.md r2s8) on the leaf-leaf pairs that
+    # dominate the pair volume. Requires the level/rows builder, a
+    # dma-family pair_fetch, and the pallas backend; silently off
+    # otherwise (the pair set and per-target accumulation order are
+    # unchanged — outputs are bit-identical on real rows).
+    dtt_leaf_pair2: bool = False
+
     # candidate-list layout for the level traversal: 'rows' (dense
     # per-target frontier rows of frontier_width slots — lane-dim
     # compaction scans, fastest at every measured N) or 'flat' (one

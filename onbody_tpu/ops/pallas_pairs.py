@@ -198,6 +198,99 @@ def _body_interleaved(pt_ref, ps_ref, tgt_ref, src_hbm, prev_ref,
             dma((p + 1) % 2, p + 1, j).start()
 
 
+def _body_interleaved_t2(pt_ref, ps_ref, tgt_ref, src_hbm, prev_ref,
+                         out_ref, scratch, sems, *, kernel_name: str,
+                         core: str, accum_dtype, pd: int, od: int,
+                         d2_mode: str, group: int, tile_g: int,
+                         precision: str = "highest"):
+    """Sibling-paired target variant of _body_interleaved: grid step p
+    evaluates its GROUP fetched source blocks against BOTH children of
+    target parent q = pt[p]. The tgt/prev/out blocks are (2, ., B) with
+    block index q -> rows [2q, 2q+2) (heap layout: children of q are
+    exactly rows 2q, 2q+1), so one source fetch serves two block pairs
+    and the serialized per-block DMA-issue cost (~0.24us/block, the
+    measured exec floor — docs/PERF.md r2s8) halves. Valid only for
+    pair lists whose two sibling rows share identical source lists —
+    the target leaf level of the simultaneous-descent builder
+    (lists.build_dtt_pairs_level2). Per-target accumulation order is
+    identical to the unpaired executor, so real-row outputs are
+    bit-identical.
+
+    Padding steps (q == 0) map to rows [0, 2); row 1 is the ROOT's
+    accumulator, so instead of skipping the write (the pipeline would
+    write back an unwritten buffer) they copy prev through unchanged.
+    Row 0 is never read; row 1 is preserved exactly."""
+    p = pl.program_id(0)
+    n = pl.num_programs(0)
+
+    def dma(bank, step, j):
+        return pltpu.make_async_copy(
+            src_hbm.at[ps_ref[step * group + j]],
+            scratch.at[bank, j],
+            sems.at[bank, j])
+
+    @pl.when(jnp.logical_and(p == 0, pt_ref[0] != 0))
+    def _():
+        for j in range(group):
+            dma(0, 0, j).start()
+
+    bank = p % 2
+    nxt_ok = jnp.logical_and(p + 1 < n,
+                             pt_ref[jnp.minimum(p + 1, n - 1)] != 0)
+
+    @pl.when(pt_ref[p] != 0)
+    def _():
+        for j in range(group):
+            dma(bank, p, j).wait()
+        t0 = tgt_ref[0][:pd + 1].T                       # (B, PD+1)
+        t1 = tgt_ref[1][:pd + 1].T
+        tile0 = tile1 = None
+        n_sub = group // tile_g
+        for s_i in range(n_sub):
+            # issue the NEXT step's DMAs for this slot batch, then
+            # compute BOTH siblings' sub-tiles — twice the compute per
+            # issued descriptor of the unpaired body, so the overlap
+            # window is wider
+            @pl.when(nxt_ok)
+            def _(s_i=s_i):
+                for j in range(s_i * tile_g, (s_i + 1) * tile_g):
+                    dma((p + 1) % 2, p + 1, j).start()
+            s = jnp.concatenate(
+                [scratch[bank, j]
+                 for j in range(s_i * tile_g, (s_i + 1) * tile_g)],
+                axis=1)                                  # (C, tg*B)
+            tj0 = TILE_FM[kernel_name](t0[:, :pd], t0[:, pd], s, core,
+                                       accum_dtype, d2_mode,
+                                       precision=precision)
+            tj1 = TILE_FM[kernel_name](t1[:, :pd], t1[:, pd], s, core,
+                                       accum_dtype, d2_mode,
+                                       precision=precision)
+            tile0 = tj0 if tile0 is None else tile0 + tj0
+            tile1 = tj1 if tile1 is None else tile1 + tj1
+        od8 = out_ref.shape[1]
+        prev_t = pt_ref[jnp.maximum(p - 1, 0)]
+        first = jnp.logical_or(p == 0, prev_t != pt_ref[p])
+        out_ref[0] = (jnp.where(first, prev_ref[0], out_ref[0])
+                      + jnp.pad(tile0.T, ((0, od8 - od), (0, 0))))
+        out_ref[1] = (jnp.where(first, prev_ref[1], out_ref[1])
+                      + jnp.pad(tile1.T, ((0, od8 - od), (0, 0))))
+
+    @pl.when(pt_ref[p] == 0)
+    def _():
+        # identity write-through: pads share out block 0 (rows [0, 2));
+        # copying prev keeps row 1 (the root accumulator) intact under
+        # the pipeline's block writeback. Idempotent across a pad run.
+        out_ref[0] = prev_ref[0]
+        out_ref[1] = prev_ref[1]
+
+        # still prefetch the next REAL step's blocks (no compute here
+        # to overlap with — issue them all at once)
+        @pl.when(nxt_ok)
+        def _():
+            for j in range(group):
+                dma((p + 1) % 2, p + 1, j).start()
+
+
 def _body_pair(pt_ref, ps_ref, tgt_ref, src_hbm, prev_ref, out_ref,
                scratch, sems, *, kernel_name: str, core: str,
                accum_dtype, pd: int, od: int, d2_mode: str, group: int,
@@ -448,6 +541,93 @@ def _exec_chunk(kernel: Kernel, tgt_geo, src_fm, pair_t, pair_s, out,
     )(pair_t, pair_s.reshape(-1), tgt_geo, src_fm, out)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("kernel", "core", "accum_dtype", "interpret",
+                              "d2_mode", "group", "precision", "tile_g"),
+    donate_argnums=(5,))
+def _exec_chunk_t2(kernel: Kernel, tgt_geo, src_fm, pair_t, pair_s, out,
+                   core: str, accum_dtype, interpret: bool,
+                   d2_mode: str = "outer", group: int = GROUP,
+                   precision: str = "highest", tile_g: int = 4):
+    """Sibling-paired chunk: pair_t holds target PARENT node ids q; the
+    tgt/prev/out pipeline blocks are (2, ., B) so block index q covers
+    heap rows [2q, 2q+2). Requires an even target row count (always
+    true: the unified node array has 2*nleaf rows)."""
+    nn_t, _, b = tgt_geo.shape
+    c = src_fm.shape[1]
+    p = pair_t.shape[0]
+    pd = kernel.pd
+    od8 = -(-kernel.od // 8) * 8
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(p,),
+        in_specs=[
+            pl.BlockSpec((2, 8, b), lambda i, pt, ps: (pt[i], 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),   # src_fm stays in HBM
+            pl.BlockSpec((2, od8, b), lambda i, pt, ps: (pt[i], 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((2, od8, b),
+                               lambda i, pt, ps: (pt[i], 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, group, c, b), src_fm.dtype),
+            pltpu.SemaphoreType.DMA((2, group)),
+        ],
+    )
+    body = functools.partial(_body_interleaved_t2,
+                             kernel_name=kernel.name, core=core,
+                             accum_dtype=accum_dtype, pd=pd,
+                             od=kernel.od, d2_mode=d2_mode,
+                             group=group, tile_g=tile_g,
+                             precision=precision)
+    flops_per_step = 2 * group * b * b * kernel.flops_fn(core)
+    return pl.pallas_call(
+        body,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nn_t, od8, b), accum_dtype),
+        # inputs: pair_t(0), pair_s(1), tgt_geo(2), src_fm(3), prev(4)
+        input_output_aliases={4: 0},
+        cost_estimate=pl.CostEstimate(
+            flops=flops_per_step * p,
+            bytes_accessed=p * (2 * b * 8 + group * c * b
+                                + 4 * b * kernel.od) * 4,
+            transcendentals=p * 2 * group * b * b),
+        interpret=interpret,
+    )(pair_t, pair_s.reshape(-1), tgt_geo, src_fm, out)
+
+
+def exec_pairs_pallas_t2(kernel: Kernel, tgt_geo: jax.Array,
+                         src_fm: jax.Array, group_t: jax.Array,
+                         group_s: jax.Array, out_fm: jax.Array,
+                         core: str = "rm", accum_dtype=jnp.float32,
+                         interpret: bool = False, d2_mode: str = "outer",
+                         group: int = GROUP, precision: str = "highest",
+                         tile_g: int = 4) -> jax.Array:
+    """Run sibling-paired groups (lists.build_dtt_pairs_level2 leaf2)
+    into an existing feature-major accumulator out_fm (NN_t, od8, B),
+    donated and returned. group_t entries are target PARENT node ids;
+    each step's source group is evaluated against both children rows.
+    dma-family fetch only (the in-kernel DMA loop is what the pairing
+    amortizes)."""
+    p = group_t.shape[0]
+    chunk = _chunk_groups(group)
+    if p > chunk:
+        pad = -p % chunk
+        group_t = jnp.pad(group_t, (0, pad))
+        group_s = jnp.pad(group_s, ((0, pad), (0, 0)))
+        steps = range(0, p + pad, chunk)
+    else:
+        steps = [0]
+    for i in steps:
+        gt_c = group_t[i:i + chunk] if p > chunk else group_t
+        gs_c = group_s[i:i + chunk] if p > chunk else group_s
+        out_fm = _exec_chunk_t2(kernel, tgt_geo, src_fm, gt_c, gs_c,
+                                out_fm, core, accum_dtype, interpret,
+                                d2_mode, group, precision,
+                                min(tile_g, group))
+    return out_fm
+
+
 def _body_static(tgt_ref, src_ref, out_ref, *, kernel_name: str,
                  core: str, accum_dtype, pd: int, od: int, d2_mode: str,
                  group: int, c: int, kper: int,
@@ -539,7 +719,9 @@ def exec_pairs_pallas(kernel: Kernel, tgt_geo: jax.Array,
                       group: int = GROUP,
                       fetch: str = "pregather",
                       precision: str = "highest",
-                      tile_g: int = 4) -> jax.Array:
+                      tile_g: int = 4,
+                      out_fm: jax.Array = None,
+                      final: bool = True) -> jax.Array:
     """tgt_geo (NN_t, B, PD+1), src_fm (NN_s, C, B), group_t (P,),
     group_s (P, GROUP) — groups ordered by target row. Returns
     out (NN_t, B, OD); rows with no groups are zero.
@@ -549,7 +731,13 @@ def exec_pairs_pallas(kernel: Kernel, tgt_geo: jax.Array,
     issues GROUP small row DMAs per step; measured ~3.8us/step of pure
     fetch latency, ~10x the pregathered fixed cost) or 'dma_i'
     (dma with the next step's starts software-pipelined through the
-    compute sub-tiles — see _body_interleaved)."""
+    compute sub-tiles — see _body_interleaved).
+
+    out_fm: existing feature-major (NN_t, od8, B) accumulator to add
+    into (donated) instead of zeros. final=False returns the
+    feature-major accumulator without the point-major transpose — for
+    callers that chain further executor passes (exec_pairs_pallas_t2)
+    over the same buffer."""
     nn_t, _, b = tgt_geo.shape
     p = group_t.shape[0]
     od8 = -(-kernel.od // 8) * 8
@@ -563,6 +751,8 @@ def exec_pairs_pallas(kernel: Kernel, tgt_geo: jax.Array,
         raise ValueError("dma fetch needs sublane-aligned feature rows; "
                          "use fetch='pregather' with lean fm storage")
     if fetch == "static":
+        assert out_fm is None and final, \
+            "static fetch does not support chained accumulators"
         # fully-static pipeline: gather BOTH sides per chunk, emit
         # per-step rows, one segment scatter-add at the end
         kper = 8
@@ -585,7 +775,8 @@ def exec_pairs_pallas(kernel: Kernel, tgt_geo: jax.Array,
         out = jnp.zeros((nn_t, od8, b), accum_dtype)
         out = out.at[gt_p].add(rows)
         return jnp.transpose(out[:, :kernel.od, :], (0, 2, 1))
-    out = jnp.zeros((nn_t, od8, b), accum_dtype)
+    out = (jnp.zeros((nn_t, od8, b), accum_dtype) if out_fm is None
+           else out_fm)
     if fetch == "pregather":
         # chunk so the gathered buffer stays ~256 MB
         chunk = max(1024, (256 << 20) // (group * c * b * 4))
@@ -614,6 +805,8 @@ def exec_pairs_pallas(kernel: Kernel, tgt_geo: jax.Array,
                               core, accum_dtype, interpret, d2_mode,
                               group, precision, body_kind=kind,
                               tile_g=min(tile_g, group))
+    if not final:
+        return out
     # back to the framework-standard (NN, B, OD) point-major layout
     return jnp.transpose(out[:, :kernel.od, :], (0, 2, 1))
 

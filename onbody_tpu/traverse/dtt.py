@@ -207,16 +207,32 @@ def solve_dtt(kernel: Kernel, cfg: SolverConfig, plan: Plan,
                                          cfg.pair_group)
         out, info = pexec.exec_groups(kernel, cfg, plan, pg)
     else:
+        backend = cfg.pair_backend
+        if backend == "auto":
+            backend = ("pallas" if jax.devices()[0].platform == "tpu"
+                       else "jnp")
+        use_p2 = (getattr(cfg, "dtt_leaf_pair2", False)
+                  and cfg.dtt_traversal == "level"
+                  and backend == "pallas"
+                  and getattr(cfg, "pair_fetch",
+                              "pregather").startswith("dma")
+                  and jnp.dtype(cfg.accum_dtype) != jnp.float64
+                  and plan.stree.levels <= plan.ttree.levels
+                  and plan.ttree.levels >= 1)
+        pl2 = None
         if cfg.dtt_traversal == "level":
-            pl = lists.build_dtt_pairs_level(plan.stree, plan.ttree,
-                                             theta, cfg.frontier_width,
-                                             cfg.mac_geometry,
-                                             src_parts=parts,
-                                             tgt_parts=parts,
-                                             compact=getattr(
-                                                 cfg, "list_compact",
-                                                 "scatter"),
-                                             n_live=plan.tgt_sorted.n_real)
+            if use_p2:
+                pl, pl2 = lists.build_dtt_pairs_level2(
+                    plan.stree, plan.ttree, theta, cfg.frontier_width,
+                    cfg.mac_geometry, src_parts=parts, tgt_parts=parts,
+                    compact=getattr(cfg, "list_compact", "scatter"),
+                    n_live=plan.tgt_sorted.n_real)
+            else:
+                pl = lists.build_dtt_pairs_level(
+                    plan.stree, plan.ttree, theta, cfg.frontier_width,
+                    cfg.mac_geometry, src_parts=parts, tgt_parts=parts,
+                    compact=getattr(cfg, "list_compact", "scatter"),
+                    n_live=plan.tgt_sorted.n_real)
             slot_width = cfg.frontier_width
         else:
             pl = lists.build_dtt_pairs(plan.stree, plan.ttree, theta,
@@ -224,7 +240,7 @@ def solve_dtt(kernel: Kernel, cfg: SolverConfig, plan: Plan,
                                        src_parts=parts, tgt_parts=parts)
             slot_width = cfg.list_width
         out, info = pexec.exec_pairs(kernel, cfg, plan, pl, slot_width,
-                                     cfg.cap_groups_dtt)
+                                     cfg.cap_groups_dtt, raw2=pl2)
     if cfg.order >= 0:
         out = _downward(out, plan.ttree.nc, plan.ttree.ns,
                         plan.tgt_geo, cfg.order, plan.ttree.levels,

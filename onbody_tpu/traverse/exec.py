@@ -195,13 +195,19 @@ def exec_groups(kernel: Kernel, cfg, plan, pg, interpret: bool = False):
 
 
 def exec_pairs(kernel: Kernel, cfg, plan, raw: PairList, slot_width: int,
-               cap_groups_per_row: int, interpret: bool = False):
+               cap_groups_per_row: int, interpret: bool = False,
+               raw2: Optional[PairList] = None):
     """Backend dispatcher: compacts the raw builder list and runs it.
 
     cfg.pair_backend in {'jnp', 'pallas'}. Capacity is STATIC
     (cap_groups_per_row 8-wide groups per emitted target row) so the
     entire solve path runs without device->host syncs; overflow is
     detected and carried in the returned info. Returns (out_blocks, info).
+
+    raw2: optional sibling-paired leaf list (build_dtt_pairs_level2
+    leaf2) chained through the same feature-major accumulator via the
+    t2 executor. Callers must only pass it on the pallas backend with a
+    dma-family fetch (solve_dtt gates this).
     """
     from onbody_tpu.traverse import lists
 
@@ -213,6 +219,11 @@ def exec_pairs(kernel: Kernel, cfg, plan, raw: PairList, slot_width: int,
                    else "jnp")
     if jnp.dtype(cfg.accum_dtype) == jnp.float64:
         backend = "jnp"   # Mosaic has no fp64; the accuracy tier is jnp
+    if raw2 is not None and not (
+            backend == "pallas"
+            and getattr(cfg, "pair_fetch", "pregather").startswith("dma")):
+        raise ValueError("sibling-paired leaf lists need the pallas "
+                         "backend with a dma-family pair_fetch")
     if backend in ("pallas", "xla"):
         from onbody_tpu.ops import pallas_pairs as pp
         # CPU has no Mosaic backend: fall back to the interpreter so the
@@ -236,15 +247,51 @@ def exec_pairs(kernel: Kernel, cfg, plan, raw: PairList, slot_width: int,
             out = exec_groups_xla(kernel, cfg, plan, pg.tgt, pg.src, g)
             return out, pg
         d2m = "center" if cfg.d2_mode == "center" else "outer"
-        out = pp.exec_pairs_pallas(kernel, plan.tgt_geo, plan.src_fm,
-                                   pg.tgt, pg.src, cfg.core_func,
-                                   cfg.accum_dtype, interpret=interpret,
-                                   d2_mode=d2m, group=g,
-                                   fetch=getattr(cfg, "pair_fetch",
-                                                 "pregather"),
-                                   precision=getattr(cfg, "mxu_precision",
-                                                     "highest"))
-        return out, pg
+        if raw2 is None:
+            out = pp.exec_pairs_pallas(kernel, plan.tgt_geo, plan.src_fm,
+                                       pg.tgt, pg.src, cfg.core_func,
+                                       cfg.accum_dtype,
+                                       interpret=interpret,
+                                       d2_mode=d2m, group=g,
+                                       fetch=getattr(cfg, "pair_fetch",
+                                                     "pregather"),
+                                       precision=getattr(
+                                           cfg, "mxu_precision",
+                                           "highest"))
+            return out, pg
+        # sibling-paired leaf pass: group the parent-keyed leaf list,
+        # then chain both executors over one feature-major accumulator
+        n_rows2 = raw2.tgt.shape[0] // slot_width
+        cap2 = max(1024, n_rows2 * cap_groups_per_row * pp.GROUP // g)
+        pg2 = lists.group_pairs(raw2, cap2, g, slot_width,
+                                getattr(cfg, "group_compact", "scatter"))
+        try:
+            n_g2 = int(jax.device_get(jnp.sum(pg2.tgt != 0)))
+            chunk = pp._chunk_groups(g)
+            trim = min(cap2, -(-max(n_g2, 1) // chunk) * chunk)
+            pg2 = pg2._replace(tgt=pg2.tgt[:trim], src=pg2.src[:trim])
+        except jax.errors.ConcretizationTypeError:
+            pass  # inside jit (fused path): keep static shapes
+        out_fm = pp.exec_pairs_pallas(kernel, plan.tgt_geo, plan.src_fm,
+                                      pg.tgt, pg.src, cfg.core_func,
+                                      cfg.accum_dtype, interpret=interpret,
+                                      d2_mode=d2m, group=g,
+                                      fetch=getattr(cfg, "pair_fetch",
+                                                    "pregather"),
+                                      precision=getattr(
+                                          cfg, "mxu_precision", "highest"),
+                                      tile_g=getattr(cfg, "pair_tile_g", 4),
+                                      final=False)
+        out_fm = pp.exec_pairs_pallas_t2(
+            kernel, plan.tgt_geo, plan.src_fm, pg2.tgt, pg2.src, out_fm,
+            cfg.core_func, cfg.accum_dtype, interpret=interpret,
+            d2_mode=d2m, group=g,
+            precision=getattr(cfg, "mxu_precision", "highest"),
+            tile_g=getattr(cfg, "pair_tile_g", 4))
+        out = jnp.transpose(out_fm[:, :kernel.od, :], (0, 2, 1))
+        info = pg._replace(n_valid=pg.n_valid + 2 * pg2.n_valid,
+                           overflow=pg.overflow + pg2.overflow)
+        return out, info
     cap = max(1024, n_rows * cap_groups_per_row * 8)
     cap = min(cap, raw.tgt.shape[0])
     pl = lists.finalize_pairs(raw, cap)

@@ -498,12 +498,13 @@ def top_prefix_len(split: int, levels_t: int, W: int) -> int:
 
 @partial(jax.jit, static_argnames=("levels_s", "levels_t", "frontier_width",
                                    "mac_geometry", "src_parts",
-                                   "tgt_parts", "compact", "n_live"))
+                                   "tgt_parts", "compact", "n_live",
+                                   "leaf_pair2"))
 def _dtt_lists_level(stree: Tree, ttree: Tree, theta,
                      levels_s: int, levels_t: int, frontier_width: int,
                      mac_geometry: str = "quant", src_parts: int = 1,
                      tgt_parts: int = 1, compact: str = "scatter",
-                     n_live: int = 0):
+                     n_live: int = 0, leaf_pair2: bool = False):
     """Simultaneous-descent dual-tree traversal: ONE MAC classification
     per target level.
 
@@ -709,6 +710,23 @@ def _dtt_lists_level(stree: Tree, ttree: Tree, theta,
             nxt, ovc = _compact_rows(kids, level_width(l + 1, levels_t, W),
                                      compact)
             overflow = overflow + ovc
+            if leaf_pair2 and l == levels_t - 1:
+                # sibling-paired leaf emission: the leaf level's candidate
+                # rows would be exactly jnp.repeat(nxt, 2) with
+                # accept == valid (the classify there is vacuous — see
+                # the leaf-skip branch above), so emit ONE entry per
+                # parent node q instead; the executor evaluates it
+                # against BOTH children leaf rows (2q, 2q+1) from one
+                # source fetch (ops/pallas_pairs.exec_pairs_pallas_t2).
+                # n_valid counts both siblings. At a live boundary with
+                # an odd leaf count the dead right sibling is evaluated
+                # too (its output row is discarded downstream).
+                p2_tgt = jnp.broadcast_to(tgt_ids[:, None],
+                                          nxt.shape).reshape(-1)
+                p2_src = nxt.reshape(-1)
+                total_valid = total_valid + 2 * jnp.sum(
+                    nxt != 0, dtype=jnp.int32)
+                break
             # children of the live rows, sliced to the next level's live
             # prefix (the boundary node's dead child, if any, is exactly
             # the row the slice drops)
@@ -716,6 +734,8 @@ def _dtt_lists_level(stree: Tree, ttree: Tree, theta,
 
     tgt = jnp.concatenate(all_tgt)
     src = jnp.concatenate(all_src)
+    if leaf_pair2:
+        return tgt, src, p2_tgt, p2_src, total_valid, overflow
     return tgt, src, total_valid, overflow
 
 
@@ -944,6 +964,40 @@ def build_dtt_pairs_level(stree: Tree, ttree: Tree, theta,
                                         mac_geometry, src_parts, tgt_parts,
                                         compact, n_live)
     return PairList(tgt=tgt, src=src, n_valid=nv, overflow=ov)
+
+
+def build_dtt_pairs_level2(stree: Tree, ttree: Tree, theta,
+                           frontier_width: int = 128,
+                           mac_geometry: str = "quant",
+                           src_parts: int = 1,
+                           tgt_parts: int = 1,
+                           compact: str = "scatter",
+                           n_live: int = 0) -> Tuple[PairList, PairList]:
+    """Simultaneous-descent DTT lists with sibling-paired leaf emission
+    (cfg.dtt_leaf_pair2).
+
+    Returns (interior, leaf2). `interior` holds target levels
+    0..levels_t-1 in the standard (tgt_row, src_row) form; `leaf2` holds
+    ONE entry per (target PARENT node q, source leaf row) standing for
+    the two pairs (2q, src) and (2q+1, src) — both children's accepted
+    leaf lists are identical by construction. interior.n_valid carries
+    the COMBINED valid-pair count (leaf entries counted twice);
+    leaf2.n_valid counts leaf2 entries once (the executor group count).
+
+    Requires equal-or-shallower source trees (the deep-source leaf
+    refinement loop has no paired form) and at least one target level.
+    """
+    if stree.levels > ttree.levels or ttree.levels < 1:
+        raise ValueError("leaf_pair2 needs levels_s <= levels_t >= 1")
+    tgt, src, p2t, p2s, nv, ov = _dtt_lists_level(
+        stree, ttree, theta, stree.levels, ttree.levels, frontier_width,
+        mac_geometry, src_parts, tgt_parts, compact, n_live,
+        leaf_pair2=True)
+    interior = PairList(tgt=tgt, src=src, n_valid=nv, overflow=ov)
+    leaf2 = PairList(tgt=p2t, src=p2s,
+                     n_valid=jnp.sum(p2s != 0, dtype=jnp.int32),
+                     overflow=jnp.int32(0))
+    return interior, leaf2
 
 
 # ------------------------------------------- flat simultaneous descent

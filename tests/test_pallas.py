@@ -299,3 +299,46 @@ def test_dma_pair_bundled_kernel():
         scale = max(float(jnp.max(jnp.abs(ref[1:]))), 1e-30)
         rel = float(jnp.max(jnp.abs(out[1:] - ref[1:]))) / scale
         assert rel < 1e-4, (rows, rel)
+
+
+def test_t2_executor_matches_and_preserves_root():
+    """Sibling-paired executor: expanded-pair equivalence plus the pad
+    contract — padding steps map to out block 0 (rows 0..1) and row 1
+    is the ROOT accumulator, which must survive the pipeline writeback
+    (the t2 body copies prev through on pads instead of skipping the
+    write)."""
+    kernel = KERNELS["grav3d"]
+    B, NN = 32, 8                       # 4 parent blocks of 2 rows
+    ks = jax.random.split(jax.random.PRNGKey(9), 3)
+    pos = jax.random.uniform(ks[0], (NN, B, 3))
+    rad = jnp.full((NN, B), 0.05)
+    s = jax.random.normal(ks[1], (NN, B, 1)) / B
+    src_fm = pp.build_fm_blocks(kernel, pos, rad, s)
+    tgt_geo = pp.build_tgt_geo(pos, rad)
+    # parents 1..3 (rows 2..7); trailing pads
+    gt2 = jnp.array([1, 1, 2, 3, 0, 0, 0, 0], jnp.int32)
+    gs2 = jax.random.randint(ks[2], (8, pp.GROUP), 1, NN)
+    gs2 = jnp.where((gt2 == 0)[:, None], 0, gs2)
+    od8 = -(-kernel.od // 8) * 8
+    root_val = 7.25
+    out_fm = jnp.zeros((NN, od8, B), jnp.float32).at[1].set(root_val)
+    got = pp.exec_pairs_pallas_t2(kernel, tgt_geo, src_fm, gt2, gs2,
+                                  out_fm, interpret=True, tile_g=2)
+    # reference: expand each entry to both children rows
+    gt_x = jnp.concatenate([2 * gt2, 2 * gt2 + 1])
+    gt_x = jnp.where(jnp.concatenate([gt2, gt2]) == 0, 0, gt_x)
+    gs_x = jnp.concatenate([gs2, gs2])
+    order = jnp.argsort(jnp.where(gt_x == 0, 10 ** 6, gt_x), stable=True)
+    ref = pexec._exec_groups_xla_chunked(
+        kernel, tgt_geo, src_fm, (gt_x[order], gs_x[order]),
+        jnp.zeros((NN, B, kernel.od), jnp.float32),
+        "rm", jnp.float32, "outer", pp.GROUP, 1024, "highest")
+    got_pm = jnp.transpose(got[:, :kernel.od, :], (0, 2, 1))
+    # tile_g-wide sub-tile contraction vs per-block adds: f32 order
+    # noise, amplified on cancellation-heavy sums — scale-relative check
+    scale = max(float(jnp.max(jnp.abs(ref[2:]))), 1e-30)
+    rel = float(jnp.max(jnp.abs(got_pm[2:] - ref[2:]))) / scale
+    assert rel < 1e-4, rel
+    # the root row (inside the pad block) is preserved exactly
+    assert float(jnp.min(got[1])) == root_val
+    assert float(jnp.max(got[1])) == root_val

@@ -406,3 +406,30 @@ def test_fused_solve_matches_split():
     res = np.asarray(outs)[np.asarray(inv)]
     np.testing.assert_allclose(res, np.asarray(ref), rtol=1e-5,
                                atol=1e-7)
+
+
+@pytest.mark.parametrize("name", ["grav3d", "vortgrad3d"])
+def test_dtt_leaf_pair2_bit_identical(name):
+    """cfg.dtt_leaf_pair2: the sibling-paired leaf execution keeps the
+    pair set and per-target accumulation order, so real-row outputs are
+    BIT-identical to the unpaired executor (the leaf candidate rows are
+    jnp.repeat of the parent rows — lists._dtt_lists_level)."""
+    kernel = KERNELS[name]
+    n = 8000
+    ks, kt = jax.random.split(jax.random.PRNGKey(11))
+    srcs = P.random_in_cube(ks, n, kernel.pd, kernel.sd, True)
+    targs = P.random_in_cube(kt, n, kernel.pd, 0, False)
+    cfg = SolverConfig(block_size=256, order=5, theta_dtt=1.2,
+                       frontier_width=128, cap_groups_dtt=16,
+                       pair_backend="pallas", pair_group=32,
+                       pair_fetch="dma_i", pair_tile_g=4,
+                       tree_mode="span", mxu_precision="3xt",
+                       tree_paired=True, tree_defer_rs=True,
+                       list_compact="sort")
+    plan = treecode.prepare(kernel, cfg, srcs, targs)
+    out0, info0 = dtt.solve_dtt(kernel, cfg, plan)
+    out1, info1 = dtt.solve_dtt(kernel, cfg.replace(dtt_leaf_pair2=True),
+                                plan)
+    assert int(info1.overflow) == 0
+    assert int(info1.n_valid) >= int(info0.n_valid)
+    assert np.array_equal(np.asarray(out0), np.asarray(out1))
