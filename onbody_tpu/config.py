@@ -256,14 +256,18 @@ def _tuned_config_n(n: int) -> SolverConfig:
         # dma_i g32/tg4: exp_dmai measured 4.36 vs 4.45 (dma g16) —
         # the interleaved-issue kernel's win is small (Mosaic still
         # serializes scalar DMA starts with vector compute) but free
+        # dtt_leaf_pair2 + g16: exp_p2 at 1e7 — pair2 g16 3.478 s vs
+        # ctrl g32 3.660 / pair2 g32 3.632 (one source fetch serves
+        # both target siblings; smaller groups cut ceil(v/g) padding
+        # once the issue cost halves)
         # theta 1.15: exp_r3b fine sweep — 3.804 s / rms 9.09e-5 vs
         # 3.846 / 6.61e-5 at 1.2; 1.12 (3.779, 9.71e-5) leaves <3%
         # margin to the 1e-4 envelope, 1.15 keeps ~9%
         return SolverConfig(block_size=256, order=5, theta_dtt=1.15,
                             frontier_width=128, list_width=320,
                             cap_groups_dtt=16, pair_backend="pallas",
-                            pair_group=32, pair_fetch="dma_i",
-                            pair_tile_g=4,
+                            pair_group=16, pair_fetch="dma_i",
+                            pair_tile_g=4, dtt_leaf_pair2=True,
                             tree_mode="span", mxu_precision="3xt",
                             tree_paired=True, tree_defer_rs=True,
                             list_compact="sort", tree_fuse=8)

@@ -17,6 +17,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 
 import jax
+
+if os.environ.get("ONBODY_PROFILE_PLATFORM"):
+    # the JAX_PLATFORMS env var is frozen by sitecustomize; this is the
+    # only working switch for CPU smoke runs (see tests/conftest.py)
+    jax.config.update("jax_platforms",
+                      os.environ["ONBODY_PROFILE_PLATFORM"])
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -98,11 +105,24 @@ def main():
                              tgt_sorted=ts, src_blocks=None,
                              tgt_blocks=None, src_gidx=sg, tgt_gidx=tg,
                              src_fm=src_fm, tgt_geo=tgt_geo, tgt_inv=tgt_inv)
-        pl = run("dtt lists", lambda: lists.build_dtt_pairs_level(
-            stree, ttree, theta, cfg.frontier_width, cfg.mac_geometry,
-            compact=getattr(cfg, "list_compact", "scatter")))
+        if getattr(cfg, "dtt_leaf_pair2", False):
+            pl, pl2 = run("dtt lists", lambda: lists.build_dtt_pairs_level2(
+                stree, ttree, theta, cfg.frontier_width, cfg.mac_geometry,
+                compact=getattr(cfg, "list_compact", "scatter"),
+                n_live=targs.n_real))
+        else:
+            pl = run("dtt lists", lambda: lists.build_dtt_pairs_level(
+                stree, ttree, theta, cfg.frontier_width, cfg.mac_geometry,
+                compact=getattr(cfg, "list_compact", "scatter"),
+                n_live=targs.n_real))
+            pl2 = None
         outb, info = run("pair exec", lambda: pexec.exec_pairs(
-            kernel, cfg, plan, pl, cfg.frontier_width, cfg.cap_groups_dtt))
+            kernel, cfg, plan, pl, cfg.frontier_width, cfg.cap_groups_dtt,
+            raw2=pl2))
+        stats = dtt.fastsumm_stats(pl, stree.nleaf, ttree.nleaf)
+        if pl2 is not None:
+            stats["sltl"] = stats["sltl"] + 2 * jnp.sum(
+                pl2.src != 0, dtype=jnp.int32)
         outb = run("downward", lambda: dtt._downward(
             outb, ttree.nc, ttree.ns, plan.tgt_geo, cfg.order,
             ttree.levels, ttree.block_size))
@@ -111,6 +131,8 @@ def main():
         t["TOTAL"] = sum(t.values())
         t["n_valid"] = int(np.asarray(info.n_valid))
         t["overflow"] = int(np.asarray(info.overflow))
+        t["sltl"] = int(np.asarray(stats["sltl"]))
+        t["sbtb"] = int(np.asarray(stats["sbtb"]))
         return t, res
 
     stages()  # warmup/compile
