@@ -44,11 +44,12 @@ from onbody_tpu.parallel.mesh import _downward_local, local_rows
 @functools.partial(
     jax.jit,
     static_argnames=("kernel", "cfg", "levels_s", "levels_t", "split",
-                     "cap", "backend"),
+                     "cap", "backend", "use_p2"),
     donate_argnames=("out_leaf",))
 def _chunk_step(kernel, cfg, stree, ttree, ts, src_fm, out_leaf,
                 cand_row, root, c, loc, glob_c, top_t, top_s, theta,
-                levels_s, levels_t, split, cap, backend):
+                levels_s, levels_t, split, cap, backend,
+                use_p2=False):
     """One target subtree: lists -> groups -> exec -> downward -> leaf
     write, as ONE jitted program (donating out_leaf).
 
@@ -56,7 +57,16 @@ def _chunk_step(kernel, cfg, stree, ttree, ts, src_fm, out_leaf,
     buffer (geo slab, exec accumulator, pregather chunks) alive across
     async dispatch boundaries and OOMed at N=1e8; under one jit XLA's
     liveness analysis frees each as soon as its consumer runs, and the
-    donated out_leaf avoids a second (n, OD) result buffer."""
+    donated out_leaf avoids a second (n, OD) result buffer.
+
+    use_p2: sibling-paired leaf execution (cfg.dtt_leaf_pair2) — leaf
+    pairs come parent-keyed from the sub builder and run through the t2
+    executor (one source fetch serves both sibling leaf rows). The t2
+    block index k covers slab rows [2k, 2k+2); children of the chunk's
+    i-th leaf parent sit at local rows leaf0_loc + 2i, so when leaf0_loc
+    is odd the geo/accumulator views are shifted one row (pad-group
+    writes then land on top rows 1-2, which is harmless: pad groups
+    carry source id 0, the zero-strength dummy block)."""
     bs = ttree.block_size
     pd = kernel.pd
     W = cfg.frontier_width
@@ -64,9 +74,14 @@ def _chunk_step(kernel, cfg, stree, ttree, ts, src_fm, out_leaf,
     n_chunks = 1 << split
     leaf0_loc = n_chunks + wleaf - 1
 
-    sub_t, sub_s, nv, ovc = lists._dtt_lists_sub(
-        stree, ttree, theta, cand_row, root, levels_s, levels_t, split,
-        W, cfg.mac_geometry)
+    if use_p2:
+        sub_t, sub_s, p2t, p2s, nv, ovc = lists._dtt_lists_sub(
+            stree, ttree, theta, cand_row, root, levels_s, levels_t,
+            split, W, cfg.mac_geometry, leaf_pair2=True)
+    else:
+        sub_t, sub_s, nv, ovc = lists._dtt_lists_sub(
+            stree, ttree, theta, cand_row, root, levels_s, levels_t,
+            split, W, cfg.mac_geometry)
     tl = jnp.concatenate([top_t, loc[sub_t]])
     sl = jnp.concatenate([top_s, sub_s])
     pl = lists.PairList(tgt=tl, src=sl, n_valid=nv,
@@ -74,10 +89,46 @@ def _chunk_step(kernel, cfg, stree, ttree, ts, src_fm, out_leaf,
     pg = lists.group_pairs(pl, cap, cfg.pair_group, W)
 
     geo = eq.target_geo_slab(ttree, ts, root, cfg.order, split)
-    out = jnp.zeros((geo.shape[0], bs, kernel.od), cfg.accum_dtype)
-    from onbody_tpu.parallel.mesh import _exec_groups_slab
-    out = _exec_groups_slab(kernel, cfg, geo, src_fm, pg.tgt, pg.src,
-                            out, backend)
+    if use_p2:
+        from onbody_tpu.ops import pallas_pairs as pp
+        g = cfg.pair_group
+        pl2 = lists.PairList(tgt=p2t, src=p2s,
+                             n_valid=jnp.sum(p2s != 0, dtype=jnp.int32),
+                             overflow=jnp.int32(0))
+        pg2 = lists.group_pairs(pl2, max(256, cap // 2), g, W)
+        ovc = ovc + pg2.overflow
+        interpret = jax.devices()[0].platform == "cpu"
+        d2m = "center" if cfg.d2_mode == "center" else "outer"
+        prec = getattr(cfg, "mxu_precision", "highest")
+        tile_g = getattr(cfg, "pair_tile_g", 4)
+        out_fm = pp.exec_pairs_pallas(
+            kernel, geo, src_fm, pg.tgt, pg.src, cfg.core_func,
+            cfg.accum_dtype, interpret=interpret, d2_mode=d2m, group=g,
+            fetch=getattr(cfg, "pair_fetch", "pregather"),
+            precision=prec, tile_g=tile_g, final=False)
+        # t2 keys: i-th leaf parent of this chunk -> block index k with
+        # 2k == local row of its first child (see docstring)
+        parent0 = root << (levels_t - 1 - split)
+        base = leaf0_loc >> 1
+        keys = jnp.where(pg2.tgt != 0, pg2.tgt - parent0 + base, 0)
+        if leaf0_loc % 2 == 0:
+            out_fm = pp.exec_pairs_pallas_t2(
+                kernel, geo, src_fm, keys, pg2.src, out_fm,
+                cfg.core_func, cfg.accum_dtype, interpret=interpret,
+                d2_mode=d2m, group=g, precision=prec, tile_g=tile_g)
+        else:
+            head = out_fm[:1]
+            tail = pp.exec_pairs_pallas_t2(
+                kernel, geo[1:], src_fm, keys, pg2.src, out_fm[1:],
+                cfg.core_func, cfg.accum_dtype, interpret=interpret,
+                d2_mode=d2m, group=g, precision=prec, tile_g=tile_g)
+            out_fm = jnp.concatenate([head, tail], axis=0)
+        out = jnp.transpose(out_fm[:, :kernel.od, :], (0, 2, 1))
+    else:
+        out = jnp.zeros((geo.shape[0], bs, kernel.od), cfg.accum_dtype)
+        from onbody_tpu.parallel.mesh import _exec_groups_slab
+        out = _exec_groups_slab(kernel, cfg, geo, src_fm, pg.tgt,
+                                pg.src, out, backend)
     nc_l = ttree.nc[glob_c]
     ns_l = ttree.ns[glob_c]
     pos_l = jnp.transpose(geo[:, :pd, :], (0, 2, 1))
@@ -233,6 +284,12 @@ def solve_dtt_chunked(kernel: Kernel, cfg: SolverConfig,
     # the host. Their out_leaf rows stay zero, matching the masked
     # result the step would have produced.
     alive_roots = np.asarray(ttree.alive[n_chunks:2 * n_chunks])
+    use_p2 = (getattr(cfg, "dtt_leaf_pair2", False)
+              and backend == "pallas"
+              and getattr(cfg, "pair_fetch", "pregather").startswith("dma")
+              and jnp.dtype(cfg.accum_dtype) != jnp.float64
+              and stree.levels <= levels_t
+              and split <= levels_t - 1)
     for c in range(n_chunks):
         if not bool(alive_roots[c]):
             continue
@@ -241,7 +298,7 @@ def solve_dtt_chunked(kernel: Kernel, cfg: SolverConfig,
             cand_roots[c:c + 1], jnp.int32(n_chunks + c), jnp.int32(c),
             loc, jnp.asarray(glob_all[c]), top_t, top_s, theta_dev,
             levels_s=stree.levels, levels_t=levels_t, split=split,
-            cap=cap, backend=backend)
+            cap=cap, backend=backend, use_p2=use_p2)
         total_valid = total_valid + nv
         overflow = overflow + ovc
         _ph(f"chunk {c}", out_leaf)

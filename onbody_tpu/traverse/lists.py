@@ -865,16 +865,28 @@ def _dtt_lists_top(stree: Tree, ttree: Tree, theta, levels_s: int,
 
 
 @partial(jax.jit, static_argnames=("levels_s", "levels_t", "split",
-                                   "frontier_width", "mac_geometry"))
+                                   "frontier_width", "mac_geometry",
+                                   "leaf_pair2"))
 def _dtt_lists_sub(stree: Tree, ttree: Tree, theta, cand0, root,
                    levels_s: int, levels_t: int, split: int,
-                   frontier_width: int, mac_geometry: str = "quant"):
+                   frontier_width: int, mac_geometry: str = "quant",
+                   leaf_pair2: bool = False):
     """Continue the descent for ONE target subtree rooted at traced node
     id `root` (level `split`), from its deferred row cand0 (1, W).
 
     Emits GLOBAL (tgt, src) pairs for levels split..levels_t of the
     subtree. One compilation serves every chunk (root is traced; target
-    slices are dynamic_slice_in_dim)."""
+    slices are dynamic_slice_in_dim).
+
+    leaf_pair2: sibling-paired leaf emission, the chunked counterpart of
+    build_dtt_pairs_level2 — instead of the (vacuous-classify) leaf
+    level, return one parent-keyed list (p2_tgt global PARENT ids,
+    p2_src) whose every entry stands for both children leaf pairs.
+    Requires levels_s <= levels_t and split <= levels_t - 1. Returns
+    (tgt, src, p2_tgt, p2_src, n_valid, overflow); n_valid counts leaf
+    entries twice (both siblings), matching _dtt_lists_level."""
+    assert not leaf_pair2 or (levels_s <= levels_t
+                              and split <= levels_t - 1)
     W = frontier_width
     pd = stree.nc.shape[1]
     nleaf_s = 1 << levels_s
@@ -942,6 +954,21 @@ def _dtt_lists_sub(stree: Tree, ttree: Tree, theta, cand0, root,
                  jnp.where(split_m, 2 * cand + 1, 0)], axis=1)
             nxt, ovc = _compact_rows(kids, level_width(l + 1, levels_t, W))
             overflow = overflow + ovc
+            if leaf_pair2 and l == levels_t - 1:
+                # sibling-paired leaf emission (see docstring and
+                # build_dtt_pairs_level2): the leaf candidates would be
+                # exactly repeat(nxt, 2) with a vacuous classify, so
+                # emit one parent-keyed entry per (q, src) instead. A
+                # dead right sibling is evaluated too; its output rows
+                # are never read downstream.
+                p2_tgt = jnp.where(nxt != 0, tgt_ids[:, None], 0
+                                   ).reshape(-1)
+                p2_src = nxt.reshape(-1)
+                total_valid = total_valid + 2 * jnp.sum(
+                    nxt != 0, dtype=jnp.int32)
+                return (jnp.concatenate(all_tgt),
+                        jnp.concatenate(all_src), p2_tgt, p2_src,
+                        total_valid, overflow)
             cand = jnp.repeat(nxt, 2, axis=0)
     return (jnp.concatenate(all_tgt), jnp.concatenate(all_src),
             total_valid, overflow)

@@ -319,6 +319,36 @@ def test_chunked_solve_dma_fetch_matches():
                                rtol=1e-4, atol=1e-6)
 
 
+@pytest.mark.parametrize("n_chunks", [2, 4])
+def test_chunked_solve_leaf_pair2_matches(n_chunks):
+    """chunked solve with sibling-paired leaf execution (the t2
+    executor over the slab, cfg.dtt_leaf_pair2) matches the plain
+    chunked result. leaf0_loc = 2^split + 2^(levels_t-split) - 1 is
+    always odd for real chunk counts, so these exercise the shifted
+    geo/accumulator views (the even branch is the monolithic layout's,
+    kept for safety)."""
+    from onbody_tpu.traverse import chunked
+    kernel = KERNELS["grav3d"]
+    srcs, targs = _problem(kernel, n=8192)
+    cfg = SolverConfig(block_size=128, order=3, frontier_width=192,
+                       list_width=512, pair_backend="xla",
+                       cap_groups_dtt=32)
+    ref, rinfo = chunked.solve_dtt_chunked(kernel, cfg, srcs, targs,
+                                           n_chunks=n_chunks)
+    assert int(np.asarray(rinfo.overflow)) == 0
+    cfg_p2 = cfg.replace(pair_backend="pallas", pair_fetch="dma_i",
+                         pair_group=8, pair_tile_g=4,
+                         dtt_leaf_pair2=True)
+    out, info = chunked.solve_dtt_chunked(kernel, cfg_p2, srcs, targs,
+                                          n_chunks=n_chunks)
+    assert int(np.asarray(info.overflow)) == 0
+    # leaf pairs counted twice by the paired builder == once per
+    # sibling by the plain one; totals must agree
+    assert int(np.asarray(info.n_valid)) == int(np.asarray(rinfo.n_valid))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-6)
+
+
 def test_chunked_solve_dead_chunk_skipped():
     """Ragged N where a whole level-`split` subtree is padding: the
     host-side dead-root skip must return the same result as the
