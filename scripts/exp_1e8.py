@@ -5,8 +5,9 @@ the lean feature-major source blocks resident and materializes one
 target subtree at a time (traverse/chunked.py). Reference anchor: the
 12-core CPU baseline runs N=1e8 DTT in 114 s (README.md:89).
 
-Usage: python scripts/exp_1e8.py [N] [n_chunks] [theta] [fetch] [group]
+Usage: python scripts/exp_1e8.py [N] [n_chunks] [theta] [fetch] [group] [p2]
   fetch: pregather (default) | dma | dma_i   group: blocks/step (16)
+  p2: literal 'p2' enables sibling-paired leaf execution (dtt_leaf_pair2)
 """
 
 import os
@@ -39,6 +40,7 @@ def main():
     theta = float(sys.argv[3]) if len(sys.argv) > 3 else 1.2
     fetch = sys.argv[4] if len(sys.argv) > 4 else "pregather"
     group = int(sys.argv[5]) if len(sys.argv) > 5 else 16
+    pair2 = len(sys.argv) > 6 and sys.argv[6] == "p2"
     kernel = get_kernel("grav3d")
     try:
         st = jax.devices()[0].memory_stats()
@@ -55,7 +57,8 @@ def main():
                        dtt_traversal="level", pair_fetch=fetch,
                        pair_group=group, pair_tile_g=4, lean_plan=True,
                        tree_defer_rs=True, mxu_precision="3xt",
-                       list_compact="sort", tree_fuse=2)
+                       list_compact="sort", tree_fuse=2,
+                       dtt_leaf_pair2=pair2)
     ks, kt = jax.random.split(jax.random.PRNGKey(12345))
 
     def gen():
