@@ -38,6 +38,7 @@ never appear in device code.
 from __future__ import annotations
 
 import dataclasses
+import os
 from functools import partial
 from typing import Optional, Tuple
 
@@ -57,6 +58,51 @@ def next_pow2(x: int) -> int:
 # real particles the pad volume cannot cover that fixed cost (and the
 # extra per-level compile dominates small/test problems).
 PREFIX_SORT_MIN = 1 << 18
+
+# Segment lengths up to this bound sort through the explicit bitonic
+# network below instead of lax.sort. XLA's variadic sort measures a
+# FLAT ~7 ns/row on TPU regardless of segment length (docs/PERF.md
+# r2s10: (parts, m) shapes cost the same per row as flat arrays of
+# equal volume — the short-segment advantage is left on the table); an
+# explicit network sized to m runs k(k+1)/2 fused compare-exchange
+# passes (k = log2 m), ~1.4 KB/row of HBM traffic at m=512 vs the
+# sort's flat cost. Break-even is around m ~ 2^14. 0 disables.
+BITONIC_MAX_M = int(os.environ.get("ONBODY_BITONIC_M", "0"))
+
+
+def _seg_sort(ops: tuple, m: int):
+    """Sort (nseg, m) columns ascending by ops[0] along axis 1.
+
+    Dispatches to the explicit bitonic network for power-of-two m <=
+    BITONIC_MAX_M, else jax.lax.sort. The network is unstable under
+    equal keys where lax.sort is stable — indistinguishable here: the
+    split only needs a partition, and equal coordinate keys make the
+    tied particles' payloads interchangeable."""
+    if not (0 < m <= BITONIC_MAX_M) or m & (m - 1) or m == 1:
+        return jax.lax.sort(ops, dimension=1, num_keys=1)
+    cols = list(ops)
+    size = 2
+    while size <= m:
+        d = size >> 1
+        while d:
+            p = np.arange(m // (2 * d))
+            # direction bit of flat index i = p*(2d)+s*d+q is carried
+            # entirely by p (s*d+q < 2d <= size)
+            up = jnp.asarray((((p * 2 * d) // size) % 2 == 0)[:, None])
+            key = cols[0].reshape(-1, m // (2 * d), 2, d)
+            a, b = key[..., 0, :], key[..., 1, :]
+            swap = jnp.where(up, a > b, a < b)
+            nxt = []
+            for c in cols:
+                cr = c.reshape(-1, m // (2 * d), 2, d)
+                x, y = cr[..., 0, :], cr[..., 1, :]
+                nxt.append(jnp.stack(
+                    [jnp.where(swap, y, x), jnp.where(swap, x, y)],
+                    axis=-2).reshape(c.shape))
+            cols = nxt
+            d >>= 1
+        size <<= 1
+    return tuple(cols)
 
 
 @jax.tree_util.register_dataclass
@@ -234,8 +280,8 @@ def _split_step_impl(cols, n_real, l: int, pd: int, capture_box: bool,
                 oj = jnp.where(((axis_g + j) % pd == d)[:, None],
                                xs_g[d], oj)
             oth_g.append(oj)
-        out_g = jax.lax.sort((keys,) + tuple(oth_g) + tuple(rest_g),
-                             dimension=1, num_keys=1)
+        out_g = _seg_sort((keys,) + tuple(oth_g) + tuple(rest_g),
+                          keys.shape[1])
         sk, so, rest = out_g[0], out_g[1:pd], out_g[pd:]
         new_xs = []
         for d in range(pd):
@@ -307,8 +353,8 @@ def _split_step_impl(cols, n_real, l: int, pd: int, capture_box: bool,
         for d in range(1, pd):
             oj = jnp.where(((axis + j) % pd == d)[:, None], xs[d], oj)
         oth.append(oj)
-    out = jax.lax.sort((keys,) + tuple(oth) + tuple(segs[pd:]),
-                       dimension=1, num_keys=1)
+    out = _seg_sort((keys,) + tuple(oth) + tuple(segs[pd:]),
+                    keys.shape[1])
     skeys, soth, rest = out[0], out[1:pd], out[pd:]
     new_xs = []
     for d in range(pd):

@@ -81,6 +81,52 @@ def test_gidx_is_permutation():
     np.testing.assert_array_equal(np.asarray(sp.x), orig[g])
 
 
+def test_bitonic_seg_sort_matches_lax_sort():
+    """The explicit bitonic network (build._seg_sort, short tree-level
+    segments) reproduces lax.sort exactly for distinct keys, and the
+    key order for duplicates."""
+    rng = np.random.default_rng(3)
+    old = build.BITONIC_MAX_M
+    build.BITONIC_MAX_M = 4096
+    try:
+        for nseg, m in [(3, 64), (7, 512), (2, 2048)]:
+            key = rng.permutation(nseg * m).astype(np.float32
+                                                   ).reshape(nseg, m)
+            p1 = rng.standard_normal((nseg, m)).astype(np.float32)
+            p2 = rng.integers(0, 1 << 30, (nseg, m)).astype(np.int32)
+            ops = (jnp.asarray(key), jnp.asarray(p1), jnp.asarray(p2))
+            got = build._seg_sort(ops, m)
+            ref = jax.lax.sort(ops, dimension=1, num_keys=1)
+            for g, r in zip(got, ref):
+                np.testing.assert_array_equal(np.asarray(g),
+                                              np.asarray(r))
+    finally:
+        build.BITONIC_MAX_M = old
+
+
+def test_tree_build_bitonic_levels_match():
+    """A tree built with the bitonic short-segment sorts is identical
+    to the lax.sort build (distinct random coordinates: the permutation
+    is unique, so every array matches bit-exactly)."""
+    p = _srcs(5000, sd=1)
+    ref_tree, ref_sp, ref_g = build.build_tree(p, block_size=64)
+    old = build.BITONIC_MAX_M
+    build.BITONIC_MAX_M = 4096
+    # the split steps are jitted: without a cache clear the second
+    # build would silently reuse the lax.sort compilations
+    jax.clear_caches()
+    try:
+        tree, sp, gidx = build.build_tree(p, block_size=64)
+    finally:
+        build.BITONIC_MAX_M = old
+        jax.clear_caches()
+    np.testing.assert_array_equal(np.asarray(gidx), np.asarray(ref_g))
+    np.testing.assert_array_equal(np.asarray(sp.x), np.asarray(ref_sp.x))
+    for f in ("x", "nc", "ns", "nr", "s"):
+        np.testing.assert_array_equal(np.asarray(getattr(tree, f)),
+                                      np.asarray(getattr(ref_tree, f)))
+
+
 def test_median_split_balance():
     """Each split is an exact median along the chosen axis: the two
     children's particle sets are separated by a plane."""
