@@ -65,8 +65,12 @@ def _chunk_step(kernel, cfg, stree, ttree, ts, src_fm, out_leaf,
     block index k covers slab rows [2k, 2k+2); children of the chunk's
     i-th leaf parent sit at local rows leaf0_loc + 2i, so when leaf0_loc
     is odd the geo/accumulator views are shifted one row (pad-group
-    writes then land on top rows 1-2, which is harmless: pad groups
-    carry source id 0, the zero-strength dummy block)."""
+    writes then land on top rows 1-2, which is harmless because the t2
+    body write-throughs the accumulator unchanged for q == 0 groups —
+    pallas_pairs._body_interleaved_t2's identity branch. Note node 0's
+    fm row is ALL-zero including its sr^2 row, so an actual evaluation
+    against it would rsqrt(0); the identity write-through, not the
+    dummy block's strengths, is the safety mechanism — ADVICE r2)."""
     bs = ttree.block_size
     pd = kernel.pd
     W = cfg.frontier_width

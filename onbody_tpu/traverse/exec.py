@@ -289,7 +289,13 @@ def exec_pairs(kernel: Kernel, cfg, plan, raw: PairList, slot_width: int,
             precision=getattr(cfg, "mxu_precision", "highest"),
             tile_g=getattr(cfg, "pair_tile_g", 4))
         out = jnp.transpose(out_fm[:, :kernel.od, :], (0, 2, 1))
-        info = pg._replace(n_valid=pg.n_valid + 2 * pg2.n_valid,
+        # n_valid comes from the BUILDER's combined count (interior +
+        # per-alive-sibling leaf entries, lists.build_dtt_pairs_level2):
+        # doubling the grouped leaf count here would re-count the dead
+        # right sibling of a ragged boundary parent (ADVICE r2) — the
+        # executor evaluates it, but its rows are discarded downstream
+        # and it is not a valid pair.
+        info = pg._replace(n_valid=raw.n_valid,
                            overflow=pg.overflow + pg2.overflow)
         return out, info
     cap = max(1024, n_rows * cap_groups_per_row * 8)

@@ -718,14 +718,21 @@ def _dtt_lists_level(stree: Tree, ttree: Tree, theta,
                 # parent node q instead; the executor evaluates it
                 # against BOTH children leaf rows (2q, 2q+1) from one
                 # source fetch (ops/pallas_pairs.exec_pairs_pallas_t2).
-                # n_valid counts both siblings. At a live boundary with
-                # an odd leaf count the dead right sibling is evaluated
-                # too (its output row is discarded downstream).
+                # n_valid counts both siblings WHEN both are alive. At
+                # a live boundary with an odd leaf count the dead right
+                # sibling is evaluated too (its output row is discarded
+                # downstream) but is not counted, so n_valid matches
+                # the unpaired builder exactly on ragged N (ADVICE r2).
+                # Reals sort first, so a dead child is always the right
+                # one of an alive parent.
+                ch_alive = ttree.alive[2 * nt:2 * nt + 2 * rows
+                                       ].reshape(rows, 2)
+                n_ch = jnp.sum(ch_alive, axis=1).astype(jnp.int32)
                 p2_tgt = jnp.broadcast_to(tgt_ids[:, None],
                                           nxt.shape).reshape(-1)
                 p2_src = nxt.reshape(-1)
-                total_valid = total_valid + 2 * jnp.sum(
-                    nxt != 0, dtype=jnp.int32)
+                total_valid = total_valid + jnp.sum(
+                    (nxt != 0) * n_ch[:, None], dtype=jnp.int32)
                 break
             # children of the live rows, sliced to the next level's live
             # prefix (the boundary node's dead child, if any, is exactly
@@ -883,8 +890,8 @@ def _dtt_lists_sub(stree: Tree, ttree: Tree, theta, cand0, root,
     level, return one parent-keyed list (p2_tgt global PARENT ids,
     p2_src) whose every entry stands for both children leaf pairs.
     Requires levels_s <= levels_t and split <= levels_t - 1. Returns
-    (tgt, src, p2_tgt, p2_src, n_valid, overflow); n_valid counts leaf
-    entries twice (both siblings), matching _dtt_lists_level."""
+    (tgt, src, p2_tgt, p2_src, n_valid, overflow); n_valid counts each
+    leaf entry once per ALIVE sibling, matching _dtt_lists_level."""
     assert not leaf_pair2 or (levels_s <= levels_t
                               and split <= levels_t - 1)
     W = frontier_width
@@ -960,12 +967,20 @@ def _dtt_lists_sub(stree: Tree, ttree: Tree, theta, cand0, root,
                 # exactly repeat(nxt, 2) with a vacuous classify, so
                 # emit one parent-keyed entry per (q, src) instead. A
                 # dead right sibling is evaluated too; its output rows
-                # are never read downstream.
+                # are never read downstream — but it must NOT be
+                # counted (ADVICE r2: n_valid must match the unpaired
+                # builder on ragged N, where boundary parents have a
+                # dead right child). Reals sort first, so a dead child
+                # is always the right one: count per-parent alive
+                # children instead of a flat 2.
+                ch_alive = jax.lax.dynamic_slice_in_dim(
+                    ttree.alive, 2 * id0, 2 * w).reshape(w, 2)
+                n_ch = jnp.sum(ch_alive, axis=1).astype(jnp.int32)
                 p2_tgt = jnp.where(nxt != 0, tgt_ids[:, None], 0
                                    ).reshape(-1)
                 p2_src = nxt.reshape(-1)
-                total_valid = total_valid + 2 * jnp.sum(
-                    nxt != 0, dtype=jnp.int32)
+                total_valid = total_valid + jnp.sum(
+                    (nxt != 0) * n_ch[:, None], dtype=jnp.int32)
                 return (jnp.concatenate(all_tgt),
                         jnp.concatenate(all_src), p2_tgt, p2_src,
                         total_valid, overflow)

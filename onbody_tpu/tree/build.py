@@ -70,17 +70,53 @@ PREFIX_SORT_MIN = 1 << 18
 BITONIC_MAX_M = int(os.environ.get("ONBODY_BITONIC_M", "0"))
 
 
-def _seg_sort(ops: tuple, m: int):
+def _seg_sort(ops: tuple, m: int, bitonic: int = -1):
     """Sort (nseg, m) columns ascending by ops[0] along axis 1.
 
     Dispatches to the explicit bitonic network for power-of-two m <=
-    BITONIC_MAX_M, else jax.lax.sort. The network is unstable under
+    `bitonic` (default: the BITONIC_MAX_M module setting, resolved at
+    call time), else jax.lax.sort. Jitted callers must thread the
+    threshold through as a static argument — `_split_step_impl` does —
+    so changing it at runtime recompiles instead of silently reusing
+    stale traces (ADVICE r2). The network is unstable under
     equal keys where lax.sort is stable — indistinguishable here: the
     split only needs a partition, and equal coordinate keys make the
-    tied particles' payloads interchangeable."""
-    if not (0 < m <= BITONIC_MAX_M) or m & (m - 1) or m == 1:
+    tied particles' payloads interchangeable.
+
+    Large inputs run the network row-CHUNKED under a lax.fori_loop
+    (read-modify-write on the carried full columns): XLA's buffer
+    assignment keeps every pass's full-array temporaries alive when the
+    whole network unrolls inside one fused dispatch (measured 24 GB at
+    N=1e7 — r3 sweep 1), while the loop bounds liveness to one chunk's
+    passes. The clamped final chunk may re-sort rows an earlier chunk
+    already sorted; sorting is idempotent, so the overlap is harmless."""
+    if bitonic < 0:
+        bitonic = BITONIC_MAX_M
+    if not (0 < m <= bitonic) or m & (m - 1) or m == 1:
         return jax.lax.sort(ops, dimension=1, num_keys=1)
-    cols = list(ops)
+    nseg = ops[0].shape[0]
+    R = max(1, _BITONIC_CHUNK_ELEMS // m)        # chunk rows
+    if nseg > R:
+        nch = -(-nseg // R)
+
+        def body(i, carry):
+            start = i * R                        # clamped by XLA if
+            ch = [jax.lax.dynamic_slice_in_dim(c, start, R, 0)
+                  for c in carry]                # start+R > nseg
+            ch = _bitonic_network(ch, m)
+            return tuple(jax.lax.dynamic_update_slice_in_dim(
+                c, s, start, 0) for c, s in zip(carry, ch))
+
+        return jax.lax.fori_loop(0, nch, body, tuple(ops))
+    return tuple(_bitonic_network(list(ops), m))
+
+
+# per-chunk element budget of the chunked bitonic network: one chunk's
+# live pass temporaries stay ~tens of MB (cols x 4 B x this)
+_BITONIC_CHUNK_ELEMS = 1 << 21
+
+
+def _bitonic_network(cols: list, m: int) -> list:
     size = 2
     while size <= m:
         d = size >> 1
@@ -217,7 +253,8 @@ def _pad_dead_boxes(lo, hi, parts: int, live: int, nseg_p: int):
 
 
 def _split_step_impl(cols, n_real, l: int, pd: int, capture_box: bool,
-                     n_live: int = 0, parts: int = 1):
+                     n_live: int = 0, parts: int = 1,
+                     bitonic: int = -1):
     """One median-split level: boxes (pre-split), longest-axis keys, one
     variadic segmented sort carrying every column through the network.
 
@@ -281,7 +318,7 @@ def _split_step_impl(cols, n_real, l: int, pd: int, capture_box: bool,
                                xs_g[d], oj)
             oth_g.append(oj)
         out_g = _seg_sort((keys,) + tuple(oth_g) + tuple(rest_g),
-                          keys.shape[1])
+                          keys.shape[1], bitonic)
         sk, so, rest = out_g[0], out_g[1:pd], out_g[pd:]
         new_xs = []
         for d in range(pd):
@@ -354,7 +391,7 @@ def _split_step_impl(cols, n_real, l: int, pd: int, capture_box: bool,
             oj = jnp.where(((axis + j) % pd == d)[:, None], xs[d], oj)
         oth.append(oj)
     out = _seg_sort((keys,) + tuple(oth) + tuple(segs[pd:]),
-                    keys.shape[1])
+                    keys.shape[1], bitonic)
     skeys, soth, rest = out[0], out[1:pd], out[pd:]
     new_xs = []
     for d in range(pd):
@@ -400,15 +437,16 @@ def _box_step_impl(cols, n_real, l: int, pd: int, n_live: int = 0,
 
 _split_step = partial(jax.jit,
                       static_argnames=("l", "pd", "capture_box",
-                                       "n_live", "parts"),
+                                       "n_live", "parts", "bitonic"),
                       donate_argnums=(0,))(_split_step_impl)
 _box_step = partial(jax.jit,
                     static_argnames=("l", "pd", "n_live",
                                      "parts"))(_box_step_impl)
 
 
-@partial(jax.jit, static_argnames=("schedule", "pd"), donate_argnums=(0,))
-def _run_steps(cols, n_real, schedule, pd: int):
+@partial(jax.jit, static_argnames=("schedule", "pd", "bitonic"),
+         donate_argnums=(0,))
+def _run_steps(cols, n_real, schedule, pd: int, bitonic: int = -1):
     """Execute a static slice of the build schedule as ONE program.
 
     schedule: tuple of ('sort'|'box', level, capture, n_live, parts).
@@ -422,7 +460,8 @@ def _run_steps(cols, n_real, schedule, pd: int):
     for kind, l, capture, n_live, parts in schedule:
         if kind == "sort":
             cols, lo, hi = _split_step_impl(cols, n_real, l, pd,
-                                            capture, n_live, parts)
+                                            capture, n_live, parts,
+                                            bitonic)
         else:
             lo, hi = _box_step_impl(cols, n_real, l, pd, n_live, parts)
         if capture:
@@ -458,9 +497,13 @@ def _build_schedule(levels: int, sort_levels: int, n_pad_seg: int,
 def _run_schedule(cols, n_real, sched, pd: int, fuse: int):
     lows, highs = [], []
     fuse = max(1, fuse)
+    # resolve the bitonic threshold HERE (outside jit) so it keys the
+    # compile cache — a runtime change recompiles instead of reusing a
+    # stale trace (ADVICE r2)
+    bitonic = BITONIC_MAX_M
     for i in range(0, len(sched), fuse):
         cols, boxes = _run_steps(cols, n_real, tuple(sched[i:i + fuse]),
-                                 pd)
+                                 pd, bitonic)
         for lo, hi in boxes:
             lows.append(lo)
             highs.append(hi)
@@ -931,7 +974,8 @@ def build_tree(p: Parts, block_size: int = 128, refine: bool = False,
             else:
                 cols, lo, hi = _split_step(cols, n_real, l, pd,
                                            l <= levels,
-                                           n_live=p.n_real)
+                                           n_live=p.n_real,
+                                           bitonic=BITONIC_MAX_M)
                 if l <= levels:
                     lows.append(lo)
                     highs.append(hi)
@@ -1045,7 +1089,8 @@ def build_trees_paired(ps: Parts, pt: Parts, block_size: int = 128,
             else:
                 cols, lo, hi = _split_step(cols, n_real, l + 1, pd,
                                            l <= levels,
-                                           n_live=ps.n_real, parts=2)
+                                           n_live=ps.n_real, parts=2,
+                                           bitonic=BITONIC_MAX_M)
                 if l <= levels:
                     lows.append(lo)
                     highs.append(hi)

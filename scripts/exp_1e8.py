@@ -51,13 +51,18 @@ def main():
     # cap_groups_dtt: 8 overflowed (440k dropped groups — per-target
     # ceil(v/g) quantization inflates group count far above pairs/g);
     # 16 is the verified zero-overflow setting
+    # ONBODY_E8_FUSE=1 drops the chunked tree build to one sort step
+    # per dispatch (2 live column sets instead of 3, ~-2.1 GB peak) —
+    # the r3 environment OOMed the fuse=2 layout that fit in r2
     cfg = SolverConfig(block_size=256, order=5, theta_dtt=theta,
                        frontier_width=128, cap_groups_dtt=16,
                        tree_mode="span", pair_backend="pallas",
                        dtt_traversal="level", pair_fetch=fetch,
                        pair_group=group, pair_tile_g=4, lean_plan=True,
                        tree_defer_rs=True, mxu_precision="3xt",
-                       list_compact="sort", tree_fuse=2,
+                       list_compact="sort",
+                       tree_fuse=int(os.environ.get("ONBODY_E8_FUSE",
+                                                    "2")),
                        dtt_leaf_pair2=pair2)
     ks, kt = jax.random.split(jax.random.PRNGKey(12345))
 

@@ -41,6 +41,12 @@ def main():
     _sync(srcs.x)
     _sync(targs.x)
 
+    # ONBODY_TREE_FUSE overrides the tuned fuse width (the bitonic
+    # network multiplies per-step intermediates; big fused dispatches
+    # can OOM at compile — r3 sweep 1)
+    fuse_ov = os.environ.get("ONBODY_TREE_FUSE")
+    if fuse_ov:
+        cfg = cfg.replace(tree_fuse=int(fuse_ov))
     kw = dict(block_size=cfg.block_size, mode=cfg.tree_mode,
               span=cfg.tree_span, span_top=cfg.tree_span_top,
               defer_rs=cfg.tree_defer_rs, fuse=cfg.tree_fuse)

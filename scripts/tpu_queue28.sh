@@ -35,3 +35,5 @@ run bench7 3000 env ONBODY_BENCH_N=10000000 python bench.py
 run bench6 2000 python bench.py
 
 echo "[queue28] ALL DONE $(date +%H:%M:%S)" >&2
+# queue29 gates on this file (ADVICE r2: stderr alone never creates it)
+echo "ALL DONE" >> /tmp/queue28.log

@@ -422,6 +422,10 @@ def test_fused_solve_matches_split():
     """solve_dtt_fused (the 1e6 bench path: whole pipeline as one jit)
     matches the phase-split prepare + solve_dtt, in both unscrambled and
     tree-order forms."""
+    # compiling the whole-pipeline program after ~35 compiles of module
+    # state reproducibly segfaults XLA:CPU's LLVM (r3; passes alone) —
+    # shed the in-process compiler state before the big compile
+    jax.clear_caches()
     kernel = KERNELS["grav3d"]
     srcs, targs = _problem(kernel, n=5000)
     cfg = SolverConfig(block_size=64, order=3, pair_backend="xla")
@@ -438,14 +442,19 @@ def test_fused_solve_matches_split():
                                atol=1e-7)
 
 
-@pytest.mark.parametrize("name", ["grav3d", "vortgrad3d"])
-def test_dtt_leaf_pair2_bit_identical(name):
+@pytest.mark.parametrize("name,n", [("grav3d", 8000),
+                                    ("grav3d", 6700),
+                                    ("vortgrad3d", 8000)])
+def test_dtt_leaf_pair2_bit_identical(name, n):
     """cfg.dtt_leaf_pair2: the sibling-paired leaf execution keeps the
     pair set and per-target accumulation order, so real-row outputs are
     BIT-identical to the unpaired executor (the leaf candidate rows are
-    jnp.repeat of the parent rows — lists._dtt_lists_level)."""
+    jnp.repeat of the parent rows — lists._dtt_lists_level). n=6700
+    makes the alive-leaf count odd (27 of 32 at bs256), so the ragged
+    boundary parent has a DEAD right child: n_valid must still match
+    the unpaired builder exactly (ADVICE r2 — the dead sibling is
+    evaluated but not counted)."""
     kernel = KERNELS[name]
-    n = 8000
     ks, kt = jax.random.split(jax.random.PRNGKey(11))
     srcs = P.random_in_cube(ks, n, kernel.pd, kernel.sd, True)
     targs = P.random_in_cube(kt, n, kernel.pd, 0, False)
@@ -461,5 +470,5 @@ def test_dtt_leaf_pair2_bit_identical(name):
     out1, info1 = dtt.solve_dtt(kernel, cfg.replace(dtt_leaf_pair2=True),
                                 plan)
     assert int(info1.overflow) == 0
-    assert int(info1.n_valid) >= int(info0.n_valid)
+    assert int(info1.n_valid) == int(info0.n_valid)
     assert np.array_equal(np.asarray(out0), np.asarray(out1))

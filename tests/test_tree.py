@@ -87,9 +87,13 @@ def test_bitonic_seg_sort_matches_lax_sort():
     key order for duplicates."""
     rng = np.random.default_rng(3)
     old = build.BITONIC_MAX_M
+    old_chunk = build._BITONIC_CHUNK_ELEMS
     build.BITONIC_MAX_M = 4096
+    # tiny chunk budget forces the fori_loop row-chunked path (incl.
+    # the clamped-overlap final chunk) on these shapes
+    build._BITONIC_CHUNK_ELEMS = 1 << 10
     try:
-        for nseg, m in [(3, 64), (7, 512), (2, 2048)]:
+        for nseg, m in [(3, 64), (7, 512), (2, 2048), (33, 128)]:
             key = rng.permutation(nseg * m).astype(np.float32
                                                    ).reshape(nseg, m)
             p1 = rng.standard_normal((nseg, m)).astype(np.float32)
@@ -102,24 +106,23 @@ def test_bitonic_seg_sort_matches_lax_sort():
                                               np.asarray(r))
     finally:
         build.BITONIC_MAX_M = old
+        build._BITONIC_CHUNK_ELEMS = old_chunk
 
 
 def test_tree_build_bitonic_levels_match():
     """A tree built with the bitonic short-segment sorts is identical
     to the lax.sort build (distinct random coordinates: the permutation
-    is unique, so every array matches bit-exactly)."""
+    is unique, so every array matches bit-exactly). The threshold is a
+    static jit argument resolved per build call, so toggling the module
+    setting takes effect without any cache clearing (ADVICE r2)."""
     p = _srcs(5000, sd=1)
     ref_tree, ref_sp, ref_g = build.build_tree(p, block_size=64)
     old = build.BITONIC_MAX_M
     build.BITONIC_MAX_M = 4096
-    # the split steps are jitted: without a cache clear the second
-    # build would silently reuse the lax.sort compilations
-    jax.clear_caches()
     try:
         tree, sp, gidx = build.build_tree(p, block_size=64)
     finally:
         build.BITONIC_MAX_M = old
-        jax.clear_caches()
     np.testing.assert_array_equal(np.asarray(gidx), np.asarray(ref_g))
     np.testing.assert_array_equal(np.asarray(sp.x), np.asarray(ref_sp.x))
     for f in ("x", "nc", "ns", "nr", "s"):
