@@ -342,13 +342,21 @@ def _split_step_impl(cols, n_real, l: int, pd: int, capture_box: bool,
             fsorted, lo_f, hi_f = _sort_allreal(fcols[:pd], fcols[pd:])
         pcols = [p for _, p, _ in trip]                  # (parts, lp)
         psorted, lo_p, hi_p = _sort_allreal(pcols[:pd], pcols[pd:])
+        # write the sorted live region back over the input columns with
+        # dynamic_update_slice instead of concatenating [sorted, tail]:
+        # a concat ALWAYS materializes a second full-size buffer while
+        # the input is still alive (the N=1e8 chunked build OOMed on
+        # exactly that extra column set — r3), while XLA can lower an
+        # update-slice over an otherwise-dead operand in place.
         new_cols = []
         for i in range(len(cols)):
-            pieces = ([fsorted[i].reshape(parts, full * m)] if full
-                      else [])
-            pieces += [psorted[i], trip[i][2]]
-            new_cols.append(
-                jnp.concatenate(pieces, axis=1).reshape(n_pad))
+            cp = cols[i].reshape(parts, per_part)
+            if full:
+                cp = jax.lax.dynamic_update_slice(
+                    cp, fsorted[i].reshape(parts, full * m), (0, 0))
+            cp = jax.lax.dynamic_update_slice(cp, psorted[i],
+                                              (0, full * m))
+            new_cols.append(cp.reshape(n_pad))
         new_cols = tuple(new_cols)
         if not capture_box:
             return new_cols, None, None
@@ -367,12 +375,10 @@ def _split_step_impl(cols, n_real, l: int, pd: int, capture_box: bool,
 
     sliced = live < nseg_p
     if sliced:
-        def head_tail(c):
+        def head(c):
             cp = c.reshape(parts, nseg_p * m)
-            return (cp[:, :live * m].reshape(parts * live, m),
-                    cp[:, live * m:])
-        pairs = [head_tail(c) for c in cols]
-        segs = [h for h, _ in pairs]
+            return cp[:, :live * m].reshape(parts * live, m)
+        segs = [head(c) for c in cols]
         nseg_s = parts * live
     else:
         segs = [c.reshape(nseg, m) for c in cols]
@@ -402,10 +408,13 @@ def _split_step_impl(cols, n_real, l: int, pd: int, capture_box: bool,
         new_xs.append(xd)
     sorted_segs = new_xs + list(rest)
     if sliced:
+        # update-slice over the input instead of [sorted, tail] concat
+        # — same in-place rationale as the prefix path above
         new_cols = tuple(
-            jnp.concatenate([s.reshape(parts, live * m), t], axis=1
-                            ).reshape(n_pad)
-            for s, (_, t) in zip(sorted_segs, pairs))
+            jax.lax.dynamic_update_slice(
+                c.reshape(parts, nseg_p * m),
+                s.reshape(parts, live * m), (0, 0)).reshape(n_pad)
+            for c, s in zip(cols, sorted_segs))
         if capture_box:
             lo, hi = _pad_dead_boxes(lo, hi, parts, live, nseg_p)
     else:
