@@ -216,25 +216,30 @@ def solve_dtt_chunked(kernel: Kernel, cfg: SolverConfig,
     # fuse>1 amortizes per-sort dispatch cost but keeps up to fuse+1
     # live column sets; clamp to 2 here (3 sets ~ 6.4 GB at N=1e8)
     fuse = max(1, min(getattr(cfg, "tree_fuse", 1), 2))
+    # ownership transfer ([targs] box): the originals are dropped inside
+    # build_tree right after padding, so they never coexist with the
+    # sort network's multi-GB temporaries (r3 OOM fix)
+    n_tgt_real = targs.n_real
+    box = [targs]
+    targs = None
     ttree, ts, tg = tree_build.build_tree(
-        targs, cfg.block_size, mode=cfg.tree_mode,
+        box, cfg.block_size, mode=cfg.tree_mode,
         span=cfg.tree_span, span_top=cfg.tree_span_top,
         defer_rs=getattr(cfg, "tree_defer_rs", False),
         bisect_group=getattr(cfg, "tree_bisect_group", 4), fuse=fuse,
         need_r=kernel.uses_tr)
-    n_tgt_real = targs.n_real
-    targs = None          # only the sorted copy is needed from here on
     _ph("tgt tree", ttree.nc)
 
     if make_srcs is not None:
         assert srcs is None
         srcs = make_srcs()
+    box = [srcs]
+    srcs = None           # as above: pass ownership (see docstring)
     stree, ss, sg = tree_build.build_tree(
-        srcs, cfg.block_size, mode=cfg.tree_mode,
+        box, cfg.block_size, mode=cfg.tree_mode,
         span=cfg.tree_span, span_top=cfg.tree_span_top,
         defer_rs=getattr(cfg, "tree_defer_rs", False),
         bisect_group=getattr(cfg, "tree_bisect_group", 4), fuse=fuse)
-    srcs = None           # as above: pass ownership (see docstring)
     del sg                # sources are never unscrambled (~0.5 GB at 1e8)
     _ph("src tree", stree.nc)
     # ss is only needed by the featurize; dropping the reference right

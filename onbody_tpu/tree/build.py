@@ -254,7 +254,7 @@ def _pad_dead_boxes(lo, hi, parts: int, live: int, nseg_p: int):
 
 def _split_step_impl(cols, n_real, l: int, pd: int, capture_box: bool,
                      n_live: int = 0, parts: int = 1,
-                     bitonic: int = -1):
+                     bitonic: int = -1, prefix_min: int = -1):
     """One median-split level: boxes (pre-split), longest-axis keys, one
     variadic segmented sort carrying every column through the network.
 
@@ -298,8 +298,14 @@ def _split_step_impl(cols, n_real, l: int, pd: int, capture_box: bool,
     nseg_p = nseg // parts
     live = min(nseg_p, -(-n_live // m)) if n_live else nseg_p
     full = min(nseg_p, n_live // m) if n_live else nseg_p
+    # prefix_min is a STATIC argument (like `bitonic`): resolving the
+    # module setting at trace time would let a runtime change silently
+    # reuse stale compilations (same trap ADVICE r2 flagged for the
+    # bitonic threshold)
+    if prefix_min < 0:
+        prefix_min = PREFIX_SORT_MIN
     lp = (n_live - full * m
-          if (n_live >= PREFIX_SORT_MIN and full < nseg_p) else 0)
+          if (n_live >= prefix_min and full < nseg_p) else 0)
 
     def _sort_allreal(xs_g, rest_g):
         """Box -> axis keys -> variadic sort -> coord unpack for one
@@ -446,16 +452,19 @@ def _box_step_impl(cols, n_real, l: int, pd: int, n_live: int = 0,
 
 _split_step = partial(jax.jit,
                       static_argnames=("l", "pd", "capture_box",
-                                       "n_live", "parts", "bitonic"),
+                                       "n_live", "parts", "bitonic",
+                                       "prefix_min"),
                       donate_argnums=(0,))(_split_step_impl)
 _box_step = partial(jax.jit,
                     static_argnames=("l", "pd", "n_live",
                                      "parts"))(_box_step_impl)
 
 
-@partial(jax.jit, static_argnames=("schedule", "pd", "bitonic"),
+@partial(jax.jit, static_argnames=("schedule", "pd", "bitonic",
+                                   "prefix_min"),
          donate_argnums=(0,))
-def _run_steps(cols, n_real, schedule, pd: int, bitonic: int = -1):
+def _run_steps(cols, n_real, schedule, pd: int, bitonic: int = -1,
+               prefix_min: int = -1):
     """Execute a static slice of the build schedule as ONE program.
 
     schedule: tuple of ('sort'|'box', level, capture, n_live, parts).
@@ -470,7 +479,7 @@ def _run_steps(cols, n_real, schedule, pd: int, bitonic: int = -1):
         if kind == "sort":
             cols, lo, hi = _split_step_impl(cols, n_real, l, pd,
                                             capture, n_live, parts,
-                                            bitonic)
+                                            bitonic, prefix_min)
         else:
             lo, hi = _box_step_impl(cols, n_real, l, pd, n_live, parts)
         if capture:
@@ -506,13 +515,14 @@ def _build_schedule(levels: int, sort_levels: int, n_pad_seg: int,
 def _run_schedule(cols, n_real, sched, pd: int, fuse: int):
     lows, highs = [], []
     fuse = max(1, fuse)
-    # resolve the bitonic threshold HERE (outside jit) so it keys the
+    # resolve the module thresholds HERE (outside jit) so they key the
     # compile cache — a runtime change recompiles instead of reusing a
     # stale trace (ADVICE r2)
     bitonic = BITONIC_MAX_M
+    prefix_min = PREFIX_SORT_MIN
     for i in range(0, len(sched), fuse):
         cols, boxes = _run_steps(cols, n_real, tuple(sched[i:i + fuse]),
-                                 pd, bitonic)
+                                 pd, bitonic, prefix_min)
         for lo, hi in boxes:
             lows.append(lo)
             highs.append(hi)
@@ -780,7 +790,8 @@ def _upward_stats(x, r, s, mask, levels: int, block_size: int, sd: int,
 
 
 @partial(jax.jit, static_argnames=("levels", "block_size", "sd",
-                                   "are_targets", "n_live"))
+                                   "are_targets", "n_live"),
+         donate_argnums=(0,))
 def _finish_median(cols, n_real, lows, highs, levels: int,
                    block_size: int, sd: int, are_targets: bool,
                    n_live: int = 0):
@@ -930,11 +941,22 @@ def build_tree(p: Parts, block_size: int = 128, refine: bool = False,
       fatter overlapping boxes (measured to overflow DTT frontiers at
       theta=1.4 — fine for treecodes, not the production DTT choice).
     """
-    levels, n_pad = plan(p.n_real, block_size)
+    # ownership transfer: a caller that passes `[parts]` (a one-element
+    # list) hands the ORIGINAL arrays over — they are dropped right
+    # after padding, so the ~2 GB of originals at N=1e8 never coexist
+    # with the sort network's temporaries (the chunked solve's src-tree
+    # phase OOMed on exactly that overlap — r3)
+    owned = isinstance(p, list)
+    if owned:
+        p = p.pop()
+    n_real_static = p.n_real
+    levels, n_pad = plan(n_real_static, block_size)
     pp = pad_to(p, n_pad)
     gidx = jnp.arange(n_pad, dtype=jnp.int32)
-    n_real = jnp.int32(p.n_real)
+    n_real = jnp.int32(n_real_static)
     are_targets = not p.are_sources
+    if owned:
+        p = None
     pd = pp.x.shape[1]
     sd = 0 if pp.s is None else pp.s.shape[1]
 
@@ -963,7 +985,7 @@ def build_tree(p: Parts, block_size: int = 128, refine: bool = False,
     if mode == "morton":
         tree, x, r, s, gidx = _build_morton(cols, n_real, levels,
                                             block_size, sd, are_targets)
-        sorted_parts = Parts(x=x, r=r, s=s, n_real=p.n_real)
+        sorted_parts = Parts(x=x, r=r, s=s, n_real=n_real_static)
         return tree, sorted_parts, gidx
 
     if mode == "bisect":
@@ -983,15 +1005,16 @@ def build_tree(p: Parts, block_size: int = 128, refine: bool = False,
             else:
                 cols, lo, hi = _split_step(cols, n_real, l, pd,
                                            l <= levels,
-                                           n_live=p.n_real,
-                                           bitonic=BITONIC_MAX_M)
+                                           n_live=n_real_static,
+                                           bitonic=BITONIC_MAX_M,
+                                           prefix_min=PREFIX_SORT_MIN)
                 if l <= levels:
                     lows.append(lo)
                     highs.append(hi)
                 l += 1
         if len(lows) == levels:  # leaf-level box still missing
             lo, hi = _box_step(cols, n_real, levels, pd,
-                               n_live=p.n_real)
+                               n_live=n_real_static)
             lows.append(lo)
             highs.append(hi)
         if defer:
@@ -1003,8 +1026,8 @@ def build_tree(p: Parts, block_size: int = 128, refine: bool = False,
             cols = cols[:pd] + (jnp.zeros_like(cols[0]),) + cols[pd:]
         tree, x, r, s, gidx = _finish_median(
             cols, n_real, tuple(lows), tuple(highs), levels, block_size,
-            sd, are_targets, n_live=p.n_real)
-        sorted_parts = Parts(x=x, r=r, s=s, n_real=p.n_real)
+            sd, are_targets, n_live=n_real_static)
+        sorted_parts = Parts(x=x, r=r, s=s, n_real=n_real_static)
         return tree, sorted_parts, gidx
 
     # median/span mode: donated jit steps over the static schedule
@@ -1016,7 +1039,7 @@ def build_tree(p: Parts, block_size: int = 128, refine: bool = False,
     assert q >= 1
     sort_levels = levels if not refine else int(np.log2(n_pad))
     sched = _build_schedule(levels, sort_levels, n_pad, q, span_top,
-                            span_bot, p.n_real, 1)
+                            span_bot, n_real_static, 1)
     cols, lows, highs = _run_schedule(cols, n_real, sched, pd, fuse)
 
     if defer:
@@ -1028,8 +1051,8 @@ def build_tree(p: Parts, block_size: int = 128, refine: bool = False,
         cols = cols[:pd] + (jnp.zeros_like(cols[0]),) + cols[pd:]
     tree, x, r, s, gidx = _finish_median(
         cols, n_real, tuple(lows), tuple(highs), levels, block_size, sd,
-        are_targets, n_live=p.n_real)
-    sorted_parts = Parts(x=x, r=r, s=s, n_real=p.n_real)
+        are_targets, n_live=n_real_static)
+    sorted_parts = Parts(x=x, r=r, s=s, n_real=n_real_static)
     return tree, sorted_parts, gidx
 
 
@@ -1099,7 +1122,8 @@ def build_trees_paired(ps: Parts, pt: Parts, block_size: int = 128,
                 cols, lo, hi = _split_step(cols, n_real, l + 1, pd,
                                            l <= levels,
                                            n_live=ps.n_real, parts=2,
-                                           bitonic=BITONIC_MAX_M)
+                                           bitonic=BITONIC_MAX_M,
+                                           prefix_min=PREFIX_SORT_MIN)
                 if l <= levels:
                     lows.append(lo)
                     highs.append(hi)
