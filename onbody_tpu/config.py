@@ -239,12 +239,18 @@ def _tuned_config_n(n: int) -> SolverConfig:
         # chunked). cap 8 was tried and OVERFLOWED (440k dropped groups:
         # per-target ceil(v/g) quantization inflates the group count far
         # above pairs/g) — 16 is the verified setting.
-        return SolverConfig(block_size=256, order=5, theta_dtt=1.2,
+        # theta 1.15 (the 1e7-class MAC) measured 62.4 s / rms 8.5e-5 /
+        # overflow 0 at 1e8 (r3 e8own). tree_fuse=1: the fuse=2 layout
+        # that fit in r2 OOMed in the r3 environment even after the
+        # ownership/donation reliefs — one sort per dispatch keeps two
+        # live column sets instead of three (~-2.1 GB peak) for ~0.5 s
+        # of the 62 s total.
+        return SolverConfig(block_size=256, order=5, theta_dtt=1.15,
                             frontier_width=128, cap_groups_dtt=16,
                             tree_mode="span", pair_backend="pallas",
                             pair_group=16, pair_fetch="pregather",
                             mxu_precision="3xt", lean_plan=True,
-                            tree_defer_rs=True, tree_fuse=2,
+                            tree_defer_rs=True, tree_fuse=1,
                             list_compact="sort")
     if n >= 4_000_000:
         # r2 session-4 sweeps (docs/PERF.md): paired+defer tree build
