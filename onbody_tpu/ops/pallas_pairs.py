@@ -475,6 +475,100 @@ def _exec_chunk_pre(kernel: Kernel, tgt_geo, src_gathered, pair_t, out,
     )(pair_t, tgt_geo, src_gathered, out)
 
 
+def _body_pre_t2(pt_ref, tgt_ref, src_ref, prev_ref, out_ref, *,
+                 kernel_name: str, core: str, accum_dtype, pd: int,
+                 od: int, d2_mode: str, group: int, c: int,
+                 precision: str = "highest"):
+    """Sibling-paired pregathered variant: grid step p evaluates its
+    ONE pregathered (G*C, B) source block against BOTH children of
+    target parent q = pt[p] (blocks are (2, ., B) with index q -> rows
+    [2q, 2q+2), as in _body_interleaved_t2) — the XLA row-gather
+    outside the kernel fetches each leaf source group ONCE instead of
+    once per sibling, halving the dominant pregather volume of the
+    leaf-leaf pass.
+
+    Padding steps (q == 0) copy prev through unchanged: rows [0, 2)
+    hold the unused node 0 and the ROOT accumulator (see
+    _body_interleaved_t2's identity write-through)."""
+    p = pl.program_id(0)
+
+    @pl.when(pt_ref[p] != 0)
+    def _():
+        t0 = tgt_ref[0][:pd + 1].T                       # (B, PD+1)
+        t1 = tgt_ref[1][:pd + 1].T
+        s = src_ref[0]                                   # (G*C, B)
+        tile0 = tile1 = None
+        for j in range(group):
+            sj = s[j * c:(j + 1) * c]
+            tj0 = TILE_FM[kernel_name](t0[:, :pd], t0[:, pd], sj, core,
+                                       accum_dtype, d2_mode,
+                                       precision=precision)
+            tj1 = TILE_FM[kernel_name](t1[:, :pd], t1[:, pd], sj, core,
+                                       accum_dtype, d2_mode,
+                                       precision=precision)
+            tile0 = tj0 if tile0 is None else tile0 + tj0
+            tile1 = tj1 if tile1 is None else tile1 + tj1
+        od8 = out_ref.shape[1]
+        prev_t = pt_ref[jnp.maximum(p - 1, 0)]
+        first = jnp.logical_or(p == 0, prev_t != pt_ref[p])
+        out_ref[0] = (jnp.where(first, prev_ref[0], out_ref[0])
+                      + jnp.pad(tile0.T, ((0, od8 - od), (0, 0))))
+        out_ref[1] = (jnp.where(first, prev_ref[1], out_ref[1])
+                      + jnp.pad(tile1.T, ((0, od8 - od), (0, 0))))
+
+    @pl.when(pt_ref[p] == 0)
+    def _():
+        out_ref[0] = prev_ref[0]
+        out_ref[1] = prev_ref[1]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("kernel", "core", "accum_dtype", "interpret",
+                              "d2_mode", "group", "precision"),
+    donate_argnums=(4,))
+def _exec_chunk_pre_t2(kernel: Kernel, tgt_geo, src_gathered, pair_t,
+                       out, core: str, accum_dtype, interpret: bool,
+                       d2_mode: str = "outer", group: int = GROUP,
+                       precision: str = "highest"):
+    """Pregathered t2: pair_t holds parent KEYS (block index q -> target
+    rows [2q, 2q+2)); src_gathered (P, G*C, B) is shared by both
+    siblings. tgt_geo/out first dims must be even."""
+    nn_t, _, b = tgt_geo.shape
+    p, gc, _ = src_gathered.shape
+    c = gc // group
+    od8 = -(-kernel.od // 8) * 8
+    assert nn_t % 2 == 0
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(p,),
+        in_specs=[
+            pl.BlockSpec((2, 8, b), lambda i, pt: (pt[i], 0, 0)),
+            pl.BlockSpec((1, gc, b), lambda i, pt: (i, 0, 0)),
+            pl.BlockSpec((2, od8, b), lambda i, pt: (pt[i], 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((2, od8, b),
+                               lambda i, pt: (pt[i], 0, 0)),
+    )
+    body = functools.partial(_body_pre_t2, kernel_name=kernel.name,
+                             core=core, accum_dtype=accum_dtype,
+                             pd=kernel.pd, od=kernel.od, d2_mode=d2_mode,
+                             group=group, c=c, precision=precision)
+    flops_per_step = 2 * group * b * b * kernel.flops_fn(core)
+    return pl.pallas_call(
+        body,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nn_t, od8, b), accum_dtype),
+        # inputs: pair_t(0), tgt_geo(1), src_gathered(2), prev(3)
+        input_output_aliases={3: 0},
+        cost_estimate=pl.CostEstimate(
+            flops=flops_per_step * p,
+            bytes_accessed=p * (2 * b * 8 + gc * b + 4 * b * od8) * 4,
+            transcendentals=p * 2 * group * b * b),
+        interpret=interpret,
+    )(pair_t, tgt_geo, src_gathered, out)
+
+
 @functools.partial(
     jax.jit, static_argnames=("kernel", "core", "accum_dtype", "interpret",
                               "d2_mode", "group", "precision",
@@ -602,15 +696,28 @@ def exec_pairs_pallas_t2(kernel: Kernel, tgt_geo: jax.Array,
                          core: str = "rm", accum_dtype=jnp.float32,
                          interpret: bool = False, d2_mode: str = "outer",
                          group: int = GROUP, precision: str = "highest",
-                         tile_g: int = 4) -> jax.Array:
+                         tile_g: int = 4,
+                         fetch: str = "dma_i") -> jax.Array:
     """Run sibling-paired groups (lists.build_dtt_pairs_level2 leaf2)
     into an existing feature-major accumulator out_fm (NN_t, od8, B),
     donated and returned. group_t entries are target PARENT node ids;
     each step's source group is evaluated against both children rows.
-    dma-family fetch only (the in-kernel DMA loop is what the pairing
-    amortizes)."""
+
+    fetch: dma-family (the in-kernel DMA loop the pairing halves) or
+    'pregather' — one XLA row-gather per chunk fetches each leaf group
+    ONCE for both siblings (_body_pre_t2), halving the gather volume
+    that dominates the pregather leaf pass. pregather is the only
+    fetch whose fm layout fits N=1e8 on 16 GB (docs/PERF.md r3)."""
     p = group_t.shape[0]
-    chunk = _chunk_groups(group)
+    b = tgt_geo.shape[2]
+    if fetch == "pregather":
+        c_raw = (src_fm.shape[1] // b if src_fm.ndim == 2
+                 else src_fm.shape[1])
+        c = -(-c_raw // 8) * 8
+        chunk = max(1024, (256 << 20) // (group * c * b * 4))
+        chunk = 1 << (chunk.bit_length() - 1)
+    else:
+        chunk = _chunk_groups(group)
     if p > chunk:
         pad = -p % chunk
         group_t = jnp.pad(group_t, (0, pad))
@@ -621,10 +728,17 @@ def exec_pairs_pallas_t2(kernel: Kernel, tgt_geo: jax.Array,
     for i in steps:
         gt_c = group_t[i:i + chunk] if p > chunk else group_t
         gs_c = group_s[i:i + chunk] if p > chunk else group_s
-        out_fm = _exec_chunk_t2(kernel, tgt_geo, src_fm, gt_c, gs_c,
-                                out_fm, core, accum_dtype, interpret,
-                                d2_mode, group, precision,
-                                min(tile_g, group))
+        if fetch == "pregather":
+            src_c = _pregather(kernel.name, src_fm, gs_c, b)
+            out_fm = _exec_chunk_pre_t2(kernel, tgt_geo, src_c, gt_c,
+                                        out_fm, core, accum_dtype,
+                                        interpret, d2_mode, group,
+                                        precision)
+        else:
+            out_fm = _exec_chunk_t2(kernel, tgt_geo, src_fm, gt_c, gs_c,
+                                    out_fm, core, accum_dtype, interpret,
+                                    d2_mode, group, precision,
+                                    min(tile_g, group))
     return out_fm
 
 

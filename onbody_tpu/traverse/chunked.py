@@ -115,17 +115,20 @@ def _chunk_step(kernel, cfg, stree, ttree, ts, src_fm, out_leaf,
         parent0 = root << (levels_t - 1 - split)
         base = leaf0_loc >> 1
         keys = jnp.where(pg2.tgt != 0, pg2.tgt - parent0 + base, 0)
+        fetch = getattr(cfg, "pair_fetch", "pregather")
         if leaf0_loc % 2 == 0:
             out_fm = pp.exec_pairs_pallas_t2(
                 kernel, geo, src_fm, keys, pg2.src, out_fm,
                 cfg.core_func, cfg.accum_dtype, interpret=interpret,
-                d2_mode=d2m, group=g, precision=prec, tile_g=tile_g)
+                d2_mode=d2m, group=g, precision=prec, tile_g=tile_g,
+                fetch=fetch)
         else:
             head = out_fm[:1]
             tail = pp.exec_pairs_pallas_t2(
                 kernel, geo[1:], src_fm, keys, pg2.src, out_fm[1:],
                 cfg.core_func, cfg.accum_dtype, interpret=interpret,
-                d2_mode=d2m, group=g, precision=prec, tile_g=tile_g)
+                d2_mode=d2m, group=g, precision=prec, tile_g=tile_g,
+                fetch=fetch)
             out_fm = jnp.concatenate([head, tail], axis=0)
         out = jnp.transpose(out_fm[:, :kernel.od, :], (0, 2, 1))
     else:
@@ -295,7 +298,7 @@ def solve_dtt_chunked(kernel: Kernel, cfg: SolverConfig,
     alive_roots = np.asarray(ttree.alive[n_chunks:2 * n_chunks])
     use_p2 = (getattr(cfg, "dtt_leaf_pair2", False)
               and backend == "pallas"
-              and getattr(cfg, "pair_fetch", "pregather").startswith("dma")
+              and getattr(cfg, "pair_fetch", "pregather") != "static"
               and jnp.dtype(cfg.accum_dtype) != jnp.float64
               and stree.levels <= levels_t
               and split <= levels_t - 1)

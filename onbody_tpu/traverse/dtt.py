@@ -214,8 +214,10 @@ def solve_dtt(kernel: Kernel, cfg: SolverConfig, plan: Plan,
         use_p2 = (getattr(cfg, "dtt_leaf_pair2", False)
                   and cfg.dtt_traversal == "level"
                   and backend == "pallas"
+                  # dma-family AND pregather have t2 executors; only
+                  # the static pipeline lacks a chained-accumulator form
                   and getattr(cfg, "pair_fetch",
-                              "pregather").startswith("dma")
+                              "pregather") != "static"
                   and jnp.dtype(cfg.accum_dtype) != jnp.float64
                   and plan.stree.levels <= plan.ttree.levels
                   and plan.ttree.levels >= 1)

@@ -221,9 +221,10 @@ def exec_pairs(kernel: Kernel, cfg, plan, raw: PairList, slot_width: int,
         backend = "jnp"   # Mosaic has no fp64; the accuracy tier is jnp
     if raw2 is not None and not (
             backend == "pallas"
-            and getattr(cfg, "pair_fetch", "pregather").startswith("dma")):
+            and getattr(cfg, "pair_fetch", "pregather") != "static"):
         raise ValueError("sibling-paired leaf lists need the pallas "
-                         "backend with a dma-family pair_fetch")
+                         "backend with a dma-family or pregather "
+                         "pair_fetch")
     if backend in ("pallas", "xla"):
         from onbody_tpu.ops import pallas_pairs as pp
         # CPU has no Mosaic backend: fall back to the interpreter so the
@@ -287,7 +288,8 @@ def exec_pairs(kernel: Kernel, cfg, plan, raw: PairList, slot_width: int,
             cfg.core_func, cfg.accum_dtype, interpret=interpret,
             d2_mode=d2m, group=g,
             precision=getattr(cfg, "mxu_precision", "highest"),
-            tile_g=getattr(cfg, "pair_tile_g", 4))
+            tile_g=getattr(cfg, "pair_tile_g", 4),
+            fetch=getattr(cfg, "pair_fetch", "pregather"))
         out = jnp.transpose(out_fm[:, :kernel.od, :], (0, 2, 1))
         # n_valid comes from the BUILDER's combined count (interior +
         # per-alive-sibling leaf entries, lists.build_dtt_pairs_level2):

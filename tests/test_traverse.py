@@ -442,10 +442,12 @@ def test_fused_solve_matches_split():
                                atol=1e-7)
 
 
-@pytest.mark.parametrize("name,n", [("grav3d", 8000),
-                                    ("grav3d", 6700),
-                                    ("vortgrad3d", 8000)])
-def test_dtt_leaf_pair2_bit_identical(name, n):
+@pytest.mark.parametrize("name,n,fetch", [("grav3d", 8000, "dma_i"),
+                                          ("grav3d", 6700, "dma_i"),
+                                          ("grav3d", 6700, "pregather"),
+                                          ("vortgrad3d", 8000, "dma_i"),
+                                          ("grav3d", 8000, "pregather")])
+def test_dtt_leaf_pair2_bit_identical(name, n, fetch):
     """cfg.dtt_leaf_pair2: the sibling-paired leaf execution keeps the
     pair set and per-target accumulation order, so real-row outputs are
     BIT-identical to the unpaired executor (the leaf candidate rows are
@@ -453,7 +455,9 @@ def test_dtt_leaf_pair2_bit_identical(name, n):
     makes the alive-leaf count odd (27 of 32 at bs256), so the ragged
     boundary parent has a DEAD right child: n_valid must still match
     the unpaired builder exactly (ADVICE r2 — the dead sibling is
-    evaluated but not counted)."""
+    evaluated but not counted). The pregather cases cover the
+    sibling-shared row-gather executor (_body_pre_t2 — the only t2
+    form whose fm layout fits N=1e8)."""
     kernel = KERNELS[name]
     ks, kt = jax.random.split(jax.random.PRNGKey(11))
     srcs = P.random_in_cube(ks, n, kernel.pd, kernel.sd, True)
@@ -461,7 +465,7 @@ def test_dtt_leaf_pair2_bit_identical(name, n):
     cfg = SolverConfig(block_size=256, order=5, theta_dtt=1.2,
                        frontier_width=128, cap_groups_dtt=16,
                        pair_backend="pallas", pair_group=32,
-                       pair_fetch="dma_i", pair_tile_g=4,
+                       pair_fetch=fetch, pair_tile_g=4,
                        tree_mode="span", mxu_precision="3xt",
                        tree_paired=True, tree_defer_rs=True,
                        list_compact="sort")
