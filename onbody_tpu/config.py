@@ -296,11 +296,14 @@ def _tuned_config_n(n: int) -> SolverConfig:
                             mxu_precision="3xt", tree_paired=True,
                             tree_defer_rs=True, tree_fuse=8,
                             list_compact="sort")
+    # sibling-paired leaf exec wins on the fused path too (exp_r3p6:
+    # ctrl 0.354 / p2 g16 0.316 / p2 g32 0.333 / pregather-p2 0.323)
     return SolverConfig(block_size=256, order=5, theta_dtt=1.2,
                         frontier_width=128, list_width=320,
                         cap_groups_dtt=16, tree_mode="span",
-                        pair_backend="pallas", pair_group=32,
+                        pair_backend="pallas", pair_group=16,
                         pair_fetch="dma_i", pair_tile_g=4,
+                        dtt_leaf_pair2=True,
                         mxu_precision="3xt", tree_paired=True,
                         tree_defer_rs=True, tree_fuse=8,
                         list_compact="sort")
