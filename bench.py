@@ -2,9 +2,11 @@
 
 Measures the complete pipeline — tree builds, equivalent particles,
 interaction lists, dual-tree O(N) evaluation, output unscrambling — for N
-sources on N targets at order 4 / theta 1.4 (the reference's published
-1e-4-RMS configuration, README.md:70-90 + BASELINE.md). Prints ONE JSON
-line.
+sources on N targets at the per-N tuned 1e-4-RMS configuration (the
+reference's published accuracy envelope, README.md:70-90 + BASELINE.md).
+Prints ONE JSON line PER N. Default Ns: 1e6 and 1e7 (the flagship row is
+printed last); override with ONBODY_BENCH_N=<comma-separated>, and add
+the ~minute-long 1e8 chunked row with ONBODY_BENCH_1E8=1.
 
 Timing methodology: through the axon tunnel, block_until_ready does not
 reliably block, so every timed iteration ends with a scalar fetch from the
@@ -36,7 +38,6 @@ from onbody_tpu.config import SolverConfig
 from onbody_tpu.ops.kernels import get_kernel
 from onbody_tpu.traverse import direct, dtt, treecode
 
-N = int(float(os.environ.get("ONBODY_BENCH_N", 1_000_000)))
 BASELINES = {  # reference DTT incl setup, seconds (BASELINE.md)
     1_000_000: 1.1449 + 0.0879 + 0.0585,
     10_000_000: 12.199 + 0.9067 + 0.4713,
@@ -52,7 +53,7 @@ def _sync(x) -> float:
     return float(np.asarray(a[(0,) * a.ndim]))
 
 
-def main():
+def bench_one(N: int) -> dict:
     kernel = get_kernel("grav3d")
     # per-N measured-best settings live in ONE table (config.tuned_config;
     # sweep history in docs/PERF.md). N >= 4e7 configs pair with the
@@ -61,15 +62,12 @@ def main():
     cfg = tuned_config(N)
     ks, kt = jax.random.split(jax.random.PRNGKey(12345))
 
-    def gen():
-        return (P.random_in_cube(ks, N, 3, 1, True),
-                P.random_in_cube(kt, N, 3, 0, False))
-
     # at 1e8 the ~4.4 GB of original particle arrays must be freed
     # during the solve (16 GB HBM): the solver owns generation there
     # (deterministic PRNG — every eval sees identical particles) and
     # the accuracy reference is taken before the timed loop
-    srcs, targs = gen()
+    srcs = P.random_in_cube(ks, N, 3, 1, True)
+    targs = P.random_in_cube(kt, N, 3, 0, False)
     _sync(srcs.x)
     _sync(targs.x)
 
@@ -148,7 +146,7 @@ def main():
     rel = float(np.linalg.norm(got - ref) / np.linalg.norm(ref))
 
     base = BASELINES.get(N)
-    result = {
+    return {
         "metric": f"grav3d_dtt_full_eval_n{N:.0e}".replace("+0", ""),
         "value": round(t, 4),
         "unit": "s",
@@ -156,7 +154,15 @@ def main():
         "rel_rms_vs_direct": float(f"{rel:.3e}"),
         "particles_per_sec": float(f"{N / t:.3e}"),
     }
-    print(json.dumps(result))
+
+
+def main():
+    spec = os.environ.get("ONBODY_BENCH_N", "1e6,1e7")
+    ns = [int(float(v)) for v in spec.split(",") if v.strip()]
+    if os.environ.get("ONBODY_BENCH_1E8") == "1" and int(1e8) not in ns:
+        ns.append(int(1e8))
+    for n in ns:
+        print(json.dumps(bench_one(n)), flush=True)
 
 
 if __name__ == "__main__":

@@ -36,13 +36,23 @@ def _solve_boxwise(kernel_name: str, cfg: SolverConfig, srcs: Parts,
     kernel = get_kernel(kernel_name)
     plan = treecode.prepare(kernel, cfg, srcs, targs)
     out, pl = treecode.solve_treecode3(kernel, cfg, plan, theta=theta)
-    if int(pl.overflow) > 0:
-        # two-phase retry with wider lists (never return a truncated sum)
-        wide = cfg.replace(frontier_width=cfg.frontier_width * 4,
-                           list_width=cfg.list_width * 4)
+    # two-phase count/fill recovery — never return a truncated sum.
+    # Widen ALL FOUR static capacity knobs exactly as the benchmark
+    # drivers do (drivers/common.py): frontier/list widths bound the
+    # builder, cap_groups_* bound the grouped executor; a group-cap
+    # overflow would otherwise survive a width-only retry.
+    wide = cfg
+    for _ in range(3):
+        if int(pl.overflow) == 0:
+            break
+        wide = wide.replace(
+            frontier_width=wide.frontier_width * 4,
+            list_width=wide.list_width * 4,
+            cap_groups_dtt=wide.cap_groups_dtt * 4,
+            cap_groups_treecode=wide.cap_groups_treecode * 4)
         plan = treecode.prepare(kernel, wide, srcs, targs)
         out, pl = treecode.solve_treecode3(kernel, wide, plan, theta=theta)
-        assert int(pl.overflow) == 0, "interaction lists overflowed twice"
+    assert int(pl.overflow) == 0, "interaction lists kept overflowing"
     return np.asarray(out)
 
 

@@ -117,10 +117,11 @@ class SolverConfig:
     # source group against a (2, B) sibling target block and halve the
     # serialized per-block DMA-issue cost (~0.24us/block, the measured
     # exec floor — docs/PERF.md r2s8) on the leaf-leaf pairs that
-    # dominate the pair volume. Requires the level/rows builder, a
-    # dma-family pair_fetch, and the pallas backend; silently off
-    # otherwise (the pair set and per-target accumulation order are
-    # unchanged — outputs are bit-identical on real rows).
+    # dominate the pair volume. Requires the level/rows builder, any
+    # non-static pair_fetch (dma-family or pregather — _body_pre_t2),
+    # and the pallas backend; silently off otherwise (the pair set and
+    # per-target accumulation order are unchanged — outputs are
+    # bit-identical on real rows).
     dtt_leaf_pair2: bool = False
 
     # candidate-list layout for the level traversal: 'rows' (dense

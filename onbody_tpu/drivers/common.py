@@ -24,7 +24,8 @@ from onbody_tpu import parts as P
 from onbody_tpu.config import SolverConfig
 from onbody_tpu.ops.kernels import get_kernel
 from onbody_tpu.traverse import direct, dtt, treecode
-from onbody_tpu.utils.timing import PhaseTimer, pair_flops
+from onbody_tpu.utils.timing import (PhaseTimer, block_real_counts,
+                                     interaction_flops)
 
 
 def _parse_flags(argv: List[str], progname: str, defaults: dict) -> dict:
@@ -33,48 +34,64 @@ def _parse_flags(argv: List[str], progname: str, defaults: dict) -> dict:
     def usage():
         print(f"Usage: {progname} [-h] [-n=<nparticles>] [-t=<theta>] "
               f"[-t1..4=<theta>] [-o=<order>] [-b=<blocksize>] "
-              f"[-i=<iterations>] [-g] [-test=n,t1,t2,t3,f] "
-              f"[-justtrees]", file=sys.stderr)
+              f"[-i=<iterations>] [-g] [-charges=0|1] [-radii] "
+              f"[-test=n,t1,t2,t3,f] [-justtrees]", file=sys.stderr)
         raise SystemExit(1)
 
-    for a in argv:
-        if a.startswith("-n="):
-            vals["n"] = int(float(a[3:]))
-        elif a == "-g":
+    # value-taking flags accept both '-t=1.4' and '-t 1.4' (the latter
+    # consumes the next argv entry); bare flags take neither
+    valued = {"-n": ("n", lambda v: int(float(v))),
+              "-t1": ("theta1", float), "-t2": ("theta2", float),
+              "-t3": ("theta3", float), "-t4": ("theta4", float),
+              "-o": ("order", int), "-b": ("block_size", int),
+              "-i": ("iters", int),
+              # stage toggles {naive, tree1, tree2, tree3, fast} — the
+              # reference's test_iterations fixture (ongrav3d.cpp:470)
+              "-test": ("test_iterations",
+                        lambda v: tuple(int(x) for x in v.split(","))),
+              # abs-mass gravity vs signed charges (ongrav3d.cpp:468,
+              # :585-590; in-source there, a real flag here)
+              "-charges": ("use_charges", lambda v: bool(int(v)))}
+    args = list(argv)
+    i = 0
+    while i < len(args):
+        a = args[i]
+        i += 1
+        if a == "-g":
             # galaxy initial condition: central star + disk of orbiters
             # (random_in_disk, ongrav3d.cpp:579-583)
             vals["galaxy"] = True
-        elif a.startswith("-test="):
-            # stage toggles {naive, tree1, tree2, tree3, fast} — the
-            # reference's test_iterations fixture (ongrav3d.cpp:470)
-            vals["test_iterations"] = tuple(
-                int(v) for v in a[6:].split(","))
+        elif a == "-radii":
+            # r *= U(0.5, 1.5) (random_radii, ongrav3d.cpp:467,:596)
+            vals["random_radii"] = True
         elif a == "-justtrees":
             # build trees/equivalents, skip all evaluation
             # (just_build_trees, ongrav3d.cpp:471,727)
             vals["just_build_trees"] = True
-        elif a.startswith("-t1="):
-            vals["theta1"] = float(a[4:])
-        elif a.startswith("-t2="):
-            vals["theta2"] = float(a[4:])
-        elif a.startswith("-t3="):
-            vals["theta3"] = float(a[4:])
-        elif a.startswith("-t4="):
-            vals["theta4"] = float(a[4:])
-        elif a.startswith("-t="):
-            th = float(a[3:])
-            for k in ("theta1", "theta2", "theta3", "theta4"):
-                vals[k] = th
-        elif a.startswith("-o="):
-            vals["order"] = int(a[3:])
-        elif a.startswith("-b="):
-            vals["block_size"] = int(a[3:])
-        elif a.startswith("-i="):
-            vals["iters"] = int(a[3:])
         elif a.startswith("-h") or a.startswith("--h"):
             usage()
+        elif a == "-t" or a.startswith("-t="):
+            v = a[3:] if a.startswith("-t=") else None
+            if v is None:
+                if i >= len(args):
+                    usage()
+                v, i = args[i], i + 1
+            th = float(v)
+            for k in ("theta1", "theta2", "theta3", "theta4"):
+                vals[k] = th
         else:
-            usage()
+            name, eq, v = a.partition("=")
+            if name not in valued:
+                usage()
+            key, conv = valued[name]
+            if not eq:
+                if i >= len(args):
+                    usage()
+                v, i = args[i], i + 1
+            try:
+                vals[key] = conv(v)
+            except ValueError:
+                usage()
     return vals
 
 
@@ -94,11 +111,13 @@ def run_driver(kernel_name: str, progname: str, argv: List[str],
     base = dict(n=10000, order=-1, block_size=128, iters=1,
                 theta1=2.0, theta2=1.05, theta3=1.0, theta4=1.35,
                 galaxy=False, test_iterations=test_iterations,
-                just_build_trees=False)
+                just_build_trees=False, use_charges=use_charges,
+                random_radii=False)
     if defaults:
         base.update(defaults)
     vals = _parse_flags(argv, progname, base)
     test_iterations = vals["test_iterations"]
+    use_charges = vals["use_charges"]
 
     kernel = get_kernel(kernel_name)
     n = vals["n"]
@@ -132,6 +151,8 @@ def run_driver(kernel_name: str, progname: str, argv: List[str],
             import dataclasses
             import jax.numpy as jnp
             srcs = dataclasses.replace(srcs, s=jnp.abs(srcs.s))
+        if vals["random_radii"]:
+            srcs = P.randomize_radii(jax.random.PRNGKey(54321), srcs)
         targs = P.random_in_cube(kt, n, kernel.pd, 0, False)
         jax.block_until_ready((srcs.x, targs.x))
     timer.report()
@@ -214,7 +235,22 @@ def run_driver(kernel_name: str, progname: str, argv: List[str],
             out = jax.block_until_ready(out)
             best = time.perf_counter() - t0
         assert int(pl.overflow) == 0, "interaction lists kept overflowing"
-        flops = pair_flops(int(pl.n_valid), cfg.block_size, kflops)
+        # honest GFlop/s: real interactions only (valid pairs x real
+        # slots per block), comparable with the reference's
+        # per-interaction counters (barneshut.hpp:131, ongrav3d.cpp:60)
+        # — NOT padded BxB tiles. treecode1's far-field monopole
+        # evaluations are not in the executed pair list and are left
+        # uncounted there (a slight undercount; the near-field pairs
+        # dominate its flops).
+        cnt_s = block_real_counts(plan.stree.levels, cfg.block_size,
+                                  n, cfg.order, kernel.pd,
+                                  plan.src_fm.shape[0],
+                                  plan.src_fm.shape[-1])
+        cnt_t = block_real_counts(plan.ttree.levels, cfg.block_size,
+                                  n, cfg.order, kernel.pd,
+                                  plan.tgt_geo.shape[0],
+                                  plan.tgt_geo.shape[-1])
+        flops = interaction_flops(pl, cnt_t, cnt_s, kflops)
         print(f"[{progname} {name}]:\t\t[{best:.4f}] seconds")
         print(f"  GFlop: {flops * 1e-9:.3f} and GFlop/s: "
               f"{flops * 1e-9 / best:.3f}")

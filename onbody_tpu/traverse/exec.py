@@ -207,7 +207,7 @@ def exec_pairs(kernel: Kernel, cfg, plan, raw: PairList, slot_width: int,
     raw2: optional sibling-paired leaf list (build_dtt_pairs_level2
     leaf2) chained through the same feature-major accumulator via the
     t2 executor. Callers must only pass it on the pallas backend with a
-    dma-family fetch (solve_dtt gates this).
+    dma-family or pregather fetch (solve_dtt gates this).
     """
     from onbody_tpu.traverse import lists
 

@@ -476,23 +476,10 @@ def _quant_grid(stree: Tree, ttree: Tree, pd: int):
     return lo, scale
 
 
-def level_width(l: int, levels_t: int, W: int) -> int:
-    """Frontier/slot width for target level l — uniform.
-
-    Measured per-level occupancy (docs/PERF.md r2: max candidates/row at
-    N=1e6, theta 1.4, median build) plateaus from ~6 levels below the
-    root to the leaves (140-206 slots at W192-208 configs): the frontier
-    requirement is flat across the row-heavy levels, so a uniform width
-    is within ~8%% of the per-level optimum and keeps every slot run
-    group-aligned. The hook stays so schedules remain a one-line
-    experiment."""
-    return W
-
-
 def top_prefix_len(split: int, levels_t: int, W: int) -> int:
     """Flat pair-list length of target levels 0..split-1 (the replicated
     'top' prefix of the sharded/chunked decompositions)."""
-    return sum((1 << l) * level_width(l, levels_t, W)
+    return sum((1 << l) * W
                for l in range(split))
 
 
@@ -575,13 +562,13 @@ def _dtt_lists_level(stree: Tree, ttree: Tree, theta,
     total_valid = jnp.int32(0)
     overflow = jnp.int32(0)
 
-    W0 = level_width(0, levels_t, W)
+    W0 = W
     cand = jnp.zeros((1, W0), jnp.int32).at[0, 0].set(1)  # root vs root
 
     for l in range(levels_t + 1):
         nt = 1 << l
         rows = live_rows(l)
-        Wl = level_width(l, levels_t, W)
+        Wl = W
         tgt_ids = jnp.arange(nt, nt + rows, dtype=jnp.int32)
         t_is_leaf = (l == levels_t)
         tnr = ttree.nr[nt:nt + rows]
@@ -707,7 +694,7 @@ def _dtt_lists_level(stree: Tree, ttree: Tree, theta,
             kids = jnp.concatenate(
                 [jnp.where(split, 2 * cand, jnp.where(keep_leaf, cand, 0)),
                  jnp.where(split, 2 * cand + 1, 0)], axis=1)
-            nxt, ovc = _compact_rows(kids, level_width(l + 1, levels_t, W),
+            nxt, ovc = _compact_rows(kids, W,
                                      compact)
             overflow = overflow + ovc
             if leaf_pair2 and l == levels_t - 1:
@@ -843,11 +830,11 @@ def _dtt_lists_top(stree: Tree, ttree: Tree, theta, levels_s: int,
                                     mac_geometry)
     all_tgt, all_src = [], []
     overflow = jnp.int32(0)
-    cand = jnp.zeros((1, level_width(0, levels_t, W)),
+    cand = jnp.zeros((1, W),
                      jnp.int32).at[0, 0].set(1)
     for l in range(split):
         nt = 1 << l
-        Wl = level_width(l, levels_t, W)
+        Wl = W
         tgeo = prep(ttree.x[nt:2 * nt], ttree.nr[nt:2 * nt])
         cand = jnp.where(ttree.alive[nt:2 * nt][:, None], cand, 0)
         accept, expand, defer = classify(cand, tgeo, False)
@@ -864,7 +851,7 @@ def _dtt_lists_top(stree: Tree, ttree: Tree, theta, levels_s: int,
             [jnp.where(split_m, 2 * cand,
                        jnp.where(keep_leaf, cand, 0)),
              jnp.where(split_m, 2 * cand + 1, 0)], axis=1)
-        nxt, ovc = _compact_rows(kids, level_width(l + 1, levels_t, W))
+        nxt, ovc = _compact_rows(kids, W)
         overflow = overflow + ovc
         cand = jnp.repeat(nxt, 2, axis=0)
     return (jnp.concatenate(all_tgt), jnp.concatenate(all_src),
@@ -905,7 +892,7 @@ def _dtt_lists_sub(stree: Tree, ttree: Tree, theta, cand0, root,
     cand = cand0
     for l in range(split, levels_t + 1):
         w = 1 << (l - split)
-        Wl = level_width(l, levels_t, W)
+        Wl = W
         id0 = root << (l - split)
         tgt_ids = id0 + jnp.arange(w, dtype=jnp.int32)
         t_is_leaf = (l == levels_t)
@@ -959,7 +946,7 @@ def _dtt_lists_sub(stree: Tree, ttree: Tree, theta, cand0, root,
                 [jnp.where(split_m, 2 * cand,
                            jnp.where(keep_leaf, cand, 0)),
                  jnp.where(split_m, 2 * cand + 1, 0)], axis=1)
-            nxt, ovc = _compact_rows(kids, level_width(l + 1, levels_t, W))
+            nxt, ovc = _compact_rows(kids, W)
             overflow = overflow + ovc
             if leaf_pair2 and l == levels_t - 1:
                 # sibling-paired leaf emission (see docstring and

@@ -70,15 +70,17 @@ PREFIX_SORT_MIN = 1 << 18
 BITONIC_MAX_M = int(os.environ.get("ONBODY_BITONIC_M", "0"))
 
 
-def _seg_sort(ops: tuple, m: int, bitonic: int = -1):
+def _seg_sort(ops: tuple, m: int, bitonic: int = -1,
+              chunk_elems: int = -1):
     """Sort (nseg, m) columns ascending by ops[0] along axis 1.
 
     Dispatches to the explicit bitonic network for power-of-two m <=
     `bitonic` (default: the BITONIC_MAX_M module setting, resolved at
-    call time), else jax.lax.sort. Jitted callers must thread the
-    threshold through as a static argument — `_split_step_impl` does —
-    so changing it at runtime recompiles instead of silently reusing
-    stale traces (ADVICE r2). The network is unstable under
+    call time), else jax.lax.sort. Jitted callers must thread BOTH the
+    threshold and `chunk_elems` (default _BITONIC_CHUNK_ELEMS, the
+    per-chunk row budget below) through as static arguments —
+    `_split_step_impl` does — so changing either at runtime recompiles
+    instead of silently reusing stale traces (ADVICE r2/r3). The network is unstable under
     equal keys where lax.sort is stable — indistinguishable here: the
     split only needs a partition, and equal coordinate keys make the
     tied particles' payloads interchangeable.
@@ -92,10 +94,12 @@ def _seg_sort(ops: tuple, m: int, bitonic: int = -1):
     already sorted; sorting is idempotent, so the overlap is harmless."""
     if bitonic < 0:
         bitonic = BITONIC_MAX_M
+    if chunk_elems < 0:
+        chunk_elems = _BITONIC_CHUNK_ELEMS
     if not (0 < m <= bitonic) or m & (m - 1) or m == 1:
         return jax.lax.sort(ops, dimension=1, num_keys=1)
     nseg = ops[0].shape[0]
-    R = max(1, _BITONIC_CHUNK_ELEMS // m)        # chunk rows
+    R = max(1, chunk_elems // m)                 # chunk rows
     if nseg > R:
         nch = -(-nseg // R)
 
@@ -254,7 +258,8 @@ def _pad_dead_boxes(lo, hi, parts: int, live: int, nseg_p: int):
 
 def _split_step_impl(cols, n_real, l: int, pd: int, capture_box: bool,
                      n_live: int = 0, parts: int = 1,
-                     bitonic: int = -1, prefix_min: int = -1):
+                     bitonic: int = -1, prefix_min: int = -1,
+                     chunk_elems: int = -1):
     """One median-split level: boxes (pre-split), longest-axis keys, one
     variadic segmented sort carrying every column through the network.
 
@@ -324,7 +329,7 @@ def _split_step_impl(cols, n_real, l: int, pd: int, capture_box: bool,
                                xs_g[d], oj)
             oth_g.append(oj)
         out_g = _seg_sort((keys,) + tuple(oth_g) + tuple(rest_g),
-                          keys.shape[1], bitonic)
+                          keys.shape[1], bitonic, chunk_elems)
         sk, so, rest = out_g[0], out_g[1:pd], out_g[pd:]
         new_xs = []
         for d in range(pd):
@@ -403,7 +408,7 @@ def _split_step_impl(cols, n_real, l: int, pd: int, capture_box: bool,
             oj = jnp.where(((axis + j) % pd == d)[:, None], xs[d], oj)
         oth.append(oj)
     out = _seg_sort((keys,) + tuple(oth) + tuple(segs[pd:]),
-                    keys.shape[1], bitonic)
+                    keys.shape[1], bitonic, chunk_elems)
     skeys, soth, rest = out[0], out[1:pd], out[pd:]
     new_xs = []
     for d in range(pd):
@@ -453,7 +458,7 @@ def _box_step_impl(cols, n_real, l: int, pd: int, n_live: int = 0,
 _split_step = partial(jax.jit,
                       static_argnames=("l", "pd", "capture_box",
                                        "n_live", "parts", "bitonic",
-                                       "prefix_min"),
+                                       "prefix_min", "chunk_elems"),
                       donate_argnums=(0,))(_split_step_impl)
 _box_step = partial(jax.jit,
                     static_argnames=("l", "pd", "n_live",
@@ -461,10 +466,10 @@ _box_step = partial(jax.jit,
 
 
 @partial(jax.jit, static_argnames=("schedule", "pd", "bitonic",
-                                   "prefix_min"),
+                                   "prefix_min", "chunk_elems"),
          donate_argnums=(0,))
 def _run_steps(cols, n_real, schedule, pd: int, bitonic: int = -1,
-               prefix_min: int = -1):
+               prefix_min: int = -1, chunk_elems: int = -1):
     """Execute a static slice of the build schedule as ONE program.
 
     schedule: tuple of ('sort'|'box', level, capture, n_live, parts).
@@ -479,7 +484,8 @@ def _run_steps(cols, n_real, schedule, pd: int, bitonic: int = -1,
         if kind == "sort":
             cols, lo, hi = _split_step_impl(cols, n_real, l, pd,
                                             capture, n_live, parts,
-                                            bitonic, prefix_min)
+                                            bitonic, prefix_min,
+                                            chunk_elems)
         else:
             lo, hi = _box_step_impl(cols, n_real, l, pd, n_live, parts)
         if capture:
@@ -520,9 +526,10 @@ def _run_schedule(cols, n_real, sched, pd: int, fuse: int):
     # stale trace (ADVICE r2)
     bitonic = BITONIC_MAX_M
     prefix_min = PREFIX_SORT_MIN
+    chunk_elems = _BITONIC_CHUNK_ELEMS
     for i in range(0, len(sched), fuse):
         cols, boxes = _run_steps(cols, n_real, tuple(sched[i:i + fuse]),
-                                 pd, bitonic, prefix_min)
+                                 pd, bitonic, prefix_min, chunk_elems)
         for lo, hi in boxes:
             lows.append(lo)
             highs.append(hi)
@@ -1007,7 +1014,9 @@ def build_tree(p: Parts, block_size: int = 128, refine: bool = False,
                                            l <= levels,
                                            n_live=n_real_static,
                                            bitonic=BITONIC_MAX_M,
-                                           prefix_min=PREFIX_SORT_MIN)
+                                           prefix_min=PREFIX_SORT_MIN,
+                                           chunk_elems=(
+                                               _BITONIC_CHUNK_ELEMS))
                 if l <= levels:
                     lows.append(lo)
                     highs.append(hi)

@@ -63,3 +63,21 @@ def test_3dvortgrads():
     relg = (np.linalg.norm(got[:, 3:] - want[:, 3:]) /
             np.linalg.norm(want[:, 3:]))
     assert relg < 2e-2, relg
+
+
+def test_api_group_cap_overflow_recovers():
+    """Group-cap overflow through the API path must be healed by the
+    retry (which widens cap_groups_* too, like the drivers) — never an
+    assert-death or a truncated sum."""
+    from onbody_tpu.api.solver import _CFG_2D, _solve_boxwise
+    from onbody_tpu.parts import from_arrays
+
+    sx, sy, ss, sr = _problem_2d(n=3000, seed=11)
+    srcs = from_arrays(np.stack([sx, sy], 1), r=sr, s=ss)
+    targs = from_arrays(np.stack([sx, sy], 1), r=sr)
+    cfg = _CFG_2D.replace(block_size=64, cap_groups_treecode=1)
+    out = _solve_boxwise("vort2d", cfg, srcs, targs, theta=1.3)
+    du, dv = solver.vel_direct_2d(sx, sy, ss, sr, sx, sy, tr=sr)
+    want = np.stack([du, dv], 1)
+    rel = np.linalg.norm(out - want) / np.linalg.norm(want)
+    assert rel < 1e-3, rel
