@@ -77,6 +77,15 @@ class SolverConfig:
     # win for the chunked 1e8 path)
     tree_defer_rs: bool = False
 
+    # quantized-payload sort: run the median/span schedule on packed u16
+    # coordinate codes (tree/quant.py) — 3 sort columns in 3D instead
+    # of 4 (-25% sort traffic, the dominant tree-build cost). 'gather'
+    # recovers exact f32 coordinates through the final permutation;
+    # 'dequant' uses cell centers (error <= half a grid step ~1.5e-5 of
+    # the domain) with zero gather cost. Requires tree_defer_rs and
+    # tree_mode in {median, span}; 'off' disables.
+    tree_quant: str = "off"
+
     # storage / accumulation dtypes — the reference's STORE/ACCUM template
     # pair (ongrav3d.cpp:7-8). prepare() casts incoming particles to
     # storage_dtype; accum_dtype=float64 promotes the whole per-pair chain

@@ -66,7 +66,10 @@ def prepare(kernel: Kernel, cfg: SolverConfig, srcs: Parts,
               and srcs.n_real == targs.n_real
               and tree_build.plan(srcs.n_real, cfg.block_size)
               == tree_build.plan(targs.n_real, cfg.block_size))
-    defer = getattr(cfg, "tree_defer_rs", False)
+    # tree_quant leaves r/s out of the code sort by construction: the
+    # deferred final gather is the only way they rejoin the columns
+    defer = (getattr(cfg, "tree_defer_rs", False)
+             or getattr(cfg, "tree_quant", "off") != "off")
     bgrp = getattr(cfg, "tree_bisect_group", 4)
     fuse = getattr(cfg, "tree_fuse", 1)
     # kernels with uses_tr=False never read target radii: skip their
@@ -78,7 +81,8 @@ def prepare(kernel: Kernel, cfg: SolverConfig, srcs: Parts,
             mode=cfg.tree_mode, span=cfg.tree_span,
             span_top=cfg.tree_span_top, span_bot=cfg.tree_span_bot,
             defer_rs=defer, bisect_group=bgrp, fuse=fuse,
-            need_tgt_r=need_tr)
+            need_tgt_r=need_tr,
+            quant=getattr(cfg, "tree_quant", "off"))
     else:
         stree, ss, sg = tree_build.build_tree(srcs, cfg.block_size,
                                               refine=refine,
@@ -88,7 +92,10 @@ def prepare(kernel: Kernel, cfg: SolverConfig, srcs: Parts,
                                               span_bot=cfg.tree_span_bot,
                                               defer_rs=defer,
                                               bisect_group=bgrp,
-                                              fuse=fuse)
+                                              fuse=fuse,
+                                              quant=getattr(
+                                                  cfg, "tree_quant",
+                                                  "off"))
         ttree, ts, tg = tree_build.build_tree(targs, cfg.block_size,
                                               refine=refine,
                                               mode=cfg.tree_mode,
@@ -98,7 +105,10 @@ def prepare(kernel: Kernel, cfg: SolverConfig, srcs: Parts,
                                               defer_rs=defer,
                                               bisect_group=bgrp,
                                               fuse=fuse,
-                                              need_r=need_tr)
+                                              need_r=need_tr,
+                                              quant=getattr(
+                                                  cfg, "tree_quant",
+                                                  "off"))
     lean = getattr(cfg, "lean_plan", False)
     if lean and cfg.order >= 0:
         # feature-major arrays built directly, no point-major Blocks:

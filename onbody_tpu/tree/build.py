@@ -906,8 +906,9 @@ def build_tree(p: Parts, block_size: int = 128, refine: bool = False,
                defer_rs: bool = False,
                bisect_group: int = 4,
                fuse: int = 1,
-               need_r: bool = True) -> Tuple[Tree, Parts,
-                                             jax.Array]:
+               need_r: bool = True,
+               quant: str = "off") -> Tuple[Tree, Parts,
+                                            jax.Array]:
     """Build the tree; returns (tree, reordered+padded parts, gidx).
 
     gidx[i] = original index of the particle now in slot i (the
@@ -947,6 +948,13 @@ def build_tree(p: Parts, block_size: int = 128, refine: bool = False,
     * 'morton' — one global space-filling-curve sort; fastest build,
       fatter overlapping boxes (measured to overflow DTT frontiers at
       theta=1.4 — fine for treecodes, not the production DTT choice).
+
+    quant ('off' | 'gather' | 'dequant'): run the median/span sort
+    schedule on packed u16 coordinate codes (tree/quant.py) — 3 sort
+    columns in 3D instead of 4 — recovering f32 coordinates after the
+    last sort by an exact packed gather ('gather') or by cell-center
+    dequantization ('dequant', error <= half a grid step ~1.5e-5 of
+    the domain). Requires defer_rs and mode in {median, span}.
     """
     # ownership transfer: a caller that passes `[parts]` (a one-element
     # list) hands the ORIGINAL arrays over — they are dropped right
@@ -975,13 +983,24 @@ def build_tree(p: Parts, block_size: int = 128, refine: bool = False,
     # pass) and gather them once through the final permutation.
     defer = defer_rs and mode != "morton"
     skip_r = (not need_r) and mode != "morton"
-    cols = tuple(pp.x[:, d] for d in range(pd))
-    if not defer:
-        if not skip_r:
-            cols = cols + (jnp.copy(pp.r),)
-        if pp.s is not None:
-            cols = cols + tuple(pp.s[:, d] for d in range(sd))
-    cols = cols + (gidx,)
+    qgeo = x_keep = None
+    if quant != "off":
+        assert defer and mode in ("median", "span"), (
+            "tree_quant requires defer_rs and mode in {median, span}")
+        from onbody_tpu.tree import quant as qm
+        qc, glo, gstep = qm.make_qcols(pp.x, gidx, n_real_static)
+        qgeo = (glo[None, :], gstep[None, :])          # (parts=1, pd)
+        cols = qc + (gidx,)
+        if quant == "gather":
+            x_keep = tuple(pp.x[:, d] for d in range(pd))
+    else:
+        cols = tuple(pp.x[:, d] for d in range(pd))
+        if not defer:
+            if not skip_r:
+                cols = cols + (jnp.copy(pp.r),)
+            if pp.s is not None:
+                cols = cols + tuple(pp.s[:, d] for d in range(sd))
+        cols = cols + (gidx,)
     # the per-axis column slices above are fresh buffers — drop the
     # padded (n_pad, pd) x array now so it does not sit in HBM through
     # the whole sort network (1.6 GB at N=1e8); keep only the r/s
@@ -1049,15 +1068,27 @@ def build_tree(p: Parts, block_size: int = 128, refine: bool = False,
     sort_levels = levels if not refine else int(np.log2(n_pad))
     sched = _build_schedule(levels, sort_levels, n_pad, q, span_top,
                             span_bot, n_real_static, 1)
-    cols, lows, highs = _run_schedule(cols, n_real, sched, pd, fuse)
-
-    if defer:
+    if quant != "off":
+        from onbody_tpu.tree import quant as qm
+        cols, lows, highs = qm.qrun_schedule(cols, n_real, qgeo[0],
+                                             qgeo[1], sched, pd, fuse)
         perm = cols[-1]
-        cols = (cols[:pd]
+        xcols = qm.finalize_coords(cols[:-1], perm, qgeo[0][0],
+                                   qgeo[1][0], n_real_static, pd,
+                                   quant, x_keep)
+        cols = (tuple(xcols)
                 + _gather_rs_packed(perm, pp_r, pp_s, sd, need_r)
                 + (perm,))
-    elif skip_r:
-        cols = cols[:pd] + (jnp.zeros_like(cols[0]),) + cols[pd:]
+    else:
+        cols, lows, highs = _run_schedule(cols, n_real, sched, pd, fuse)
+
+        if defer:
+            perm = cols[-1]
+            cols = (cols[:pd]
+                    + _gather_rs_packed(perm, pp_r, pp_s, sd, need_r)
+                    + (perm,))
+        elif skip_r:
+            cols = cols[:pd] + (jnp.zeros_like(cols[0]),) + cols[pd:]
     tree, x, r, s, gidx = _finish_median(
         cols, n_real, tuple(lows), tuple(highs), levels, block_size, sd,
         are_targets, n_live=n_real_static)
@@ -1072,7 +1103,8 @@ def build_trees_paired(ps: Parts, pt: Parts, block_size: int = 128,
                        defer_rs: bool = False,
                        bisect_group: int = 4,
                        fuse: int = 1,
-                       need_tgt_r: bool = True):
+                       need_tgt_r: bool = True,
+                       quant: str = "off"):
     """Build the source AND target trees from ONE sequence of stacked
     sorts (bit-identical to two build_tree calls; tests/test_tree.py).
 
@@ -1101,13 +1133,24 @@ def build_trees_paired(ps: Parts, pt: Parts, block_size: int = 128,
     def stk(a, b):
         return jnp.concatenate([a, b])
 
-    cols = tuple(stk(pps.x[:, d], ppt.x[:, d]) for d in range(pd))
-    if not defer_rs:
-        cols += (stk(pps.r, ppt.r),)
-        if sd:
-            zs = jnp.zeros((n_pad,), pps.s.dtype)
-            cols += tuple(stk(pps.s[:, d], zs) for d in range(sd))
-    cols += (stk(gidx, gidx),)
+    qgeo = None
+    if quant != "off":
+        assert defer_rs and mode in ("median", "span"), (
+            "tree_quant requires defer_rs and mode in {median, span}")
+        from onbody_tpu.tree import quant as qm
+        qs, slo, sstep = qm.make_qcols(pps.x, gidx, ps.n_real)
+        qt, tlo, tstep = qm.make_qcols(ppt.x, gidx, pt.n_real)
+        cols = tuple(stk(a, b) for a, b in zip(qs, qt))
+        cols += (stk(gidx, gidx),)
+        qgeo = (jnp.stack([slo, tlo]), jnp.stack([sstep, tstep]))
+    else:
+        cols = tuple(stk(pps.x[:, d], ppt.x[:, d]) for d in range(pd))
+        if not defer_rs:
+            cols += (stk(pps.r, ppt.r),)
+            if sd:
+                zs = jnp.zeros((n_pad,), pps.s.dtype)
+                cols += tuple(stk(pps.s[:, d], zs) for d in range(sd))
+        cols += (stk(gidx, gidx),)
     n_real = jnp.int32(ps.n_real)
     assert pt.n_real == ps.n_real
 
@@ -1147,11 +1190,16 @@ def build_trees_paired(ps: Parts, pt: Parts, block_size: int = 128,
                               levels, block_size, need_tgt_r)
     sched = _build_schedule(levels, sort_levels, n_pad, q, span_top,
                             span_bot, ps.n_real, 2, loff=1)
-    cols, lows, highs = _run_schedule(cols, n_real, sched, pd, fuse)
+    if quant != "off":
+        from onbody_tpu.tree import quant as qm
+        cols, lows, highs = qm.qrun_schedule(cols, n_real, qgeo[0],
+                                             qgeo[1], sched, pd, fuse)
+    else:
+        cols, lows, highs = _run_schedule(cols, n_real, sched, pd, fuse)
 
     return _finish_paired(cols, lows, highs, pd, sd, n_pad, defer_rs,
                           pps, ppt, ps, pt, n_real, levels, block_size,
-                          need_tgt_r)
+                          need_tgt_r, quant=quant, qgeo=qgeo)
 
 
 def _gather_rs_packed(perm, r_pad, s_pad, sd: int, need_r: bool = True):
@@ -1182,11 +1230,26 @@ def _gather_rs_packed(perm, r_pad, s_pad, sd: int, need_r: bool = True):
 
 def _finish_paired(cols, lows, highs, pd, sd, n_pad, defer_rs, pps, ppt,
                    ps, pt, n_real, levels, block_size,
-                   need_tgt_r: bool = True):
+                   need_tgt_r: bool = True, quant: str = "off",
+                   qgeo=None):
     """Split the stacked columns back into halves and finish each tree."""
     def half(i, keep_s):
         hcols = tuple(c[i * n_pad:(i + 1) * n_pad] for c in cols)
-        if defer_rs:
+        if quant != "off":
+            from onbody_tpu.tree import quant as qm
+            perm = hcols[-1]
+            xp = (pps if i == 0 else ppt).x
+            xcols = qm.finalize_coords(
+                hcols[:-1], perm, qgeo[0][i], qgeo[1][i], ps.n_real,
+                pd, quant,
+                None if quant != "gather" else
+                [xp[:, d] for d in range(pd)])
+            pr_pad = (pps if i == 0 else ppt).r
+            rs = _gather_rs_packed(perm, pr_pad,
+                                   pps.s if keep_s and sd else None,
+                                   sd, need_r=(i == 0 or need_tgt_r))
+            hcols = tuple(xcols) + rs + (perm,)
+        elif defer_rs:
             perm = hcols[-1]
             pr_pad = (pps if i == 0 else ppt).r
             rs = _gather_rs_packed(perm, pr_pad,

@@ -590,3 +590,70 @@ def test_prefix_sort_matches_full_sort(mode, monkeypatch):
     check(got, ref)
     check(got_paired[0], ref_paired[0])
     check(got_paired[1], ref_paired[1])
+
+
+@pytest.mark.parametrize("qmode", ["gather", "dequant"])
+@pytest.mark.parametrize("tmode", ["median", "span"])
+def test_quant_build_invariants(qmode, tmode):
+    """Quantized-payload sort (tree/quant.py): exact slot counts, boxes
+    contain the final coordinates, gidx a permutation; 'gather' mode
+    recovers the original coordinates bit-exactly."""
+    n = 5000
+    p = _srcs(n, seed=3)
+    tree, sp, gidx = build.build_tree(p, 64, mode=tmode, defer_rs=True,
+                                      quant=qmode)
+    g = np.sort(np.asarray(gidx))
+    assert (g[:n] == np.arange(n)).all()           # permutation
+    x = np.asarray(sp.x)
+    gi = np.asarray(gidx)
+    real = gi < n
+    if qmode == "gather":
+        # bit-exact coordinate recovery through the permutation
+        x0 = np.asarray(p.x)
+        assert np.array_equal(x[real], x0[gi[real]])
+        # and radii/strengths ride the same deferred gather
+        assert np.array_equal(np.asarray(sp.r)[real],
+                              np.asarray(p.r)[gi[real]])
+        assert np.array_equal(np.asarray(sp.s)[real],
+                              np.asarray(p.s)[gi[real]])
+    else:
+        # dequantized cell centers are within half a grid step
+        x0 = np.asarray(p.x)
+        step = (x0.max(0) - x0.min(0)) / 65534.0
+        assert (np.abs(x[real] - x0[gi[real]]) <= 0.5 * step + 1e-7).all()
+    # node boxes contain their segment's real final coordinates
+    nleaf = tree.nleaf
+    nc = np.asarray(tree.nc)
+    ns = np.asarray(tree.ns)
+    n_pad = x.shape[0]
+    for node in [1, 2, 3, 5, nleaf, nleaf + 1, 2 * nleaf - 1]:
+        l = int(np.floor(np.log2(node)))
+        span_sl = n_pad >> l
+        off = (node - (1 << l)) * span_sl
+        seg = slice(off, off + span_sl)
+        m = real[seg]
+        if not m.any():
+            continue
+        xs = x[seg][m]
+        lo = nc[node] - 0.5 * ns[node] - 1e-5
+        hi = nc[node] + 0.5 * ns[node] + 1e-5
+        assert (xs >= lo).all() and (xs <= hi).all(), node
+
+
+def test_quant_paired_matches_single():
+    """Paired quant build == two single quant builds (same stacked-sort
+    bit behavior as the exact paired build)."""
+    n = 3000
+    ps = _srcs(n, seed=5)
+    pt = dataclasses.replace(_srcs(n, sd=0, seed=6), s=None)
+    (st_p, sp_p, sg_p), (tt_p, tp_p, tg_p) = build.build_trees_paired(
+        ps, pt, 64, mode="span", defer_rs=True, quant="gather")
+    st, sp1, sg = build.build_tree(ps, 64, mode="span", defer_rs=True,
+                                   quant="gather")
+    for f in ("nc", "ns", "nr", "x", "s", "pr", "alive"):
+        assert np.array_equal(np.asarray(getattr(st_p, f)),
+                              np.asarray(getattr(st, f))), f
+    real = np.asarray(sg) < n
+    assert np.array_equal(np.asarray(sg_p)[real], np.asarray(sg)[real])
+    assert np.array_equal(np.asarray(sp_p.x)[real],
+                          np.asarray(sp1.x)[real])
