@@ -657,3 +657,53 @@ def test_quant_paired_matches_single():
     assert np.array_equal(np.asarray(sg_p)[real], np.asarray(sg)[real])
     assert np.array_equal(np.asarray(sp_p.x)[real],
                           np.asarray(sp1.x)[real])
+
+
+def test_hsplit_exact_counts_and_containment():
+    """Histogram top-split (tree/hsplit.py): every subtree gets EXACTLY
+    n_slots/2^split slots (the VAMsplit invariant), and each particle's
+    codes fall inside its subtree's plane-derived box."""
+    from onbody_tpu.tree import hsplit, quant as qm
+
+    n_chunks, m, split = 4, 4096, 3
+    pd = 3
+    key = jax.random.PRNGKey(7)
+    xs = [jax.random.uniform(jax.random.fold_in(key, c), (m, pd),
+                             minval=-1.0, maxval=1.0)
+          for c in range(n_chunks)]
+    lo = np.min([np.asarray(x).min(0) for x in xs], axis=0)
+    hi = np.max([np.asarray(x).max(0) for x in xs], axis=0)
+    step = (hi - lo) / 65534.0
+
+    def gen_codes(c):
+        cd = jnp.clip(jnp.floor((xs[c] - lo[None, :]) / step[None, :]),
+                      0, 65534).astype(jnp.int32)
+        return cd
+
+    planes, quotas, axes, nids = hsplit.run_top_split(
+        gen_codes, n_chunks, m, split, lo, hi)
+    ids = np.concatenate([np.asarray(i) for i in nids])
+    counts = np.bincount(ids, minlength=1 << split)
+    assert (counts == (n_chunks * m) >> split).all(), counts
+
+    # containment: walk each particle's plane decisions
+    codes = np.concatenate([np.asarray(gen_codes(c))
+                            for c in range(n_chunks)])
+    nid = np.zeros(len(codes), np.int64)
+    for l in range(split):
+        ax = axes[l][nid]
+        c = codes[np.arange(len(codes)), ax]
+        pl = planes[l][nid]
+        # ties may go either side (rank-split); strict sides must agree
+        right = c > pl
+        left = c < pl
+        got_right = (ids >> (split - 1 - l)) & 1
+        assert (got_right[right] == 1).all()
+        assert (got_right[left] == 0).all()
+        nid = 2 * nid + got_right
+
+    # determinism
+    _, _, _, nids2 = hsplit.run_top_split(gen_codes, n_chunks, m,
+                                          split, lo, hi)
+    for a, b in zip(nids, nids2):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
