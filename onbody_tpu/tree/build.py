@@ -907,8 +907,9 @@ def build_tree(p: Parts, block_size: int = 128, refine: bool = False,
                bisect_group: int = 4,
                fuse: int = 1,
                need_r: bool = True,
-               quant: str = "off") -> Tuple[Tree, Parts,
-                                            jax.Array]:
+               quant: str = "off",
+               force_plan: Optional[Tuple[int, int]] = None
+               ) -> Tuple[Tree, Parts, jax.Array]:
     """Build the tree; returns (tree, reordered+padded parts, gidx).
 
     gidx[i] = original index of the particle now in slot i (the
@@ -965,7 +966,12 @@ def build_tree(p: Parts, block_size: int = 128, refine: bool = False,
     if owned:
         p = p.pop()
     n_real_static = p.n_real
-    levels, n_pad = plan(n_real_static, block_size)
+    # force_plan: build a tree of a FIXED (levels, n_pad) shape even if
+    # the real count would size it smaller — the out-of-core subtree
+    # builds need every subtree to have exactly n_pad_global/2^split
+    # slots for the global implicit-binary assembly to line up
+    levels, n_pad = force_plan or plan(n_real_static, block_size)
+    assert n_pad >= n_real_static and (1 << levels) * block_size == n_pad
     pp = pad_to(p, n_pad)
     gidx = jnp.arange(n_pad, dtype=jnp.int32)
     n_real = jnp.int32(n_real_static)
@@ -1073,12 +1079,10 @@ def build_tree(p: Parts, block_size: int = 128, refine: bool = False,
         cols, lows, highs = qm.qrun_schedule(cols, n_real, qgeo[0],
                                              qgeo[1], sched, pd, fuse)
         perm = cols[-1]
-        xcols = qm.finalize_coords(cols[:-1], perm, qgeo[0][0],
-                                   qgeo[1][0], n_real_static, pd,
-                                   quant, x_keep)
-        cols = (tuple(xcols)
-                + _gather_rs_packed(perm, pp_r, pp_s, sd, need_r)
-                + (perm,))
+        cols = qm.finalize_cols(cols[:-1], perm, qgeo[0][0],
+                                qgeo[1][0], n_real_static, pd, quant,
+                                x_keep, pp_r, pp_s, sd,
+                                need_r) + (perm,)
     else:
         cols, lows, highs = _run_schedule(cols, n_real, sched, pd, fuse)
 
@@ -1239,16 +1243,14 @@ def _finish_paired(cols, lows, highs, pd, sd, n_pad, defer_rs, pps, ppt,
             from onbody_tpu.tree import quant as qm
             perm = hcols[-1]
             xp = (pps if i == 0 else ppt).x
-            xcols = qm.finalize_coords(
+            pr_pad = (pps if i == 0 else ppt).r
+            hcols = qm.finalize_cols(
                 hcols[:-1], perm, qgeo[0][i], qgeo[1][i], ps.n_real,
                 pd, quant,
                 None if quant != "gather" else
-                [xp[:, d] for d in range(pd)])
-            pr_pad = (pps if i == 0 else ppt).r
-            rs = _gather_rs_packed(perm, pr_pad,
-                                   pps.s if keep_s and sd else None,
-                                   sd, need_r=(i == 0 or need_tgt_r))
-            hcols = tuple(xcols) + rs + (perm,)
+                [xp[:, d] for d in range(pd)],
+                pr_pad, pps.s if keep_s and sd else None, sd,
+                need_r=(i == 0 or need_tgt_r)) + (perm,)
         elif defer_rs:
             perm = hcols[-1]
             pr_pad = (pps if i == 0 else ppt).r

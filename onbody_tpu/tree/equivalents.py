@@ -431,7 +431,7 @@ def pairmerge_blocks(tree: Tree, sorted_parts: Parts) -> Blocks:
 def _bary_fm_fn(tree: Tree, x, r, s, order: int, levels: int,
                 block_size: int, kernel_name: str, pad8: bool,
                 parts: int = 1, flat: bool = False,
-                leaf_chunk: int = 4096):
+                leaf_chunk: int = 4096, return_root: bool = False):
     from onbody_tpu.ops.kernels import featurize, featurize_flat
     pd = x.shape[1]
     sd = s.shape[1]
@@ -537,11 +537,15 @@ def _bary_fm_fn(tree: Tree, x, r, s, order: int, levels: int,
                  jnp.zeros((nseg, width - m_j, sd), dtype)], axis=1)
             fm = fm.at[rows].set(feat(pos_w, rad_w, st_w))
         child_pos, child_str = grid, eq_s
+    if return_root:
+        # raw (un-featurized) root proxies: the out-of-core top-tree
+        # assembly anterpolates these upward across subtree roots
+        return fm, child_pos[0], child_str[0]
     return fm
 
 
 _STATIC_FM = ("order", "levels", "block_size", "kernel_name", "pad8",
-              "parts", "flat", "leaf_chunk")
+              "parts", "flat", "leaf_chunk", "return_root")
 # NOTE: donating x/r/s was tried for the 1e8 path and does nothing —
 # XLA donation is output-aliasing only, and none of them matches the fm
 # output shape (the runtime reports "not usable" and keeps them alive
@@ -553,7 +557,8 @@ _bary_fm_impl = jax.jit(_bary_fm_fn, static_argnames=_STATIC_FM)
 def barycentric_fm(tree: Tree, sorted_parts: Parts, order: int,
                    kernel_name: str, pad8: bool = True,
                    flat: bool = False, donate: bool = False,
-                   leaf_chunk: int = 4096) -> jax.Array:
+                   leaf_chunk: int = 4096,
+                   return_root: bool = False) -> jax.Array:
     """Feature-major source blocks with barycentric proxies, built
     without point-major intermediates. Oversized grids (M > B, e.g.
     order 5 at block 128) split across extension rows (n_eq_parts).
@@ -567,7 +572,7 @@ def barycentric_fm(tree: Tree, sorted_parts: Parts, order: int,
     return _bary_fm_impl(tree, sorted_parts.x, sorted_parts.r,
                          sorted_parts.s, order, tree.levels,
                          tree.block_size, kernel_name, pad8, parts,
-                         flat, leaf_chunk)
+                         flat, leaf_chunk, return_root)
 
 
 @partial(jax.jit, static_argnames=("order", "levels", "block_size",
@@ -625,13 +630,18 @@ def target_geo_fm(tree: Tree, sorted_targs: Parts,
 @partial(jax.jit, static_argnames=("order", "levels", "split",
                                    "block_size"))
 def _target_geo_slab_impl(tree: Tree, x, r, root, order: int, levels: int,
-                          split: int, block_size: int):
+                          split: int, block_size: int, x_base=None):
     """Owner-major target-geometry slab for ONE level-`split` subtree.
 
     Row layout matches parallel.mesh.local_rows: rows [0, 2^split) are
     the global top nodes (replicated geometry), then the subtree's
     levels split..levels in order. `root` is traced — one compilation
     serves every chunk of traverse/chunked.py.
+
+    x_base: slot offset of x[0]/r[0] within the GLOBAL sorted particle
+    array — the out-of-core path passes only the chunk's own particles
+    (x of shape (n_pad/2^split, pd)) with x_base = chunk * that size;
+    None means x/r are the full global arrays (base 0).
     """
     pd = x.shape[1]
     dtype = x.dtype
@@ -665,6 +675,8 @@ def _target_geo_slab_impl(tree: Tree, x, r, root, order: int, levels: int,
         id0 = root << (l - split)
         if l == levels:
             p0 = (id0 - nleaf) * block_size
+            if x_base is not None:
+                p0 = p0 - x_base
             xs = jax.lax.dynamic_slice_in_dim(x, p0, w * block_size)
             rs = jax.lax.dynamic_slice_in_dim(r, p0, w * block_size)
             leaf = jnp.concatenate(
@@ -674,8 +686,11 @@ def _target_geo_slab_impl(tree: Tree, x, r, root, order: int, levels: int,
         else:
             nc_l = jax.lax.dynamic_slice_in_dim(tree.nc, id0, w)
             ns_l = jax.lax.dynamic_slice_in_dim(tree.ns, id0, w)
-            n_lvl = x.shape[0] >> l
+            # n_lvl from the GLOBAL slot count (x may be a chunk slice)
+            n_lvl = (nleaf * block_size) >> l
             p0 = (id0 - (1 << l)) * n_lvl
+            if x_base is not None:
+                p0 = p0 - x_base
             # per-node first-particle radius (matches _target_grid_impl)
             r_first = r[p0 + jnp.arange(w, dtype=jnp.int32) * n_lvl]
             rows.append(grid_rows(nc_l, ns_l, r_first))

@@ -142,14 +142,23 @@ def chunk_assign(codes: jax.Array, nid: jax.Array, axes: jax.Array,
 
 def run_top_split(gen_codes, n_chunks: int, m_chunk: int, split: int,
                   box_lo: np.ndarray, box_hi: np.ndarray,
-                  keep_nid: bool = True):
+                  keep_nid: bool = True, virtual_pad_slots: int = 0,
+                  chunk_sizes=None):
     """Drive `split` histogram levels over regenerable chunks.
 
-    gen_codes(c) -> (m, pd) codes (u16-in-i32); chunks are regenerated
-    per level (cheap for PRNG-backed particles). Per-chunk node-id
-    arrays persist on device between levels (m_chunk i32 per chunk —
-    4.3 GB total at N=1e9, the cheapest way to avoid an O(levels^2)
-    assignment replay).
+    gen_codes(c) -> (m_c, pd) codes (u16-in-i32); chunks are
+    regenerated per level (cheap for PRNG-backed particles). Per-chunk
+    node-id arrays persist on device between levels (m_chunk i32 per
+    chunk — 4.3 GB total at N=1e9, the cheapest way to avoid an
+    O(levels^2) assignment replay).
+
+    virtual_pad_slots: padding clones of the monolithic build
+    (parts.pad_to) represented ANALYTICALLY — real codes clamp to
+    65534, so pads are pure mass at bin 65535 that never ties with a
+    real particle. Per-node pad mass is tracked on the host
+    (slots - reals) and added to the histograms before planning; a
+    plane of 65535 means every real of that node goes left and the
+    remaining left slots are pads — exactly the padded VAMsplit.
 
     Returns (planes_all, quotas_all, axes_all, nids): per-level planes
     (nnode,), per-level per-chunk tie quotas, per-level axes, and the
@@ -158,12 +167,14 @@ def run_top_split(gen_codes, n_chunks: int, m_chunk: int, split: int,
     pd = box_lo.shape[0]
     lo = box_lo.astype(np.float64)
     hi = box_hi.astype(np.float64)
+    sizes = chunk_sizes or [m_chunk] * n_chunks
     # plane-derived conservative boxes per node, in CODE units
     blo = np.zeros((1, pd))
     bhi = np.full((1, pd), 65535.0)
     planes_all, quotas_all, axes_all = [], [], []
-    n_slots = n_chunks * m_chunk
-    nids = [jnp.zeros((m_chunk,), jnp.int32) for _ in range(n_chunks)]
+    n_slots = sum(sizes) + virtual_pad_slots
+    pads = np.array([virtual_pad_slots], np.int64)     # per-node pads
+    nids = [jnp.zeros((sizes[c],), jnp.int32) for c in range(n_chunks)]
 
     for l in range(split):
         nnode = 1 << l
@@ -178,9 +189,25 @@ def run_top_split(gen_codes, n_chunks: int, m_chunk: int, split: int,
             h = np.asarray(chunk_hist(codes, nids[c], axes_j, nnode))
             per_chunk_hists.append(h)
             hist += h
+        hist[:, _NB - 1] += pads                       # virtual pads
         planes, need = plan_level(hist, target)
         ties = [h[np.arange(nnode), planes] for h in per_chunk_hists]
         quotas = tie_quotas(ties, need)
+        # children's virtual-pad mass: left reals = count_less(real) +
+        # real tie quota; left pads fill the remainder of slots/2
+        real_cum = np.cumsum(hist, axis=1)
+        real_cum[:, _NB - 1] -= pads                   # reals only
+        less_r = np.where(planes > 0,
+                          np.take_along_axis(real_cum,
+                                             (planes - 1)[:, None],
+                                             1)[:, 0], 0)
+        total_ties = (np.sum(ties, axis=0) if ties
+                      else np.zeros(nnode, np.int64))
+        left_reals = less_r + np.minimum(need, total_ties)
+        pads_l = target - left_reals
+        pads_r = pads - pads_l
+        pads = np.stack([pads_l, pads_r], axis=1).reshape(-1)
+        assert (pads >= 0).all()
         planes_j = jnp.asarray(planes)
         for c in range(n_chunks):
             codes = gen_codes(c)

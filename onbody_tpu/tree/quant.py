@@ -30,9 +30,9 @@ a valid k-d split) — sorts, and restores axis-major packing.
 
 Exact f32 coordinates re-enter after the LAST sort, one of two ways
 (SolverConfig.tree_quant):
-  * 'gather'  — gather the original coordinates through the final
-    permutation (packed in pairs as complex64, like the deferred r/s
-    gather): positions downstream are bit-exact.
+  * 'gather'  — gather the original coordinates + deferred r/s through
+    the final permutation as ONE (n, pd+1+sd) row gather (measured
+    ~flat in width, gather_rows): positions downstream are bit-exact.
   * 'dequant' — dequantize codes to cell centers (error <= step/2 ~
     1.5e-5 of the domain; measured direct-sum impact at that scale):
     zero gather cost. Pads collapse to one far point (their geometry is
@@ -322,44 +322,56 @@ def qrun_schedule(cols, n_real, glo, gstep, sched, pd: int, fuse: int):
 
 # ------------------------------------------------------------- finalize
 
-def gather_packed(perm, cols):
-    """Gather f32 columns through perm, packed in complex64 pairs: TPU
-    gathers cost ~7.4 ns/element regardless of width (docs/PERF.md
-    r2s4), so two f32 per gather halves the per-element cost.
-    Bit-exact (lax.complex/real/imag preserve payloads)."""
-    out = []
-    i = 0
-    while i < len(cols):
-        if i + 1 < len(cols):
-            g = jax.lax.complex(cols[i], cols[i + 1])[perm]
-            out.append(jax.lax.real(g))
-            out.append(jax.lax.imag(g))
-            i += 2
-        else:
-            out.append(cols[i][perm])
-            i += 1
-    return out
+def gather_rows(perm, cols):
+    """Gather f32 columns through perm as ONE (n, k) row gather.
+
+    Measured on v5e at 16.8 M rows (docs/PERF.md r4): a row gather is
+    ~flat in width — (n,4) 13.9 ns/row, (n,8) 16.3 ns/row vs 10.2 for a
+    single f32 column and 24.9 for a complex64-packed pair — so one row
+    gather of [x | r | s] replaces what would be 3+ column/packed
+    gathers. The pre-stack concat is linear HBM traffic (~2% of the
+    gather cost). Bit-exact."""
+    stacked = jnp.stack(cols, axis=1) if len(cols) > 1 else None
+    if stacked is None:
+        return [cols[0][perm]]
+    g = stacked[perm]
+    return [g[:, i] for i in range(len(cols))]
 
 
-def finalize_coords(qcols, perm, glo, gstep, n_real: int, pd: int,
-                    mode: str, x_cols):
-    """f32 coordinate columns after the last sort.
+def finalize_cols(qcols, perm, glo, gstep, n_real: int, pd: int,
+                  mode: str, x_cols, r_pad, s_pad, sd: int,
+                  need_r: bool):
+    """All f32 particle columns (x0..x_{pd-1}, r, s...) after the last
+    sort, via ONE row gather (gather_rows).
 
-    mode='gather': exact coordinates through the final permutation
-    (x_cols: the pd original padded coordinate columns; callers fold
-    r/s into the same packed-gather pass themselves when beneficial).
-    mode='dequant': cell centers; pads collapse to one far point one
-    domain-diameter past the max corner (matches parts.pad_to's
-    placement class; pad geometry is overridden by the dead-node far
-    point and pad strengths are zero, so only finiteness matters)."""
+    mode='gather': exact coordinates + deferred r/s in a single
+    (n, pd+1+sd) row gather through the final permutation (x_cols: the
+    pd original padded coordinate columns).
+    mode='dequant': coordinates from cell centers (error <= step/2;
+    pads collapse to one far point one domain-diameter past the max
+    corner — pad geometry is overridden by the dead-node far point and
+    pad strengths are zero, so only finiteness matters); r/s still
+    gather. need_r=False substitutes zeros for the radius column
+    (kernel never reads it — build_tree need_r)."""
+    gcols = []
     if mode == "gather":
-        return gather_packed(perm, list(x_cols))
-    cs = _unpack(qcols, pd)
-    pad = perm >= n_real
-    out = []
-    for d in range(pd):
-        x = (cs[d].astype(jnp.float32) + 0.5) * gstep[d] + glo[d]
-        ext = 65534.0 * gstep[d]
-        far = glo[d] + 2.0 * ext + 1.0
-        out.append(jnp.where(pad, far, x))
-    return out
+        gcols += list(x_cols)
+    if need_r:
+        gcols.append(r_pad)
+    if s_pad is not None and sd:
+        gcols += [s_pad[:, d] for d in range(sd)]
+    got = gather_rows(perm, gcols) if gcols else []
+    if mode == "gather":
+        xs, got = got[:pd], got[pd:]
+    else:
+        cs = _unpack(qcols, pd)
+        pad = perm >= n_real
+        xs = []
+        for d in range(pd):
+            x = (cs[d].astype(jnp.float32) + 0.5) * gstep[d] + glo[d]
+            ext = 65534.0 * gstep[d]
+            far = glo[d] + 2.0 * ext + 1.0
+            xs.append(jnp.where(pad, far, x))
+    r = got[0] if need_r else jnp.zeros_like(xs[0])
+    ss = got[1:] if need_r else got[0:]
+    return tuple(xs) + (r,) + tuple(ss)

@@ -69,18 +69,18 @@ def gather_bench(n=16_777_216):
     f_row8 = jax.jit(lambda x, p: x[p])
 
     t, _ = timeit(f_f32, cols[0], perm)
-    print(f"gather f32 1col      : {t:.4f} s  ({t/n*1e9:.2f} ns/row)")
+    print(f"gather f32 1col      : {t:.4f} s  ({t/n*1e9:.2f} ns/row)", flush=True)
     t, _ = timeit(f_c64, cols[0], cols[1], perm)
-    print(f"gather c64 2col      : {t:.4f} s  ({t/n*1e9:.2f} ns/row)")
+    print(f"gather c64 2col      : {t:.4f} s  ({t/n*1e9:.2f} ns/row)", flush=True)
     try:
         t, _ = timeit(f_c128, cols[0], cols[1], cols[2], cols[3], perm)
-        print(f"gather c128 4col     : {t:.4f} s  ({t/n*1e9:.2f} ns/row)")
+        print(f"gather c128 4col     : {t:.4f} s  ({t/n*1e9:.2f} ns/row)", flush=True)
     except Exception as e:
-        print("gather c128 4col     : FAILED", repr(e)[:120])
+        print("gather c128 4col     : FAILED", repr(e)[:120], flush=True)
     t, _ = timeit(f_row4, x4, perm)
-    print(f"gather row (n,4) f32 : {t:.4f} s  ({t/n*1e9:.2f} ns/row)")
+    print(f"gather row (n,4) f32 : {t:.4f} s  ({t/n*1e9:.2f} ns/row)", flush=True)
     t, _ = timeit(f_row8, x8, perm)
-    print(f"gather row (n,8) f32 : {t:.4f} s  ({t/n*1e9:.2f} ns/row)")
+    print(f"gather row (n,8) f32 : {t:.4f} s  ({t/n*1e9:.2f} ns/row)", flush=True)
 
 
 def tree_bench(n=10_000_000):
@@ -97,7 +97,7 @@ def tree_bench(n=10_000_000):
         t, plan = timeit(
             lambda c=cfg: treecode.prepare(kernel, c, srcs, targs,
                                            want_inv=False), iters=3)
-        print(f"prepare {name}: {t:.4f} s")
+        print(f"prepare {name}: {t:.4f} s", flush=True)
         del plan
 
 
