@@ -908,7 +908,8 @@ def build_tree(p: Parts, block_size: int = 128, refine: bool = False,
                fuse: int = 1,
                need_r: bool = True,
                quant: str = "off",
-               force_plan: Optional[Tuple[int, int]] = None
+               force_plan: Optional[Tuple[int, int]] = None,
+               gidx0: Optional[jax.Array] = None
                ) -> Tuple[Tree, Parts, jax.Array]:
     """Build the tree; returns (tree, reordered+padded parts, gidx).
 
@@ -973,7 +974,16 @@ def build_tree(p: Parts, block_size: int = 128, refine: bool = False,
     levels, n_pad = force_plan or plan(n_real_static, block_size)
     assert n_pad >= n_real_static and (1 << levels) * block_size == n_pad
     pp = pad_to(p, n_pad)
-    gidx = jnp.arange(n_pad, dtype=jnp.int32)
+    # gidx0: caller-provided slot ids whose `>= n_real` values mark pad
+    # rows — lets a DYNAMICALLY-sized particle set (sharded exchange
+    # slabs, parallel/shard_prepare.py) build under static shapes: the
+    # caller passes already-padded arrays with n_real == n_pad and
+    # encodes the true validity in gidx0
+    if gidx0 is not None:
+        assert gidx0.shape == (n_pad,)
+        gidx = gidx0.astype(jnp.int32)
+    else:
+        gidx = jnp.arange(n_pad, dtype=jnp.int32)
     n_real = jnp.int32(n_real_static)
     are_targets = not p.are_sources
     if owned:
@@ -1208,25 +1218,16 @@ def build_trees_paired(ps: Parts, pt: Parts, block_size: int = 128,
 
 def _gather_rs_packed(perm, r_pad, s_pad, sd: int, need_r: bool = True):
     """Apply the final permutation to the deferred radius/strength
-    columns with HALF the gathers: TPU gathers cost ~7.4 ns/element
-    regardless of width (docs/PERF.md r2s4), so packing two f32 columns
-    into one complex64 gather halves the dominant per-element cost.
-    Bit-exact: lax.complex/real/imag preserve the f32 payloads.
+    columns as ONE (n, k) row gather: measured on v5e at 16.8 M rows
+    (docs/PERF.md r4), a row gather is ~flat in width (13.9 ns/row at
+    k=4) while the previously-used complex64 pair packing costs 24.9
+    ns/row — rows win for every k >= 2 and tie at k=1. Bit-exact.
     need_r=False skips the radius gather (kernel ignores these radii)
     and substitutes zeros."""
+    from onbody_tpu.tree import quant as qm
     cols = ([r_pad] if need_r else []) + (
         [s_pad[:, d] for d in range(sd)] if s_pad is not None else [])
-    out = []
-    i = 0
-    while i < len(cols):
-        if i + 1 < len(cols):
-            g = jax.lax.complex(cols[i], cols[i + 1])[perm]
-            out.append(jax.lax.real(g))
-            out.append(jax.lax.imag(g))
-            i += 2
-        else:
-            out.append(cols[i][perm])
-            i += 1
+    out = qm.gather_rows(perm, cols) if cols else []
     if not need_r:
         out.insert(0, jnp.zeros_like(r_pad))
     return tuple(out)

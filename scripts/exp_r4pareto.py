@@ -84,5 +84,24 @@ def main(n=10_000_000):
             print(f"{name:16s}: FAILED {repr(e)[:160]}", flush=True)
 
 
+def bandwidth():
+    """Host<->device transfer rates through the tunnel (sizes the
+    out-of-core fm streaming at 1e9)."""
+    import numpy as _np
+    for mb in (64, 671):
+        a = _np.random.default_rng(0).standard_normal(
+            (mb * 1024 * 1024 // 4,)).astype(_np.float32)
+        t0 = time.perf_counter()
+        d = jax.device_put(a)
+        sync(d)
+        h2d = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        _ = _np.asarray(d)
+        d2h = time.perf_counter() - t0
+        print(f"xfer {mb:4d} MB: H2D {h2d:.3f} s ({mb/1024/h2d:.2f} GB/s)"
+              f"  D2H {d2h:.3f} s ({mb/1024/d2h:.2f} GB/s)", flush=True)
+
+
 if __name__ == "__main__":
+    bandwidth()
     main(int(float(sys.argv[1])) if len(sys.argv) > 1 else 10_000_000)
