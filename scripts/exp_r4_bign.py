@@ -1,0 +1,46 @@
+"""r4: stratified big-N runs on the real chip.
+
+Usage: python scripts/exp_r4_bign.py <N> <split> [slab_cache] [theta]
+1e8 (split 4) validates the machinery + measures chunk/cache behavior;
+1e9 (split 6) is the reference's last published row (README.md:90:
+85 s build + 1160 s DTT on a 128 GB host).
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
+import json
+
+import jax
+
+from onbody_tpu.config import SolverConfig
+from onbody_tpu.ops.kernels import get_kernel
+from onbody_tpu.traverse import bigN
+
+
+def main():
+    n = int(float(sys.argv[1])) if len(sys.argv) > 1 else int(1e8)
+    split = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    cache = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+    theta = float(sys.argv[4]) if len(sys.argv) > 4 else 1.15
+    kernel = get_kernel("grav3d")
+    # the 1e8-tier tuned settings, pregather fetch (flat fm slabs)
+    cfg = SolverConfig(block_size=256, order=5, theta_dtt=theta,
+                       frontier_width=128, list_width=320,
+                       cap_groups_dtt=16, pair_backend="pallas",
+                       pair_group=16, pair_fetch="pregather",
+                       mxu_precision="3xt", tree_mode="span",
+                       tree_defer_rs=True, tree_fuse=2,
+                       list_compact="sort")
+    stats, info = bigN.solve_dtt_stratified(
+        kernel, cfg, n, jax.random.PRNGKey(12345), split=split,
+        slab_cache=cache, n_val=256, profile=True)
+    print(json.dumps({**stats, **info}), flush=True)
+
+
+if __name__ == "__main__":
+    main()
