@@ -134,6 +134,7 @@ def solve_dtt_stratified(kernel: Kernel, cfg: SolverConfig, n: int,
                          theta: Optional[float] = None,
                          slab_cache: int = 8,
                          n_val: int = 256,
+                         coarse_depth: int = 6,
                          profile: bool = True,
                          debug_out: dict = None):
     """Full stratified-cube DTT at N up to 1e9 on one chip.
@@ -236,13 +237,24 @@ def solve_dtt_stratified(kernel: Kernel, cfg: SolverConfig, n: int,
                                pad8=False, flat=True)
         return fm
 
+    # resident coarse tier: every stratum's fm rows for local levels
+    # 0..k_coarse (global levels split..split+k_coarse) stay on device
+    # (~tens of MB total). Distant strata are only ever referenced at
+    # these coarse levels, so only spatially-near strata pull full
+    # slabs through the rebuild cache — without this, EVERY chunk
+    # references EVERY stratum (measured: owners == 2^split at 1e8)
+    # and the cache never hits.
+    k_coarse = max(0, min(coarse_depth, levels_loc - 1))
+    n_crows = (2 << k_coarse) - 1          # local ids 1..2^(k+1)-1
+    coarse_rows = []
     for t in range(ndev):
         tree, sp, _ = build_stratum(gen_s, t, True)
         sarr = _write_local(sarr, tree_fields(tree), jnp.int32(t))
         fm, rg, re = eq.barycentric_fm(tree, sp, order, kernel.name,
                                        pad8=False, flat=True,
                                        return_root=True)
-        del fm          # warm builds fill geometry + roots only
+        coarse_rows.append(fm[1:1 + n_crows])
+        del fm          # warm builds fill geometry + roots + coarse
         root_grid = root_grid.at[t].set(rg)
         root_eq = root_eq.at[t].set(re)
         if sd == 1:
@@ -346,6 +358,11 @@ def solve_dtt_stratified(kernel: Kernel, cfg: SolverConfig, n: int,
     for nseg, rows in top_fm_levels:
         top_fm = jax.lax.dynamic_update_slice_in_dim(top_fm, rows,
                                                      nseg, 0)
+    # coarse slab layout: rows [0, ndev) top nodes, then stratum t's
+    # coarse local ids 1..n_crows at ndev + t*n_crows + (lid-1)
+    coarse_slab = jnp.concatenate(
+        [top_fm, jnp.concatenate(coarse_rows, axis=0)], axis=0)
+    del coarse_rows
     ph("top assembly", top_fm)
 
     # ------------------------------------------------------- top lists
@@ -387,9 +404,29 @@ def solve_dtt_stratified(kernel: Kernel, cfg: SolverConfig, n: int,
                           jnp.where(sl < ndev, -1,
                                     (sl >> jnp.maximum(lev - split, 0))
                                     - ndev))
+        deep = (owner >= 0) & (owner < ndev) & (lev > split + k_coarse)
         sl_loc = jnp.where(sl < ndev, sl, loc[sl])
-        oc = jnp.zeros((ndev + 2,), jnp.int32).at[owner + 1].add(1)
-        return tl, sl_loc, owner, oc, nv, ovc
+        # coarse-tier row translation (valid where not deep):
+        lam = jnp.maximum(lev - split, 0)
+        j = sl - (jnp.int32(1) << lev)
+        lid = (jnp.int32(1) << lam) + (j - owner * (jnp.int32(1) << lam))
+        crow = jnp.where(sl < ndev, sl,
+                         ndev + owner * n_crows + lid - 1)
+        # EXACT per-owner group counts: groups = sum over target rows
+        # of ceil(valid_entries_in_row / g) — the per-row quantization
+        # makes entry-count/g caps under-size sparse owners (measured
+        # 8.9M group overflow at 1e8)
+        L = sl.shape[0]
+        rowid = jnp.arange(L, dtype=jnp.int32) // W
+        okey = jnp.where(deep, owner, ndev)      # non-deep -> ndev
+        valid = (sl != 0).astype(jnp.int32)
+        n_rows = L // W
+        cnt_ro = jnp.zeros((n_rows * (ndev + 1),), jnp.int32).at[
+            rowid * (ndev + 1) + okey].add(valid, mode="drop")
+        cnt_ro = cnt_ro.reshape(n_rows, ndev + 1)
+        gcount = jnp.sum(-(-cnt_ro // g), axis=0)
+        oc = jnp.sum(cnt_ro, axis=0)             # entry counts
+        return tl, sl_loc, crow, deep, owner, oc, gcount, nv, ovc
 
     def _bucket(k, mins=1 << 12):
         b = mins
@@ -405,20 +442,27 @@ def solve_dtt_stratified(kernel: Kernel, cfg: SolverConfig, n: int,
     # per-owner masked group extraction: the list keeps its W-slots-
     # per-target structure (group_pairs' G-chunks must never mix
     # targets), so owners are selected by MASK, not by reordering
-    @partial(jax.jit, static_argnames=("cap_o", "with_top"))
-    def _owner_groups(tl, sl_loc, owner, o, cap_o, with_top):
-        m = owner == o
-        if with_top:
-            m = m | (owner == -1)
+    @partial(jax.jit, static_argnames=("cap_o",))
+    def _owner_groups(tl, sl_loc, deep, owner, o, cap_o):
         # mask ONLY src: group_pairs reads each G-chunk's target from
         # its FIRST slot (every W-run shares one target), so a masked
         # tgt would reroute a chunk whose first slot is foreign-owned
         # to the discarded row 0
+        m = deep & (owner == o)
         pl_o = lists.PairList(tgt=tl,
                               src=jnp.where(m, sl_loc, 0),
                               n_valid=jnp.sum(m, dtype=jnp.int32),
                               overflow=jnp.int32(0))
         return lists.group_pairs(pl_o, cap_o, g, W)
+
+    @partial(jax.jit, static_argnames=("cap_o",))
+    def _coarse_groups(tl, crow, deep, cap_o):
+        m = ~deep
+        pl_c = lists.PairList(tgt=tl,
+                              src=jnp.where(m, crow, 0),
+                              n_valid=jnp.sum(m, dtype=jnp.int32),
+                              overflow=jnp.int32(0))
+        return lists.group_pairs(pl_c, cap_o, g, W)
 
     @jax.jit
     def _finish_chunk(out, geo, glob_c, c):
@@ -432,11 +476,12 @@ def solve_dtt_stratified(kernel: Kernel, cfg: SolverConfig, n: int,
 
     for c in range(ndev):
         root = jnp.int32(ndev + c)
-        tl, sl_loc, owner, oc, nv, ovc = _chunk_lists(
-            cand_roots[c:c + 1], root)
+        tl, sl_loc, crow, deep, owner, oc, gcount, nv, ovc = \
+            _chunk_lists(cand_roots[c:c + 1], root)
         total_valid += int(np.asarray(nv))
         overflow += int(np.asarray(ovc))
-        oc_h = np.asarray(oc)            # (ndev+2,) small fetch
+        oc_h = np.asarray(oc)            # (ndev+1,) small fetches
+        gc_h = np.asarray(gcount)
 
         # rebuild the target stratum (sorted positions for geo slab)
         ttree_l, tsp, tgl = build_stratum(gen_t, c, False)
@@ -445,18 +490,22 @@ def solve_dtt_stratified(kernel: Kernel, cfg: SolverConfig, n: int,
             x_base=jnp.int32(c * n_sub_pad))
         out = jnp.zeros((rows_chunk, bs, od), cfg.accum_dtype)
 
-        owners = [int(o) for o in range(ndev) if oc_h[o + 1] > 0]
-        first = True
+        # coarse pass: top rows + every stratum's shallow proxies ride
+        # the resident coarse slab — one exec, no slab pulls
+        cap_c = _bucket(int(gc_h[ndev]) + 16)
+        pgc = _coarse_groups(tl, crow, deep, cap_c)
+        overflow += int(np.asarray(pgc.overflow))
+        out = _exec_segment(out, geo, coarse_slab, pgc.tgt, pgc.src)
+
+        # deep pass: only spatially-near strata have deep references
+        owners = [int(o) for o in range(ndev) if oc_h[o] > 0]
         for o in owners:
-            k = int(oc_h[o + 1]) + (int(oc_h[0]) if first else 0)
-            # groups <= valid entries; conservative pow2-bucketed cap
-            cap_o = min(cap, _bucket(k // g + 1024))
-            pg = _owner_groups(tl, sl_loc, owner, o, cap_o, first)
+            cap_o = _bucket(int(gc_h[o]) + 16)
+            pg = _owner_groups(tl, sl_loc, deep, owner, o, cap_o)
             overflow += int(np.asarray(pg.overflow))
             slab_flat = cache.get(o)
             slab = jnp.concatenate([top_fm, slab_flat[1:]], axis=0)
             out = _exec_segment(out, geo, slab, pg.tgt, pg.src)
-            first = False
 
         leaf = _finish_chunk(out, geo, jnp.asarray(glob_all[c]),
                              jnp.int32(c))
@@ -469,7 +518,7 @@ def solve_dtt_stratified(kernel: Kernel, cfg: SolverConfig, n: int,
         val_got.append(np.asarray(got))
         val_pos.append(np.asarray(tsp.x[inv[idx]]))
         val_rad.append(np.asarray(tsp.r[inv[idx]]))
-        ph(f"chunk {c} (owners {len(owners)}, "
+        ph(f"chunk {c} (deep owners {len(owners)}, "
            f"cache {cache.hits}h/{cache.misses}m)", leaf)
         del out, leaf, geo, ttree_l, tsp, tgl
 
