@@ -412,20 +412,23 @@ def solve_dtt_stratified(kernel: Kernel, cfg: SolverConfig, n: int,
         lid = (jnp.int32(1) << lam) + (j - owner * (jnp.int32(1) << lam))
         crow = jnp.where(sl < ndev, sl,
                          ndev + owner * n_crows + lid - 1)
-        # EXACT per-owner group counts: groups = sum over target rows
-        # of ceil(valid_entries_in_row / g) — the per-row quantization
-        # makes entry-count/g caps under-size sparse owners (measured
-        # 8.9M group overflow at 1e8)
+        # EXACT per-owner group counts: the masked per-owner lists keep
+        # entries at their builder positions (never reordered — see
+        # _owner_groups), so an owner's entries in one W-row are NOT
+        # front-compacted and can touch more G-chunks than
+        # ceil(count/g). Count the SURVIVING G-chunKS exactly: a chunk
+        # survives for owner o iff it contains >= 1 valid entry of o
+        # (mirrors _compact_groups' `keep = any(src != 0)`).
         L = sl.shape[0]
-        rowid = jnp.arange(L, dtype=jnp.int32) // W
+        chunkid = jnp.arange(L, dtype=jnp.int32) // g
         okey = jnp.where(deep, owner, ndev)      # non-deep -> ndev
         valid = (sl != 0).astype(jnp.int32)
-        n_rows = L // W
-        cnt_ro = jnp.zeros((n_rows * (ndev + 1),), jnp.int32).at[
-            rowid * (ndev + 1) + okey].add(valid, mode="drop")
-        cnt_ro = cnt_ro.reshape(n_rows, ndev + 1)
-        gcount = jnp.sum(-(-cnt_ro // g), axis=0)
-        oc = jnp.sum(cnt_ro, axis=0)             # entry counts
+        n_ch = L // g
+        pres = jnp.zeros((n_ch * (ndev + 1),), jnp.int32).at[
+            chunkid * (ndev + 1) + okey].max(valid, mode="drop")
+        gcount = jnp.sum(pres.reshape(n_ch, ndev + 1), axis=0)
+        oc = jnp.zeros((ndev + 1,), jnp.int32).at[okey].add(
+            valid, mode="drop")                  # entry counts
         return tl, sl_loc, crow, deep, owner, oc, gcount, nv, ovc
 
     def _bucket(k, mins=1 << 12):

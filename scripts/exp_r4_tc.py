@@ -53,6 +53,15 @@ def main(n):
     plan = treecode.prepare(kernel, cfg, srcs, targs, want_inv=False)
     sync(plan.src_fm)
     prep_cold = time.perf_counter() - t0
+    # warm prepare (measures the row-gather defer refactor)
+    pts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        plan = treecode.prepare(kernel, cfg, srcs, targs,
+                                want_inv=False)
+        sync(plan.src_fm)
+        pts.append(time.perf_counter() - t0)
+    print(f"prepare warm: {min(pts):.4f} s", flush=True)
 
     for name, fn, thetas in [
             ("treecode3", treecode.solve_treecode3,
