@@ -36,9 +36,10 @@ def main():
                        mxu_precision="3xt", tree_mode="span",
                        tree_defer_rs=True, tree_fuse=2,
                        list_compact="sort")
+    n_val = int(sys.argv[5]) if len(sys.argv) > 5 else 256
     stats, info = bigN.solve_dtt_stratified(
         kernel, cfg, n, jax.random.PRNGKey(12345), split=split,
-        slab_cache=cache, n_val=256, profile=True)
+        slab_cache=cache, n_val=n_val, profile=True)
     print(json.dumps({**stats, **info}), flush=True)
 
 
