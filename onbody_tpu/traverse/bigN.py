@@ -389,10 +389,15 @@ def solve_dtt_stratified(kernel: Kernel, cfg: SolverConfig, n: int,
     tskip = max(1, (n // n_val))
     val_got, val_pos, val_rad = [], [], []
 
+    # NOTE: every large array is threaded as an ARGUMENT, never a
+    # closure — jit closure constants are serialized into the compile
+    # request, and through the axon remote-compile tunnel the global
+    # trees + the 2*2^levels row-translation table overflow the HTTP
+    # body limit at split 6 (measured: HTTP 413 at N=1e9).
     @jax.jit
-    def _chunk_lists(cand_row, root):
+    def _chunk_lists(st, tt, top_t, top_s, loc, cand_row, root):
         sub_t, sub_s, nv, ovc = lists._dtt_lists_sub(
-            stree, ttree, jnp.float32(theta), cand_row, root,
+            st, tt, jnp.float32(theta), cand_row, root,
             levels_glob, levels_glob, split, W, cfg.mac_geometry)
         tl = jnp.concatenate([top_t, loc[sub_t]])
         sl = jnp.concatenate([top_s, sub_s])
@@ -468,9 +473,9 @@ def solve_dtt_stratified(kernel: Kernel, cfg: SolverConfig, n: int,
         return lists.group_pairs(pl_c, cap_o, g, W)
 
     @jax.jit
-    def _finish_chunk(out, geo, glob_c, c):
+    def _finish_chunk(out, geo, tnc, tns, glob_c, c):
         posl = jnp.transpose(geo[:, :pd, :], (0, 2, 1))
-        out = _downward_local(out, ttree.nc[glob_c], ttree.ns[glob_c],
+        out = _downward_local(out, tnc[glob_c], tns[glob_c],
                               posl, order, levels_glob, split, bs,
                               c)
         return out[leaf0_loc:leaf0_loc + wleaf, :bs, :]
@@ -480,7 +485,8 @@ def solve_dtt_stratified(kernel: Kernel, cfg: SolverConfig, n: int,
     for c in range(ndev):
         root = jnp.int32(ndev + c)
         tl, sl_loc, crow, deep, owner, oc, gcount, nv, ovc = \
-            _chunk_lists(cand_roots[c:c + 1], root)
+            _chunk_lists(stree, ttree, top_t, top_s, loc,
+                         cand_roots[c:c + 1], root)
         total_valid += int(np.asarray(nv))
         overflow += int(np.asarray(ovc))
         oc_h = np.asarray(oc)            # (ndev+1,) small fetches
@@ -510,8 +516,8 @@ def solve_dtt_stratified(kernel: Kernel, cfg: SolverConfig, n: int,
             slab = jnp.concatenate([top_fm, slab_flat[1:]], axis=0)
             out = _exec_segment(out, geo, slab, pg.tgt, pg.src)
 
-        leaf = _finish_chunk(out, geo, jnp.asarray(glob_all[c]),
-                             jnp.int32(c))
+        leaf = _finish_chunk(out, geo, ttree.nc, ttree.ns,
+                             jnp.asarray(glob_all[c]), jnp.int32(c))
         # on-device validation extraction: stratum-local subsample
         idx = jnp.arange(0, m, tskip, dtype=jnp.int32)
         # original order -> sorted slot: invert tgl on device
