@@ -135,6 +135,7 @@ def solve_dtt_stratified(kernel: Kernel, cfg: SolverConfig, n: int,
                          slab_cache: int = 8,
                          n_val: int = 256,
                          coarse_depth: int = 6,
+                         exec_groups: int = 4096,
                          profile: bool = True,
                          debug_out: dict = None):
     """Full stratified-cube DTT at N up to 1e9 on one chip.
@@ -500,11 +501,24 @@ def solve_dtt_stratified(kernel: Kernel, cfg: SolverConfig, n: int,
         out = jnp.zeros((rows_chunk, bs, od), cfg.accum_dtype)
 
         # coarse pass: top rows + every stratum's shallow proxies ride
-        # the resident coarse slab — one exec, no slab pulls
+        # the resident coarse slab — one exec, no slab pulls. Group
+        # runs are SLICED to <= exec_groups chunks: the pregather
+        # executor materializes a (P*g, B, C) gathered-source buffer,
+        # and an unbounded per-owner bucket peaks ~2.7 GB at split 6
+        # (the r4 1e9 OOM); _bucket yields powers of two >= 4096, so
+        # exec_groups=4096 slices are exact and every exec call shares
+        # ONE compiled program.
+        def _exec_sliced(out, slab, pg):
+            for i in range(0, pg.tgt.shape[0], exec_groups):
+                out = _exec_segment(out, geo, slab,
+                                    pg.tgt[i:i + exec_groups],
+                                    pg.src[i:i + exec_groups])
+            return out
+
         cap_c = _bucket(int(gc_h[ndev]) + 16)
         pgc = _coarse_groups(tl, crow, deep, cap_c)
         overflow += int(np.asarray(pgc.overflow))
-        out = _exec_segment(out, geo, coarse_slab, pgc.tgt, pgc.src)
+        out = _exec_sliced(out, coarse_slab, pgc)
 
         # deep pass: only spatially-near strata have deep references
         owners = [int(o) for o in range(ndev) if oc_h[o] > 0]
@@ -514,10 +528,15 @@ def solve_dtt_stratified(kernel: Kernel, cfg: SolverConfig, n: int,
             overflow += int(np.asarray(pg.overflow))
             slab_flat = cache.get(o)
             slab = jnp.concatenate([top_fm, slab_flat[1:]], axis=0)
-            out = _exec_segment(out, geo, slab, pg.tgt, pg.src)
+            out = _exec_sliced(out, slab, pg)
+            del slab, pg
 
         leaf = _finish_chunk(out, geo, ttree.nc, ttree.ns,
                              jnp.asarray(glob_all[c]), jnp.int32(c))
+        # free the two biggest chunk buffers before the validation
+        # extraction allocates (the r4 1e9 run died on a post-chunk
+        # allocation with out+geo still live)
+        del out, geo, tl, sl_loc, crow, deep, owner
         # on-device validation extraction: stratum-local subsample
         idx = jnp.arange(0, m, tskip, dtype=jnp.int32)
         # original order -> sorted slot: invert tgl on device
@@ -529,7 +548,7 @@ def solve_dtt_stratified(kernel: Kernel, cfg: SolverConfig, n: int,
         val_rad.append(np.asarray(tsp.r[inv[idx]]))
         ph(f"chunk {c} (deep owners {len(owners)}, "
            f"cache {cache.hits}h/{cache.misses}m)", leaf)
-        del out, leaf, geo, ttree_l, tsp, tgl
+        del leaf, ttree_l, tsp, tgl
 
     # streamed direct reference for ALL collected subsample targets in
     # ONE pass over the source strata (NOT per chunk: 64x64 stratum
