@@ -37,9 +37,13 @@ def main():
                        tree_defer_rs=True, tree_fuse=2,
                        list_compact="sort")
     n_val = int(sys.argv[5]) if len(sys.argv) > 5 else 256
+    # r4 post-mortem (docs/PERF.md "r4 N=1e9 attempts"): at split 6 use
+    # slab_cache<=7 and the default exec_groups=4096 bound; both OOM
+    # contributors are sized there.
+    eg = int(sys.argv[6]) if len(sys.argv) > 6 else 4096
     stats, info = bigN.solve_dtt_stratified(
         kernel, cfg, n, jax.random.PRNGKey(12345), split=split,
-        slab_cache=cache, n_val=n_val, profile=True)
+        slab_cache=cache, n_val=n_val, profile=True, exec_groups=eg)
     print(json.dumps({**stats, **info}), flush=True)
 
 
