@@ -113,6 +113,18 @@ class _SlabCache:
         self.hits = 0
         self.misses = 0
 
+    def put(self, t: int, v):
+        """Insert without counting a hit/miss (warm-pass seeding: the
+        source pass builds every slab once anyway — r4 discarded them
+        and chunk 0 immediately rebuilt the first cache-ful)."""
+        if t in self.d:
+            self.order.remove(t)
+        while len(self.order) >= self.cap:
+            old = self.order.pop(0)
+            del self.d[old]
+        self.d[t] = v
+        self.order.append(t)
+
     def get(self, t: int):
         if t in self.d:
             self.hits += 1
@@ -145,6 +157,11 @@ def solve_dtt_stratified(kernel: Kernel, cfg: SolverConfig, n: int,
     n_valid/overflow. Outputs are validated in-memory per chunk, like
     the reference driver's 1e9 run (ongrav3d.cpp:781-790)."""
     assert cfg.order >= 0
+    # exec_groups slices must tile the power-of-two _bucket caps
+    # exactly: a ragged final slice per distinct remainder shape means
+    # extra compiles through the slow remote-compile tunnel
+    assert exec_groups >= 1 and (exec_groups & (exec_groups - 1)) == 0, \
+        f"exec_groups must be a power of two, got {exec_groups}"
     bs = cfg.block_size
     pd, sd, od = kernel.pd, kernel.sd, kernel.od
     assert pd == 3, "stratified cube generator is 3D"
@@ -231,12 +248,21 @@ def solve_dtt_stratified(kernel: Kernel, cfg: SolverConfig, n: int,
         return {f: getattr(tree, f) for f in
                 ("nc", "ns", "nr", "x", "s", "pr", "alive")}
 
+    # cached slabs are stored ALREADY CONCATENATED with the top rows
+    # (r4 concatenated per owner VISIT: one extra ~0.7 GB alloc + copy
+    # per visit, ~1300 visits at split 6). top_fm exists only after the
+    # top assembly below, hence the mutable ref.
+    _top_ref = {}
+
     def build_src_slab(t):
-        """fm slab of source stratum t (cache rebuild path)."""
+        """Concatenated [top | local] fm slab of source stratum t
+        (cache rebuild path)."""
         tree, sp, _ = build_stratum(gen_s, t, True)
         fm = eq.barycentric_fm(tree, sp, order, kernel.name,
                                pad8=False, flat=True)
-        return fm
+        return jnp.concatenate([_top_ref["fm"], fm[1:]], axis=0)
+
+    cache = _SlabCache(build_src_slab, slab_cache)
 
     # resident coarse tier: every stratum's fm rows for local levels
     # 0..k_coarse (global levels split..split+k_coarse) stay on device
@@ -255,7 +281,8 @@ def solve_dtt_stratified(kernel: Kernel, cfg: SolverConfig, n: int,
                                        pad8=False, flat=True,
                                        return_root=True)
         coarse_rows.append(fm[1:1 + n_crows])
-        del fm          # warm builds fill geometry + roots + coarse
+        cache.put(t, fm)  # seed the LRU from the warm pass (raw rows;
+        # converted to [top | local] layout after the top assembly)
         root_grid = root_grid.at[t].set(rg)
         root_eq = root_eq.at[t].set(re)
         if sd == 1:
@@ -364,6 +391,12 @@ def solve_dtt_stratified(kernel: Kernel, cfg: SolverConfig, n: int,
     coarse_slab = jnp.concatenate(
         [top_fm, jnp.concatenate(coarse_rows, axis=0)], axis=0)
     del coarse_rows
+    _top_ref["fm"] = top_fm
+    # warm-seeded slabs were stored raw (top_fm did not exist yet):
+    # rewrite them in the [top | local] cached layout
+    for t_seed in list(cache.order):
+        cache.d[t_seed] = jnp.concatenate(
+            [top_fm, cache.d[t_seed][1:]], axis=0)
     ph("top assembly", top_fm)
 
     # ------------------------------------------------------- top lists
@@ -383,7 +416,6 @@ def solve_dtt_stratified(kernel: Kernel, cfg: SolverConfig, n: int,
     backend = "pallas" if jax.devices()[0].platform == "tpu" else "xla"
     wleaf = 1 << levels_loc
     leaf0_loc = ndev + wleaf - 1
-    cache = _SlabCache(build_src_slab, slab_cache)
 
     # validation subsample: every tskip-th ORIGINAL target overall ==
     # every tskip-th slot of each stratum's generation order
@@ -483,7 +515,13 @@ def solve_dtt_stratified(kernel: Kernel, cfg: SolverConfig, n: int,
 
     seg_pad = {}
 
-    for c in range(ndev):
+    # Chunk order: REVERSED stratum index. Stratum indices are k-d
+    # codes (first split = highest bit, axes cycling), i.e. a Morton
+    # order — consecutive indices are spatial siblings sharing most of
+    # their deep-owner neighborhoods. The warm pass leaves the LRU
+    # holding the LAST slab_cache strata, so processing starts at
+    # chunk ndev-1 where those seeds are the neighborhood.
+    for ci, c in enumerate(range(ndev - 1, -1, -1)):
         root = jnp.int32(ndev + c)
         tl, sl_loc, crow, deep, owner, oc, gcount, nv, ovc = \
             _chunk_lists(stree, ttree, top_t, top_s, loc,
@@ -520,14 +558,21 @@ def solve_dtt_stratified(kernel: Kernel, cfg: SolverConfig, n: int,
         overflow += int(np.asarray(pgc.overflow))
         out = _exec_sliced(out, coarse_slab, pgc)
 
-        # deep pass: only spatially-near strata have deep references
+        # deep pass: only spatially-near strata have deep references.
+        # Owner visit order ZIGZAGS across chunks (descending on the
+        # first processed chunk — matching the warm-pass seeds — then
+        # ascending, ...): with an LRU smaller than the neighborhood,
+        # a fixed sweep direction re-evicts exactly the owners the
+        # next chunk asks for first; zigzag makes the tail of one
+        # chunk's visits the head of the next's.
         owners = [int(o) for o in range(ndev) if oc_h[o] > 0]
+        if ci % 2 == 0:
+            owners.reverse()
         for o in owners:
             cap_o = _bucket(int(gc_h[o]) + 16)
             pg = _owner_groups(tl, sl_loc, deep, owner, o, cap_o)
             overflow += int(np.asarray(pg.overflow))
-            slab_flat = cache.get(o)
-            slab = jnp.concatenate([top_fm, slab_flat[1:]], axis=0)
+            slab = cache.get(o)
             out = _exec_sliced(out, slab, pg)
             del slab, pg
 
@@ -557,12 +602,21 @@ def solve_dtt_stratified(kernel: Kernel, cfg: SolverConfig, n: int,
     sub = Parts(x=jnp.asarray(np.concatenate(val_pos)),
                 r=jnp.asarray(np.concatenate(val_rad)), s=None,
                 n_real=sum(v.shape[0] for v in val_pos))
-    acc = jnp.zeros((sub.x.shape[0], od), jnp.float32)
+    # Per-stratum partials accumulate HOST-SIDE in np.float64 (ndev
+    # tiny D2H fetches): at 1e9 an all-f32 streamed reference's own
+    # accumulation random walk across ~1e6 tile partials per target is
+    # no longer clearly below the 1e-4 signal being certified. The
+    # within-stratum f32 tile walk (~sqrt(6e4 tiles)*eps ~ 1.5e-5,
+    # independent across strata -> ~2e-6 of the total) stays
+    # negligible. Reference analogue: fp64 ACCUM is its documented
+    # accuracy upgrade (README.md:107-110).
+    acc = np.zeros((sub.x.shape[0], od), np.float64)
     for ts_ in range(ndev):
         ps = gen_s(ts_)
-        acc = acc + direct_mod.direct(kernel, ps, sub)
-    ref = np.asarray(acc)
-    ph("validation direct", acc)
+        acc += np.asarray(direct_mod.direct(kernel, ps, sub),
+                          np.float64)
+    ref = acc
+    ph("validation direct", sub.x)
     got = np.concatenate(val_got)
     rel = float(np.linalg.norm(got - ref) / np.linalg.norm(ref))
     stats = {

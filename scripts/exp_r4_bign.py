@@ -1,6 +1,7 @@
-"""r4: stratified big-N runs on the real chip.
+"""Stratified big-N runs on the real chip.
 
 Usage: python scripts/exp_r4_bign.py <N> <split> [slab_cache] [theta]
+           [n_val] [exec_groups] [coarse_depth]
 1e8 (split 4) validates the machinery + measures chunk/cache behavior;
 1e9 (split 6) is the reference's last published row (README.md:90:
 85 s build + 1160 s DTT on a 128 GB host).
@@ -38,12 +39,19 @@ def main():
                        list_compact="sort")
     n_val = int(sys.argv[5]) if len(sys.argv) > 5 else 256
     # r4 post-mortem (docs/PERF.md "r4 N=1e9 attempts"): at split 6 use
-    # slab_cache<=7 and the default exec_groups=4096 bound; both OOM
+    # slab_cache<=8 (warm-seeded, pre-concatenated) and the default
+    # exec_groups=4096 bound (power of two — exact slices); both OOM
     # contributors are sized there.
     eg = int(sys.argv[6]) if len(sys.argv) > 6 else 4096
+    # deeper resident coarse tier shrinks each chunk's DEEP owner set
+    # (corner/edge neighbors referenced only at mid depth ride the
+    # resident slab instead of pulling a full rebuild): +~175 MB at
+    # split 6 / depth 8 for a large cut in slab-rebuild volume
+    cdepth = int(sys.argv[7]) if len(sys.argv) > 7 else 8
     stats, info = bigN.solve_dtt_stratified(
         kernel, cfg, n, jax.random.PRNGKey(12345), split=split,
-        slab_cache=cache, n_val=n_val, profile=True, exec_groups=eg)
+        slab_cache=cache, n_val=n_val, profile=True, exec_groups=eg,
+        coarse_depth=cdepth)
     print(json.dumps({**stats, **info}), flush=True)
 
 

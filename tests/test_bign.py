@@ -11,7 +11,12 @@ from onbody_tpu.ops.kernels import get_kernel
 from onbody_tpu.traverse import bigN
 
 
-def test_bign_stratified_small():
+@pytest.mark.parametrize("exec_groups", [4096, 1024])
+def test_bign_stratified_small(exec_groups):
+    # exec_groups=1024 drives every _bucket cap (>= 4096) through the
+    # multi-slice _exec_sliced path, covering slice-boundary
+    # accumulation equivalence; 4096 is the production single-slice
+    # shape at this N
     kernel = get_kernel("grav3d")
     n = 8 * 8192
     cfg = SolverConfig(block_size=128, order=4, theta_dtt=1.3,
@@ -20,9 +25,11 @@ def test_bign_stratified_small():
                        tree_defer_rs=True)
     stats, info = bigN.solve_dtt_stratified(
         kernel, cfg, n, jax.random.PRNGKey(9), split=3,
-        slab_cache=3, n_val=256, profile=False)
+        slab_cache=3, n_val=256, profile=False,
+        exec_groups=exec_groups)
     assert info["overflow"] == 0, info
-    # subsample validated against the streamed f32 direct sum
+    # subsample validated against the host-fp64-summed streamed direct
     assert stats["val_rel_rms"] < 3e-4, stats
     # the tiny cache forces rebuilds; the machinery must survive them
+    # (warm-pass seeding makes SOME gets hit, not all)
     assert stats["cache_misses"] >= 3
