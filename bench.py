@@ -53,21 +53,21 @@ def _sync(x) -> float:
     return float(np.asarray(a[(0,) * a.ndim]))
 
 
-def bench_one(N: int) -> dict:
-    kernel = get_kernel("grav3d")
+def bench_one(N: int, kname: str = "grav3d") -> dict:
+    kernel = get_kernel(kname)
     # per-N measured-best settings live in ONE table (config.tuned_config;
     # sweep history in docs/PERF.md). N >= 4e7 configs pair with the
     # subtree-chunked solve below (monolithic plans exceed 16 GB HBM).
     from onbody_tpu.config import tuned_config
-    cfg = tuned_config(N)
+    cfg = tuned_config(N, kname)
     ks, kt = jax.random.split(jax.random.PRNGKey(12345))
 
     # at 1e8 the ~4.4 GB of original particle arrays must be freed
     # during the solve (16 GB HBM): the solver owns generation there
     # (deterministic PRNG — every eval sees identical particles) and
     # the accuracy reference is taken before the timed loop
-    srcs = P.random_in_cube(ks, N, 3, 1, True)
-    targs = P.random_in_cube(kt, N, 3, 0, False)
+    srcs = P.random_in_cube(ks, N, kernel.pd, kernel.sd, True)
+    targs = P.random_in_cube(kt, N, kernel.pd, 0, False)
     _sync(srcs.x)
     _sync(targs.x)
 
@@ -95,8 +95,10 @@ def bench_one(N: int) -> dict:
             from onbody_tpu.traverse import chunked
             (out_leaf, tg), info = chunked.solve_dtt_chunked(
                 kernel, cfg,
-                make_srcs=lambda: P.random_in_cube(ks, N, 3, 1, True),
-                make_targs=lambda: P.random_in_cube(kt, N, 3, 0, False),
+                make_srcs=lambda: P.random_in_cube(
+                    ks, N, kernel.pd, kernel.sd, True),
+                make_targs=lambda: P.random_in_cube(
+                    kt, N, kernel.pd, 0, False),
                 n_chunks=16, unscramble=False)
             perm["tg"] = tg
             return out_leaf, info
@@ -145,9 +147,11 @@ def bench_one(N: int) -> dict:
         got = np.asarray(out[::tskip])[:ref.shape[0]]
     rel = float(np.linalg.norm(got - ref) / np.linalg.norm(ref))
 
-    base = BASELINES.get(N)
+    # the reference publishes no vortex timing table, so vs_baseline is
+    # meaningful only for grav3d (BASELINE.md rows)
+    base = BASELINES.get(N) if kname == "grav3d" else None
     return {
-        "metric": f"grav3d_dtt_full_eval_n{N:.0e}".replace("+0", ""),
+        "metric": f"{kname}_dtt_full_eval_n{N:.0e}".replace("+0", ""),
         "value": round(t, 4),
         "unit": "s",
         "vs_baseline": round(base / t, 2) if base else None,
@@ -163,6 +167,13 @@ def main():
         ns.append(int(1e8))
     for n in ns:
         print(json.dumps(bench_one(n)), flush=True)
+    # driver-captured vortex rows (one 1e6 row per workload):
+    # ONBODY_BENCH_KERNELS=vort2d,vort3d,vortgrad3d
+    # (row size overridable with ONBODY_BENCH_KN for smoke tests)
+    kn = int(float(os.environ.get("ONBODY_BENCH_KN", "1e6")))
+    for kname in [k for k in os.environ.get(
+            "ONBODY_BENCH_KERNELS", "").split(",") if k.strip()]:
+        print(json.dumps(bench_one(kn, kname)), flush=True)
 
 
 if __name__ == "__main__":

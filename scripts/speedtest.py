@@ -130,8 +130,13 @@ def main(argv):
                        pair_backend="pallas", pair_group=16,
                        lean_plan=order >= 0)
     solver = {"dtt": dtt.solve_dtt,
+              "treecode1": treecode.solve_treecode1,
               "treecode2": treecode.solve_treecode2,
               "treecode3": treecode.solve_treecode3}[method]
+    # treecode1 is monopole-only: its error floor is ~1e-3-class and its
+    # surface MAC runs at larger theta (reference default -t=2.0,
+    # ongrav3d.cpp:477), so the bisection bracket shifts right
+    bracket = dict(lo=1.0, hi=4.5) if method == "treecode1" else {}
 
     ks, kt = jax.random.split(jax.random.PRNGKey(12345))
     srcs = P.random_in_cube(ks, n, 3, 1, True)
@@ -147,7 +152,8 @@ def main(argv):
 
     rows = []
     for target in TARGET_ERRORS:
-        res = bisect_theta(kernel, cfg, plan, solver, target, ref, tskip)
+        res = bisect_theta(kernel, cfg, plan, solver, target, ref, tskip,
+                           **bracket)
         if res is None:
             continue
         theta, err, dt = res
