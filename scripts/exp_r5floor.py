@@ -66,28 +66,61 @@ def main():
     print(f"stream add 512MB: {t*1e3:.1f} ms -> {bw_stream:.0f} GB/s "
           f"(r+w)", flush=True)
 
-    # 2. lax.sort, production shape: f32 key + 5 payload columns
-    #    (x-key, 2 other coords, radius, strength, index), segmented
-    #    as one big sort (top level) and as 2^7 segments (mid level).
-    cols = [jax.random.uniform(jax.random.fold_in(key, i), (n // 8,),
-                               jnp.float32) for i in range(6)]
-    for segs in (1, 128):
-        m = (n // 8) // segs
+    # 2. lax.sort at the PRODUCTION shape: f32 key + 3 payload columns
+    #    (x-key, 2 other coords, index; radius/strength are deferred —
+    #    tree_defer_rs). Rows = 2*n_pad (paired build stacks both
+    #    trees). Measure ns/row across the segment lengths the level
+    #    walk actually visits.
+    rows = 1 << 25                                 # 2*n_pad at 1e7
+    cols = [jax.random.uniform(jax.random.fold_in(key, i), (rows,),
+                               jnp.float32) for i in range(4)]
+    rate = {}
+    for lg in (24, 20, 16, 12, 8):
+        m = 1 << lg
+        segs = rows // m
 
         @jax.jit
-        def seg_sort(*cs):
+        def seg_sort(*cs, segs=segs, m=m):
             rs = [c.reshape(segs, m) for c in cs]
             return jax.lax.sort(rs, dimension=1, num_keys=1)[0]
 
         t = timeit(seg_sort, *cols)
-        rows = n // 8
-        lg = int(np.log2(m))
         passes = lg * (lg + 1) // 2
-        implied = rows * 6 * 4 * 2 * passes / t / 1e9
-        print(f"sort {rows/1e6:.0f}M rows x6 cols, {segs} seg "
-              f"(len 2^{lg}): {t*1e3:.1f} ms = "
-              f"{t/rows*1e9:.2f} ns/row; bitonic {passes} passes -> "
+        implied = rows * 4 * 4 * 2 * passes / t / 1e9
+        rate[lg] = t / rows * 1e9
+        print(f"sort 32M rows x4 cols, seg 2^{lg}: {t*1e3:7.1f} ms = "
+              f"{t/rows*1e9:5.2f} ns/row; bitonic {passes} passes -> "
               f"implied {implied:.0f} GB/s", flush=True)
+
+    # 2b. production sort schedule at 1e7 (tuned: span=2, span_top=6,
+    #     defer_rs) — modeled cost from the measured per-length rates
+    from onbody_tpu.config import tuned_config
+    from onbody_tpu.tree import build as tb
+    n7 = 10_000_000
+    cfg = tuned_config(n7)
+    levels, n_pad = tb.plan(n7, cfg.block_size)
+    sched = tb._build_schedule(levels, levels, n_pad, cfg.tree_span,
+                               cfg.tree_span_top, None, n7, 2, loff=1)
+    tot = 0.0
+    nsorts = 0
+    for op in sched:
+        if op[0] != "sort":
+            continue
+        nsorts += 1
+        l = op[1]
+        m = (2 * n_pad) >> l
+        lg = np.log2(m)
+        # linear interpolation of measured ns/row in log segment length
+        ks = sorted(rate)
+        lo = max(k for k in ks if k <= lg) if lg >= ks[0] else ks[0]
+        hi = min(k for k in ks if k >= lg) if lg <= ks[-1] else ks[-1]
+        r = rate[lo] if lo == hi else np.interp(lg, [lo, hi],
+                                                [rate[lo], rate[hi]])
+        tot += 2 * n_pad * r * 1e-9
+    print(f"modeled paired-build sort floor at 1e7: {nsorts} level-"
+          f"sorts x {2*n_pad/1e6:.1f}M rows = {tot:.3f} s "
+          f"(vs measured prepare tree portion, docs/PERF.md)",
+          flush=True)
 
     # 3. dense pairwise rate (the exec-phase kernel ceiling): tiled
     #    direct sum, 2^17 x 2^17 pairs = 17.2 G pairs, grav3d with the
