@@ -523,6 +523,27 @@ def solve_dtt_stratified(kernel: Kernel, cfg: SolverConfig, n: int,
     # chunk ndev-1 where those seeds are the neighborhood.
     for ci, c in enumerate(range(ndev - 1, -1, -1)):
         root = jnp.int32(ndev + c)
+        # rebuild the target stratum (sorted positions for geo slab)
+        # and extract the validation-sample slot selectors + positions
+        # FIRST: the inverse-permutation scatter and position gathers
+        # run while HBM is at its emptiest, and tsp/tgl/ttree_l
+        # (~470 MB at split 6) are freed before the exec phase — the
+        # first r5 1e9 attempt OOMed running this extraction AFTER the
+        # chunk's exec with everything still resident.
+        ttree_l, tsp, tgl = build_stratum(gen_t, c, False)
+        idx = jnp.arange(0, m, tskip, dtype=jnp.int32)
+        # original order -> sorted slot: invert tgl on device
+        inv = jnp.zeros((n_sub_pad,), jnp.int32).at[tgl].set(
+            jnp.arange(tgl.shape[0], dtype=jnp.int32), mode="drop")
+        sel = jnp.copy(inv[idx])         # (m//tskip,) tiny
+        val_pos.append(np.asarray(tsp.x[sel]))
+        val_rad.append(np.asarray(tsp.r[sel]))
+        geo = eq._target_geo_slab_impl(
+            ttree, tsp.x, tsp.r, root, order, levels_glob, split, bs,
+            x_base=jnp.int32(c * n_sub_pad))
+        _sync(geo)
+        del ttree_l, tsp, tgl, inv, idx
+
         tl, sl_loc, crow, deep, owner, oc, gcount, nv, ovc = \
             _chunk_lists(stree, ttree, top_t, top_s, loc,
                          cand_roots[c:c + 1], root)
@@ -531,11 +552,6 @@ def solve_dtt_stratified(kernel: Kernel, cfg: SolverConfig, n: int,
         oc_h = np.asarray(oc)            # (ndev+1,) small fetches
         gc_h = np.asarray(gcount)
 
-        # rebuild the target stratum (sorted positions for geo slab)
-        ttree_l, tsp, tgl = build_stratum(gen_t, c, False)
-        geo = eq._target_geo_slab_impl(
-            ttree, tsp.x, tsp.r, root, order, levels_glob, split, bs,
-            x_base=jnp.int32(c * n_sub_pad))
         out = jnp.zeros((rows_chunk, bs, od), cfg.accum_dtype)
 
         # coarse pass: top rows + every stratum's shallow proxies ride
@@ -582,18 +598,12 @@ def solve_dtt_stratified(kernel: Kernel, cfg: SolverConfig, n: int,
         # extraction allocates (the r4 1e9 run died on a post-chunk
         # allocation with out+geo still live)
         del out, geo, tl, sl_loc, crow, deep, owner
-        # on-device validation extraction: stratum-local subsample
-        idx = jnp.arange(0, m, tskip, dtype=jnp.int32)
-        # original order -> sorted slot: invert tgl on device
-        inv = jnp.zeros((n_sub_pad,), jnp.int32).at[tgl].set(
-            jnp.arange(tgl.shape[0], dtype=jnp.int32), mode="drop")
-        got = leaf.reshape(n_sub_pad, od)[inv[idx]]
+        # on-device validation extraction at the precomputed slots
+        got = leaf.reshape(n_sub_pad, od)[sel]
         val_got.append(np.asarray(got))
-        val_pos.append(np.asarray(tsp.x[inv[idx]]))
-        val_rad.append(np.asarray(tsp.r[inv[idx]]))
         ph(f"chunk {c} (deep owners {len(owners)}, "
            f"cache {cache.hits}h/{cache.misses}m)", leaf)
-        del leaf, ttree_l, tsp, tgl
+        del leaf, sel
 
     # streamed direct reference for ALL collected subsample targets in
     # ONE pass over the source strata (NOT per chunk: 64x64 stratum
