@@ -286,6 +286,34 @@ def partition_groups_device(tgt, src, levels_t: int, levels_s: int,
     return top_t, top_s, gt, gs, overflow
 
 
+_PROLONG_SLICE_ROWS = 2048
+
+
+def _prolong_sliced(pts, pnc, pns, order: int, pu):
+    """prolong_factored with its factored-contraction intermediate
+    bounded: the first einsum materializes (rows, ncp, ncp, OD, width)
+    — 7.2 GB for 65536 leaf rows at order 5 / width 256, the r4/r5
+    1e9 chunk-phase OOM. lax.map over 2048-row slices caps it at
+    ~230 MB per step and forces SEQUENTIAL slice execution (a plain
+    Python loop of independent slices lets XLA's buffer liveness keep
+    them all resident at once — the r3 bitonic lesson)."""
+    rows = pts.shape[0]
+    cap = _PROLONG_SLICE_ROWS
+    if rows <= cap or rows % cap:
+        return eq.prolong_factored(pts, pnc, pns, order, pu)
+    nsl = rows // cap
+
+    def body(args):
+        p, nc_, ns_, u_ = args
+        return eq.prolong_factored(p, nc_, ns_, order, u_)
+
+    add = jax.lax.map(body, (pts.reshape(nsl, cap, *pts.shape[1:]),
+                             pnc.reshape(nsl, cap, -1),
+                             pns.reshape(nsl, cap, -1),
+                             pu.reshape(nsl, cap, *pu.shape[1:])))
+    return add.reshape(rows, *add.shape[2:])
+
+
 def _downward_local(out, nc_loc, ns_loc, pos_loc, order: int, levels: int,
                     split: int, block_size: int, dev: jax.Array):
     """DTT downward prolongation on one device's owner-major slab.
@@ -301,7 +329,7 @@ def _downward_local(out, nc_loc, ns_loc, pos_loc, order: int, levels: int,
     ndev = 1 << split
 
     def prolong(pts, pnc, pns, pu):
-        return eq.prolong_factored(pts, pnc, pns, order, pu)
+        return _prolong_sliced(pts, pnc, pns, order, pu)
 
     # top levels: parents [2^(l-1), 2^l), children [2^l, 2^(l+1)) — all
     # replicated rows, identical on every device

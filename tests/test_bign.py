@@ -33,3 +33,27 @@ def test_bign_stratified_small(exec_groups):
     # the tiny cache forces rebuilds; the machinery must survive them
     # (warm-pass seeding makes SOME gets hit, not all)
     assert stats["cache_misses"] >= 3
+
+
+def test_prolong_sliced_matches_unsliced():
+    """The bounded lax.map prolongation (mesh._prolong_sliced, the
+    1e9 chunk-phase OOM fix) must match the whole-level
+    prolong_factored when the slicing path engages
+    (rows > _PROLONG_SLICE_ROWS). Row-independent math — any
+    difference is XLA batched-einsum rewrite noise, bounded tightly."""
+    import jax.numpy as jnp
+    from onbody_tpu.parallel import mesh
+    from onbody_tpu.tree import equivalents as eq
+    key = jax.random.PRNGKey(0)
+    rows, width, order, od = 4096, 16, 3, 3
+    assert rows > mesh._PROLONG_SLICE_ROWS
+    ncp = order + 1
+    pts = jax.random.uniform(key, (rows, width, 3))
+    nc = jax.random.uniform(jax.random.fold_in(key, 1), (rows, 3))
+    ns = 0.5 + jax.random.uniform(jax.random.fold_in(key, 2), (rows, 3))
+    pu = jax.random.normal(jax.random.fold_in(key, 3),
+                           (rows, ncp ** 3, od))
+    a = eq.prolong_factored(pts, nc, ns, order, pu)
+    b = mesh._prolong_sliced(pts, nc, ns, order, pu)
+    scale = float(jnp.max(jnp.abs(a))) + 1e-30
+    assert float(jnp.max(jnp.abs(a - b))) / scale < 1e-6
