@@ -57,13 +57,25 @@ def timeit(fn, *args, reps=5):
 def main():
     key = jax.random.PRNGKey(0)
 
+    # Through the axon tunnel every sync costs ~25-30 ms; all timed
+    # bodies therefore CHAIN K iterations inside one jit (bitonic
+    # sorts are data-oblivious, so feeding a sort its own output does
+    # not change its pass count) and divide by K.
+    K = 16
+
     # 1. HBM stream rates
     n = 1 << 27                                   # 512 MB f32
     x = jax.random.uniform(key, (n,), jnp.float32)
-    copy = jax.jit(lambda a: a + 1.0)
-    t = timeit(copy, x)
+
+    @jax.jit
+    def chain_add(a):
+        for _ in range(K):
+            a = a + 1.0
+        return a
+
+    t = timeit(chain_add, x) / K
     bw_stream = 2 * 4 * n / t / 1e9               # read + write
-    print(f"stream add 512MB: {t*1e3:.1f} ms -> {bw_stream:.0f} GB/s "
+    print(f"stream add 512MB: {t*1e3:.2f} ms -> {bw_stream:.0f} GB/s "
           f"(r+w)", flush=True)
 
     # 2. lax.sort at the PRODUCTION shape: f32 key + 3 payload columns
@@ -78,13 +90,16 @@ def main():
     for lg in (24, 20, 16, 12, 8):
         m = 1 << lg
         segs = rows // m
+        ksort = 4 if lg >= 22 else K
 
         @jax.jit
-        def seg_sort(*cs, segs=segs, m=m):
+        def seg_sort(*cs, segs=segs, m=m, ksort=ksort):
             rs = [c.reshape(segs, m) for c in cs]
-            return jax.lax.sort(rs, dimension=1, num_keys=1)[0]
+            for _ in range(ksort):
+                rs = jax.lax.sort(rs, dimension=1, num_keys=1)
+            return rs[0]
 
-        t = timeit(seg_sort, *cols)
+        t = timeit(seg_sort, *cols) / ksort
         passes = lg * (lg + 1) // 2
         implied = rows * 4 * 4 * 2 * passes / t / 1e9
         rate[lg] = t / rows * 1e9
@@ -134,6 +149,44 @@ def main():
     pairs = float(m) * m
     print(f"dense direct {m}x{m}: {t:.3f} s -> "
           f"{pairs/t/1e9:.1f} G pairs/s "
+          f"({pairs*19/t/1e12:.2f} TFlop/s at 19 flops/pair)",
+          flush=True)
+
+    # 4. PRODUCTION grouped pair executor on dense synthetic groups —
+    #    the true exec-phase ceiling (same Pallas kernel, MXU tier,
+    #    fetch mode and group layout as the tuned solve; hashed source
+    #    rows reproduce the scattered gather pattern).
+    from onbody_tpu.config import tuned_config as _tc
+    from onbody_tpu.traverse import treecode as _tcm
+    from onbody_tpu.ops import pallas_pairs as pp
+    n6 = 1 << 20
+    cfgx = _tc(1_000_000)
+    s6 = P.random_in_cube(jax.random.fold_in(key, 7), n6, 3, 1, True)
+    t6 = P.random_in_cube(jax.random.fold_in(key, 8), n6, 3, 0, False)
+    plan6 = _tcm.prepare(kernel, cfgx, s6, t6, want_inv=False)
+    nn = plan6.tgt_geo.shape[0]
+    nleaf, b = nn // 2, plan6.tgt_geo.shape[1]
+    g = cfgx.pair_group
+    Pn = 1 << 17
+    gt = nleaf + (jnp.arange(Pn, dtype=jnp.int32) % nleaf)
+    gs = nleaf + ((jnp.arange(Pn * g, dtype=jnp.uint32)
+                   * jnp.uint32(2654435761)) % nleaf).astype(
+        jnp.int32).reshape(Pn, g)
+    d2m = "center" if cfgx.d2_mode == "center" else "outer"
+    fetch = getattr(cfgx, "pair_fetch", "pregather")
+
+    def run_exec():
+        return pp.exec_pairs_pallas(
+            kernel, plan6.tgt_geo, plan6.src_fm, gt, gs,
+            cfgx.core_func, cfgx.accum_dtype, interpret=False,
+            d2_mode=d2m, group=g, fetch=fetch,
+            precision=getattr(cfgx, "mxu_precision", "highest"),
+            tile_g=getattr(cfgx, "pair_tile_g", 4))
+
+    t = timeit(run_exec, reps=3)
+    pairs = float(Pn) * g * b * b
+    print(f"grouped executor dense {Pn} groups x{g} (fetch={fetch}): "
+          f"{t:.3f} s -> {pairs/t/1e9:.1f} G pairs/s "
           f"({pairs*19/t/1e12:.2f} TFlop/s at 19 flops/pair)",
           flush=True)
 
