@@ -71,8 +71,13 @@ def main(n):
          [(512, 64, None), (1024, 96, None), (2048, 160, None)]),
         ("treecode2", treecode.solve_treecode2, (1.05,),
          [(2048, 192, 256), (4096, 320, 256)]),
+        # tc1's conservative surface MAC descends much deeper than the
+        # proxy treecodes: its per-leaf FRONTIER (not the accepted
+        # list) is what overflows — the r5 first sweep measured an
+        # identical overflow count at list widths 1024 and 2048 with
+        # W=256 fixed
         ("treecode1", treecode.solve_treecode1, (2.0, 3.0),
-         [(1024, 96, 256), (2048, 160, 256), (4096, 288, 384)]),
+         [(2048, 160, 512), (2048, 192, 1024), (4096, 288, 1024)]),
     ]
     for name, fn, thetas, ladder in cases:
         for th in thetas:
