@@ -523,6 +523,7 @@ def solve_dtt_stratified(kernel: Kernel, cfg: SolverConfig, n: int,
     # chunk ndev-1 where those seeds are the neighborhood.
     for ci, c in enumerate(range(ndev - 1, -1, -1)):
         root = jnp.int32(ndev + c)
+        ov_prev = overflow
         # rebuild the target stratum (sorted positions for geo slab)
         # and extract the validation-sample slot selectors + positions
         # FIRST: the inverse-permutation scatter and position gathers
@@ -600,9 +601,17 @@ def solve_dtt_stratified(kernel: Kernel, cfg: SolverConfig, n: int,
         del out, geo, tl, sl_loc, crow, deep, owner
         # on-device validation extraction at the precomputed slots
         got = leaf.reshape(n_sub_pad, od)[sel]
-        val_got.append(np.asarray(got))
+        got_h = np.asarray(got)
+        val_got.append(got_h)
+        # localized health counters: a NaN or overflow at 1e9 must
+        # name its chunk, not just poison the final rms
+        n_nan = int(np.asarray(jnp.sum(jnp.isnan(leaf),
+                                       dtype=jnp.int32)))
+        ov_c = overflow - ov_prev
         ph(f"chunk {c} (deep owners {len(owners)}, "
-           f"cache {cache.hits}h/{cache.misses}m)", leaf)
+           f"cache {cache.hits}h/{cache.misses}m"
+           + (f", NAN {n_nan}" if n_nan else "")
+           + (f", ovf +{ov_c}" if ov_c else "") + ")", leaf)
         del leaf, sel
 
     # streamed direct reference for ALL collected subsample targets in
@@ -634,6 +643,8 @@ def solve_dtt_stratified(kernel: Kernel, cfg: SolverConfig, n: int,
         "val_rel_rms": rel, "n_val": int(ref.shape[0]),
         "total_s": time.perf_counter() - t_start,
         "cache_hits": cache.hits, "cache_misses": cache.misses,
+        "got_nan": int(np.isnan(got).sum()),
+        "ref_nan": int(np.isnan(ref).sum()),
     }
     info = {"n_valid": total_valid, "overflow": overflow}
     return stats, info
