@@ -192,13 +192,36 @@ def solve_treecode3(kernel: Kernel, cfg: SolverConfig, plan: Plan,
     return _leaf_outputs(out, plan, kernel, plan.tgt_sorted.n_real), info
 
 
+_MONO_SLICE_LEAVES = 4096
+
+
 @partial(jax.jit, static_argnames=("kernel", "core", "accum_dtype", "maxm"))
 def _monopole_eval(kernel: Kernel, tgt_pos, tgt_rad, mono_pos, mono_rad,
                    mono_str, core, accum_dtype, maxm):
-    """Evaluate gathered per-leaf monopole sets: (L, bs, OD)."""
+    """Evaluate gathered per-leaf monopole sets: (L, bs, OD).
+
+    Sliced with lax.map over leaf blocks: the whole-array vmap at
+    L=65536 leaves x K=1024 list width reproducibly crashed the XLA
+    TPU compiler (tpu_compile_helper exit 1, r5 1e7 sweep) and its
+    gathered operand alone is ~0.8 GB; 4096-leaf slices compile and
+    bound the buffers, identically (leaf-independent math)."""
     def per_leaf(tx, trad, mx, mr, ms):
         return kernel.tile(tx, trad, mx, mr, ms, core, accum_dtype, "exact")
-    return jax.vmap(per_leaf)(tgt_pos, tgt_rad, mono_pos, mono_rad, mono_str)
+
+    L = tgt_pos.shape[0]
+    cap = _MONO_SLICE_LEAVES
+    if L <= cap or L % cap:
+        return jax.vmap(per_leaf)(tgt_pos, tgt_rad, mono_pos, mono_rad,
+                                  mono_str)
+    nsl = L // cap
+
+    def body(args):
+        return jax.vmap(per_leaf)(*args)
+
+    out = jax.lax.map(body, tuple(
+        a.reshape(nsl, cap, *a.shape[1:])
+        for a in (tgt_pos, tgt_rad, mono_pos, mono_rad, mono_str)))
+    return out.reshape(L, *out.shape[2:])
 
 
 def solve_treecode1(kernel: Kernel, cfg: SolverConfig, plan: Plan,
