@@ -192,6 +192,12 @@ def main():
                     "+0", ""),
                 "error": f"{type(e).__name__}: {e}"[:300]}),
                 flush=True)
+        # drop jit-cache-held closure constants + any leaked frames
+        # between rows: the first multi-row run OOMed the 16 GB-class
+        # 1e8 row on buffers retained from the earlier rows
+        import gc
+        jax.clear_caches()
+        gc.collect()
 
 
 if __name__ == "__main__":

@@ -66,10 +66,14 @@ def main(n):
     print(f"prepare warm: {prep:.4f} s", flush=True)
 
     # (method, solver, thetas, width ladder [(list_width, cap, W)...])
+    methods = (sys.argv[2].split(",") if len(sys.argv) > 2 else None)
     cases = [
         ("treecode3", treecode.solve_treecode3, (0.9, 1.0),
          [(512, 64, None), (1024, 96, None), (2048, 160, None)]),
-        ("treecode2", treecode.solve_treecode2, (1.05,),
+        # 0.9/0.95 are the matched-accuracy (~1e-4-class) points: the
+        # conservative pointwise MAC at 1.05 measured 2.9e-5 at 1e7 —
+        # 3.4x tighter than the reference row it is compared against
+        ("treecode2", treecode.solve_treecode2, (0.9, 0.95, 1.05),
          [(2048, 192, 256), (4096, 320, 256)]),
         # tc1's conservative surface MAC descends much deeper than the
         # proxy treecodes: its per-leaf FRONTIER (not the accepted
@@ -80,6 +84,8 @@ def main(n):
          [(2048, 160, 512), (2048, 192, 1024), (4096, 288, 1024)]),
     ]
     for name, fn, thetas, ladder in cases:
+        if methods is not None and name not in methods:
+            continue
         for th in thetas:
             done = False
             for lw, cap, W in ladder:
