@@ -521,7 +521,30 @@ def solve_dtt_stratified(kernel: Kernel, cfg: SolverConfig, n: int,
     # their deep-owner neighborhoods. The warm pass leaves the LRU
     # holding the LAST slab_cache strata, so processing starts at
     # chunk ndev-1 where those seeds are the neighborhood.
+    # debug instrumentation (exp_r5_nanprobe stage 2): scan every
+    # SHARED array for non-finites, then optionally process only the
+    # listed chunks with per-stage NaN counts
+    dbg_only = None if debug_out is None else debug_out.get("only_chunks")
+    dbg_scan = bool(debug_out) and debug_out.get("stage_scan")
+
+    def _bad(x):
+        return int(np.asarray(jnp.sum(~jnp.isfinite(x),
+                                      dtype=jnp.int32)))
+
+    if dbg_scan:
+        for nm, a in (("coarse_slab", coarse_slab), ("top_fm", top_fm),
+                      ("stree.nc", stree.nc), ("stree.ns", stree.ns),
+                      ("stree.nr", stree.nr), ("stree.x", stree.x),
+                      ("ttree.nc", ttree.nc), ("ttree.ns", ttree.ns),
+                      ("ttree.nr", ttree.nr), ("ttree.x", ttree.x)):
+            b = _bad(a)
+            if b:
+                print(f"[scan] {nm}: BAD {b}", flush=True)
+        print("[scan] shared arrays done", flush=True)
+
     for ci, c in enumerate(range(ndev - 1, -1, -1)):
+        if dbg_only is not None and c not in dbg_only:
+            continue
         root = jnp.int32(ndev + c)
         ov_prev = overflow
         # rebuild the target stratum (sorted positions for geo slab)
@@ -570,10 +593,16 @@ def solve_dtt_stratified(kernel: Kernel, cfg: SolverConfig, n: int,
                                     pg.src[i:i + exec_groups])
             return out
 
+        if dbg_scan:
+            print(f"[scan] chunk {c}: geo BAD {_bad(geo)}  "
+                  f"out0 BAD {_bad(out)}", flush=True)
         cap_c = _bucket(int(gc_h[ndev]) + 16)
         pgc = _coarse_groups(tl, crow, deep, cap_c)
         overflow += int(np.asarray(pgc.overflow))
         out = _exec_sliced(out, coarse_slab, pgc)
+        if dbg_scan:
+            print(f"[scan] chunk {c}: after coarse exec out BAD "
+                  f"{_bad(out)}", flush=True)
 
         # deep pass: only spatially-near strata have deep references.
         # Owner visit order ZIGZAGS across chunks (descending on the
@@ -590,7 +619,13 @@ def solve_dtt_stratified(kernel: Kernel, cfg: SolverConfig, n: int,
             pg = _owner_groups(tl, sl_loc, deep, owner, o, cap_o)
             overflow += int(np.asarray(pg.overflow))
             slab = cache.get(o)
+            if dbg_scan:
+                print(f"[scan] chunk {c}: slab {o} BAD {_bad(slab)}",
+                      flush=True)
             out = _exec_sliced(out, slab, pg)
+            if dbg_scan:
+                print(f"[scan] chunk {c}: after owner {o} out BAD "
+                      f"{_bad(out)}", flush=True)
             del slab, pg
 
         leaf = _finish_chunk(out, geo, ttree.nc, ttree.ns,
