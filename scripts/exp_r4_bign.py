@@ -18,6 +18,13 @@ import json
 
 import jax
 
+# the axon sitecustomize imports jax before this file runs, freezing
+# config from the env at interpreter start; config.update is the only
+# reliable way to enable the persistent compile cache here
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                "/tmp/jax_cache"))
+
 from onbody_tpu.config import SolverConfig
 from onbody_tpu.ops.kernels import get_kernel
 from onbody_tpu.traverse import bigN

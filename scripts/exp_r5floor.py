@@ -29,6 +29,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 
 import jax
+
+# the axon sitecustomize imports jax before this file runs, freezing
+# config from the env at interpreter start; config.update is the only
+# reliable way to enable the persistent compile cache here
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                "/tmp/jax_cache"))
 import jax.numpy as jnp
 import numpy as np
 

@@ -18,6 +18,13 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 
 import jax
 
+# the axon sitecustomize imports jax before this file runs, freezing
+# config from the env at interpreter start; config.update is the only
+# reliable way to enable the persistent compile cache here
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                "/tmp/jax_cache"))
+
 if os.environ.get("ONBODY_PROFILE_PLATFORM"):
     # the JAX_PLATFORMS env var is frozen by sitecustomize; this is the
     # only working switch for CPU smoke runs (see tests/conftest.py)

@@ -19,6 +19,13 @@ sys.path.insert(0, os.path.join(os.path.dirname(
     os.path.abspath(__file__)), ".."))
 
 import jax
+
+# the axon sitecustomize imports jax before this file runs, freezing
+# config from the env at interpreter start; config.update is the only
+# reliable way to enable the persistent compile cache here
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                "/tmp/jax_cache"))
 import numpy as np
 
 from onbody_tpu import parts as P
