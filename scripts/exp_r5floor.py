@@ -172,7 +172,9 @@ def main():
     t6 = P.random_in_cube(jax.random.fold_in(key, 8), n6, 3, 0, False)
     plan6 = _tcm.prepare(kernel, cfgx, s6, t6, want_inv=False)
     nn = plan6.tgt_geo.shape[0]
-    nleaf, b = nn // 2, plan6.tgt_geo.shape[1]
+    # geo rows are (nodes, 8 feature slots, block width) — pair width
+    # is the LAST axis
+    nleaf, b = nn // 2, plan6.tgt_geo.shape[2]
     g = cfgx.pair_group
     Pn = 1 << 17
     gt = nleaf + (jnp.arange(Pn, dtype=jnp.int32) % nleaf)
