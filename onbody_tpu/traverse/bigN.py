@@ -383,6 +383,15 @@ def solve_dtt_stratified(kernel: Kernel, cfg: SolverConfig, n: int,
         child_pos, child_str = grid, eq_s
     c_flat = top_fm_levels[0][1].shape[-1]
     top_fm = jnp.zeros((ndev, c_flat), jnp.float32)
+    # row 0 = the inert pad row (every padded group entry gathers it):
+    # featurized with RADIUS 1 so a target grid point exactly at the
+    # origin cannot produce rsqrt(<=0) — the r5 1e9 NaN (three top
+    # nodes corner exactly at (0,0,0) at split 6; see equivalents.py
+    # safe0 and docs/PERF.md "r5 1e9 NaN hunt")
+    top_fm = top_fm.at[0].set(featurize_flat(
+        kernel.name, jnp.zeros((bs, pd), jnp.float32),
+        jnp.ones((bs,), jnp.float32),
+        jnp.zeros((bs, sd), jnp.float32)))
     for nseg, rows in top_fm_levels:
         top_fm = jax.lax.dynamic_update_slice_in_dim(top_fm, rows,
                                                      nseg, 0)

@@ -44,8 +44,10 @@ class Blocks:
     """Unified per-node interaction blocks.
 
     pos: (NN, B, PD); rad: (NN, B); s: (NN, B, SD) or None.
-    Row 0 is all-zero (strength-inert) — pair lists padded with row 0
-    contribute nothing. Leaf rows [nleaf, 2*nleaf) hold real particles;
+    Row 0 is the inert pad row (zero strength, RADIUS 1, position 0) —
+    pair lists padded with row 0 contribute nothing, and the radius-1
+    convention keeps core_func finite even for a target exactly at the
+    origin. Leaf rows [nleaf, 2*nleaf) hold real particles;
     interior rows hold proxies (unused slots parked at the node center
     with zero strength, ref BarycentricLagrange.hpp:335-347).
     """
@@ -458,10 +460,22 @@ def _bary_fm_fn(tree: Tree, x, r, s, order: int, levels: int,
             return jax.vmap(lambda p, rr, ss2: featurize(
                 kernel_name, p, rr, ss2, pad8))(pos, rad, st)
 
-    c_out = feat(jnp.zeros((1, width, pd), dtype),
+    # Row 0 is the inert pad row every padded pair list gathers. It must
+    # be FEATURIZED inert — position 0, RADIUS 1, strength 0 — not
+    # all-zero: a radius-0 row at the origin meets any target slot whose
+    # grid point lands exactly at (or, under the bf16-split MXU d2,
+    # within cancellation of) the origin with d2+sr^2 <= 0, and
+    # rsqrt(0)*0-strength = NaN. Analytic box corners at the origin make
+    # this REAL at 1e9/split 6 (docs/PERF.md "r5 1e9 NaN hunt": three
+    # top nodes cornered exactly at (0,0,0) went non-finite in the
+    # coarse exec and the downward pass spread them to every leaf of
+    # chunks 57-59).
+    safe0 = feat(jnp.zeros((1, width, pd), dtype),
                  jnp.ones((1, width), dtype),
-                 jnp.zeros((1, width, sd), dtype)).shape[1]
+                 jnp.zeros((1, width, sd), dtype))
+    c_out = safe0.shape[1]
     fm = jnp.zeros((nn, c_out) if flat else (nn, c_out, width), dtype)
+    fm = fm.at[0].set(safe0[0])
     # Leaf featurize in fixed chunks through a fori_loop: the carry fm
     # is updated in place, so peak HBM is fm + one ~20 MB chunk instead
     # of fm + a full (nleaf, C*B) temporary (2.7 GB at N=1e8 — the

@@ -476,3 +476,39 @@ def test_dtt_leaf_pair2_bit_identical(name, n, fetch):
     assert int(info1.overflow) == 0
     assert int(info1.n_valid) == int(info0.n_valid)
     assert np.array_equal(np.asarray(out0), np.asarray(out1))
+
+
+def test_inert_pad_row_is_featurized_safe():
+    """r5 1e9 NaN regression (docs/PERF.md "r5 1e9 NaN hunt"): fm row 0
+    is the inert row every padded pair list gathers. It must carry
+    RADIUS 1 (featurized: rad^2 for grav3d) — an all-zero row meets a
+    target grid point exactly at the origin with d2+sr^2 = 0 and
+    rsqrt(0) * 0-strength = NaN, which the downward prolongation then
+    spreads to every leaf below the poisoned node (the three top nodes
+    cornered exactly at (0,0,0) at 1e9/split 6)."""
+    from onbody_tpu.ops import pallas_pairs as pp
+    from onbody_tpu.tree import build as tree_build
+    from onbody_tpu.tree import equivalents as eq
+    kernel = KERNELS["grav3d"]
+    srcs, _ = _problem(kernel, n=256)
+    tree, ss, _ = tree_build.build_tree(srcs, 64)
+    fm = eq.barycentric_fm(tree, ss, 3, kernel.name, pad8=False,
+                           flat=True)
+    B = 64
+    row0 = np.asarray(fm[0]).reshape(5, B)
+    assert np.all(row0[:3] == 0.0)          # position: origin
+    assert np.all(row0[3] == 1.0)           # rad^2 = 1, NOT 0
+    assert np.all(row0[4] == 0.0)           # strength: inert
+    # executor-level: a target block sitting EXACTLY at the origin with
+    # zero radii, fed only pad entries (source row 0), must come back
+    # finite and exactly zero
+    pos = jnp.zeros((2, B, 3), jnp.float32)
+    rad = jnp.zeros((2, B), jnp.float32)
+    tgt_geo = pp.build_tgt_geo(pos, rad)
+    gt = jnp.array([1] + [0] * 7, jnp.int32)
+    gs = jnp.zeros((8, pp.GROUP), jnp.int32)
+    out = pp.exec_pairs_pallas(kernel, tgt_geo, fm, gt, gs,
+                               interpret=True, fetch="pregather")
+    got = np.asarray(out[1])
+    assert np.isfinite(got).all()
+    assert np.abs(got).max() == 0.0
