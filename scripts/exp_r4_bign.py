@@ -37,12 +37,13 @@ def main():
     theta = float(sys.argv[4]) if len(sys.argv) > 4 else 1.15
     kernel = get_kernel("grav3d")
     # the 1e8-tier tuned settings, pregather fetch (flat fm slabs).
-    # Frontier 192 at split 6: the completed W=128 1e9 run overflowed
-    # 34208 entries at the mid-level fanout below the 64 chunk roots
+    # Frontier 256 at split 6: the W=128 1e9 run overflowed 34208 and the
+    # W=192 stage-scan run still overflowed 322 across 4 chunks at the
+    # mid-level fanout below the 64 chunk roots
     # (levels that exist neither at 1e8/split 4 nor in the small-N
     # split-6 CPU repro, both overflow-0 at W=128).
     cfg = SolverConfig(block_size=256, order=5, theta_dtt=theta,
-                       frontier_width=192 if split >= 6 else 128,
+                       frontier_width=256 if split >= 6 else 128,
                        list_width=320,
                        cap_groups_dtt=16, pair_backend="pallas",
                        pair_group=16, pair_fetch="pregather",

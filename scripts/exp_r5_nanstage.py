@@ -36,7 +36,7 @@ def main():
               if len(sys.argv) > 3 else [60, 59, 58, 57])
     kernel = get_kernel("grav3d")
     cfg = SolverConfig(block_size=256, order=5, theta_dtt=1.15,
-                       frontier_width=192 if split >= 6 else 128,
+                       frontier_width=256 if split >= 6 else 128,
                        list_width=320,
                        cap_groups_dtt=16, pair_backend="pallas",
                        pair_group=16, pair_fetch="pregather",
